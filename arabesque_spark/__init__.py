@@ -1,0 +1,22 @@
+"""arabesque_spark — a PySpark-native link-graph analytics engine.
+
+A from-scratch re-expression of the capabilities of qcri/Arabesque
+(distributed graph exploration: see /root/reference) as idiomatic PySpark:
+DataFrame joins + groupBy aggregation replace Giraph BSP supersteps,
+Parquet checkpoints replace in-memory ODAGs, and Catalyst/AQE replace
+hand-rolled work division.  Nothing is ported; the reference defines
+*what* to compute (triangle counts, per-pattern aggregation, fixpoint
+halt) — the *how* is Spark-first.
+
+Subpackages
+-----------
+sources    : corpus ingest (synthetic source-code-repo table), fixture loaders
+graph      : graph construction + algorithms (PageRank, CC, LPA, triangles,
+             motifs, cliques)
+engine     : superstep driver loop, checkpoint/resume, skew handling
+operators  : training-data pipeline ops (dedup, similarity, text, multimodal,
+             relational)
+streaming  : structured-streaming operators over the events table
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,5 @@
+"""Superstep driver loop, checkpointing, metrics, skew handling."""
+
+from arabesque_spark.engine.superstep import SuperstepRunner, IterationResult
+
+__all__ = ["SuperstepRunner", "IterationResult"]

@@ -1,0 +1,236 @@
+"""The superstep driver loop: iterate → materialize → record → halt.
+
+This is the Spark-first replacement for the reference's BSP machinery:
+
+* one loop iteration here = one logical superstep there
+  (ExecutionEngine.compute, /root/reference/.../ExecutionEngine.java:140-206);
+* the halt protocol (stop when the step reports convergence / empty frontier)
+  mirrors MasterExecutionEngine.java:210-218 and the user-haltable
+  MasterComputation.java:21-23;
+* per-iteration materialization to Parquet replaces Giraph's superstep
+  barrier AND fixes the Spark-specific failure mode the reference never had:
+  unbounded lineage growth across iterations (each write severs the plan);
+* the manifest (JSONL, one entry per completed iteration, with row counts,
+  per-partition counts, a value fingerprint, and user metrics) provides the
+  per-partition lineage + metrics and mid-convergence resumability required
+  of the engine — the reference has no analog (Giraph jobs rerun from
+  scratch).
+
+The runner is algorithm-agnostic: PageRank, connected components, LPA and
+the subgraph frontiers all drive it with a `step` callable.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# step(state, iteration) -> (new_state, metrics)
+StepFn = Callable[[DataFrame, int], tuple[DataFrame, dict]]
+# halt(materialized_state, iteration) -> (converged, metrics) — runs AFTER the
+# iteration's state is materialized, so the convergence aggregation is a cheap
+# scan over checkpointed Parquet rather than a recompute of the whole step.
+HaltFn = Callable[[DataFrame, int], tuple[bool, dict]]
+
+
+@dataclass
+class IterationResult:
+    iteration: int
+    rows: int
+    metrics: dict
+    converged: bool
+    wall_s: float
+    fingerprint: int | None = None
+    partition_rows: list[int] = field(default_factory=list)
+    path: str | None = None
+
+
+@dataclass
+class RunResult:
+    state: DataFrame
+    iterations: list[IterationResult]
+    converged: bool
+    resumed_from: int | None = None
+
+    @property
+    def num_iterations(self) -> int:
+        return self.iterations[-1].iteration + 1 if self.iterations else 0
+
+
+class SuperstepRunner:
+    """Drives an iterative graph computation with checkpointing + resume.
+
+    With ``checkpoint_dir`` set, every iteration's state is written to
+    ``<dir>/iter_NNNNN`` (Parquet) and recorded in ``<dir>/manifest.jsonl``
+    only after the write succeeds, so a crash mid-write resumes from the
+    previous complete iteration. Without a dir, ``localCheckpoint`` truncates
+    lineage in memory (fast path for tests / ephemeral runs).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: str | Path | None = None,
+        max_iterations: int = 100,
+        lineage: bool = True,
+    ) -> None:
+        self.spark = spark
+        self.checkpoint_dir = Path(checkpoint_dir) if checkpoint_dir else None
+        self.max_iterations = max_iterations
+        self.lineage = lineage
+        if self.checkpoint_dir:
+            self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
+
+    # ---- manifest ----------------------------------------------------
+    @property
+    def manifest_path(self) -> Path | None:
+        return self.checkpoint_dir / "manifest.jsonl" if self.checkpoint_dir else None
+
+    def read_manifest(self) -> list[dict]:
+        if not self.manifest_path or not self.manifest_path.exists():
+            return []
+        entries = []
+        for line in self.manifest_path.read_text().splitlines():
+            line = line.strip()
+            if line:
+                entries.append(json.loads(line))
+        return entries
+
+    def _append_manifest(self, entry: dict) -> None:
+        assert self.manifest_path is not None
+        with self.manifest_path.open("a") as fh:
+            fh.write(json.dumps(entry) + "\n")
+
+    def latest_checkpoint(self) -> tuple[int, DataFrame] | None:
+        """(iteration, state) of the last COMPLETE iteration, or None."""
+        entries = self.read_manifest()
+        for entry in reversed(entries):
+            path = entry.get("path")
+            if path and Path(path).exists():
+                return entry["iteration"], self.spark.read.parquet(path)
+        return None
+
+    # ---- materialization ----------------------------------------------
+    def _materialize(self, state: DataFrame, iteration: int) -> tuple[DataFrame, str | None]:
+        if self.checkpoint_dir is None:
+            return state.localCheckpoint(eager=True), None
+        path = self.checkpoint_dir / f"iter_{iteration:05d}"
+        if path.exists():
+            shutil.rmtree(path)
+        state.write.mode("overwrite").parquet(str(path))
+        return self.spark.read.parquet(str(path)), str(path)
+
+    def _lineage_stats(self, state: DataFrame) -> tuple[int, int | None, list[int]]:
+        """(total rows, value fingerprint, per-partition row counts).
+
+        One aggregation job over the just-materialized state: the fingerprint
+        is an order-insensitive sum of per-row xxhash64, so two runs that
+        claim the same iteration can be compared value-for-value without
+        rereading data.
+        """
+        if not self.lineage:
+            return state.count(), None, []
+        rows = (
+            state.withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid")
+            .agg(
+                F.count("*").alias("cnt"),
+                # decimal sum: ANSI-safe (a long sum of 64-bit hashes overflows)
+                F.sum(F.xxhash64(*state.columns).cast("decimal(38,0)")).alias("fp"),
+            )
+            .collect()
+        )
+        total = sum(r["cnt"] for r in rows)
+        fingerprint = int(sum(int(r["fp"] or 0) for r in rows)) % (2**63)
+        per_part = [r["cnt"] for r in sorted(rows, key=lambda r: r["_pid"])]
+        return total, fingerprint, per_part
+
+    # ---- the loop ------------------------------------------------------
+    def run(
+        self,
+        initial_state: DataFrame,
+        step: StepFn,
+        halt: HaltFn | None = None,
+        resume: bool = False,
+    ) -> RunResult:
+        """Iterate ``step`` until ``halt`` reports convergence or max_iterations.
+
+        ``step(state, i)`` returns ``(new_state, metrics)``; ``metrics`` is a
+        JSON-able dict recorded in the manifest (the analog of the
+        reference's per-superstep counters, MasterExecutionEngine.java:22-27).
+        ``halt`` is evaluated on the materialized state; with no ``halt``,
+        the loop stops when an iteration produces 0 rows — the reference's
+        empty-frontier protocol (MasterExecutionEngine.java:210-216:
+        processed == 0 && generated == 0).
+        """
+        start_iter = 0
+        state = initial_state
+        resumed_from = None
+        if resume:
+            found = self.latest_checkpoint()
+            if found is not None:
+                last_iter, state = found
+                start_iter = last_iter + 1
+                resumed_from = last_iter
+                entries = self.read_manifest()
+                if entries and entries[-1].get("converged"):
+                    return RunResult(
+                        state=state,
+                        iterations=[],
+                        converged=True,
+                        resumed_from=resumed_from,
+                    )
+
+        results: list[IterationResult] = []
+        converged = False
+        for i in range(start_iter, self.max_iterations):
+            t0 = time.time()
+            new_state, metrics = step(state, i)
+            new_state, path = self._materialize(new_state, i)
+            rows, fingerprint, per_part = self._lineage_stats(new_state)
+            if halt is not None:
+                converged, halt_metrics = halt(new_state, i)
+                metrics = {**metrics, **halt_metrics}
+            else:
+                converged = rows == 0
+            wall = time.time() - t0
+            result = IterationResult(
+                iteration=i,
+                rows=rows,
+                metrics=metrics,
+                converged=converged,
+                wall_s=wall,
+                fingerprint=fingerprint,
+                partition_rows=per_part,
+                path=path,
+            )
+            results.append(result)
+            if self.checkpoint_dir:
+                self._append_manifest(
+                    {
+                        "iteration": i,
+                        "rows": rows,
+                        "metrics": metrics,
+                        "converged": converged,
+                        "wall_s": round(wall, 4),
+                        "fingerprint": fingerprint,
+                        "partition_rows": per_part,
+                        "path": path,
+                    }
+                )
+            state = new_state
+            if converged:
+                break
+        return RunResult(
+            state=state,
+            iterations=results,
+            converged=converged,
+            resumed_from=resumed_from,
+        )

@@ -1,0 +1,19 @@
+"""Graph construction and algorithms."""
+
+from arabesque_spark.graph.build import (
+    build_adjacency,
+    canonical_edges,
+    degrees,
+    dense_vertex_ids,
+    forward_adjacency,
+    symmetric_edges,
+)
+
+__all__ = [
+    "build_adjacency",
+    "canonical_edges",
+    "degrees",
+    "dense_vertex_ids",
+    "forward_adjacency",
+    "symmetric_edges",
+]

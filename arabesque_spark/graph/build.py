@@ -1,0 +1,190 @@
+"""Graph table construction: canonical edges, dense ids, CSR-like adjacency.
+
+Reference semantics re-expressed as DataFrame ops:
+
+* undirected edge canonicalization (keep only src<dst, dedup) mirrors
+  BasicMainGraph.java:272-280 (/root/reference);
+* dense sequential vertex ids 0..V-1 mirror the contract asserted at
+  BasicMainGraph.java:367-370;
+* the adjacency table is the analog of VertexNeighbourhood[]
+  (BasicMainGraph.java:24-30) — but partitioned, not replicated;
+* `forward_adjacency` (neighbors > src only) is the
+  BiggerNeighboursMainGraphDecorator.java:11-20 orientation trick that
+  makes triangle/clique enumeration canonical-by-construction;
+* adjacency CHUNKING (one hub's neighbor list split across rows of at most
+  `chunk_size` neighbors) is our skew-handling analog of the reference's
+  block-based work division (DomainStorageReadOnly.java:427-461): after
+  `explode`, no single task owns an entire hub, so power-law graphs keep
+  all executor cores busy at any scale.
+
+Everything is built-in pyspark.sql.functions — JVM-side, whole-stage
+codegen — except dense-id minting, which needs a deterministic global
+enumeration and is done with mapInPandas + partition-offset broadcast
+(vectorized; no per-row Python).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_CHUNK_SIZE = 8192
+
+
+def canonical_edges(df: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected edge canonicalization: src < dst, self-loops dropped, deduped.
+
+    Matches the reference's load-time behavior (BasicMainGraph.java:272-280):
+    an input listing both (u,v) and (v,u) stores one undirected edge.
+    `dropDuplicates` is a hash aggregation — map-side partial dedup runs
+    before the shuffle, so duplicate-heavy inputs shrink early.
+    """
+    u, v = F.col(src), F.col(dst)
+    return (
+        df.select(
+            F.least(u, v).alias("src"),
+            F.greatest(u, v).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def symmetric_edges(edges: DataFrame) -> DataFrame:
+    """Both directions of a canonical (src<dst) edge table.
+
+    Used to build full adjacency; the reference stores undirected edges once
+    but exposes neighbourhoods in both directions
+    (BasicVertexNeighbourhood.java:11-15).
+    """
+    return edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Per-vertex degree from a canonical edge table → (vid, deg).
+
+    Single shuffle: union of both endpoints then count. Powers dangling-mass
+    handling, hub detection for skew salting, and the degree-sort data-prep
+    tool (reference data/SortNodesGraphByDegree.java).
+    """
+    return (
+        symmetric_edges(edges)
+        .groupBy(F.col("src").alias("vid"))
+        .agg(F.count("*").cast("int").alias("deg"))
+    )
+
+
+def build_adjacency(
+    edges: DataFrame,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """CSR-like adjacency: (src, chunk, neighbors array<long>, deg).
+
+    `deg` is the FULL degree of src (repeated on every chunk row) so that
+    downstream per-edge math (PageRank contribution = rank/deg) never needs
+    a second join. Neighbor lists are sorted (the reference's
+    OrderedNeighboursMainGraphDecorator.java:17-32) and split into chunks of
+    at most `chunk_size`, so a 10M-degree hub becomes ~1200 rows instead of
+    one task-killing row — bounded task skew at any scale.
+    """
+    sym = symmetric_edges(edges)
+    if num_partitions:
+        sym = sym.repartition(num_partitions, "src")
+    grouped = sym.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("all_neighbors"),
+        F.count("*").cast("int").alias("deg"),
+    )
+    n_chunks = F.ceil(F.col("deg") / F.lit(chunk_size)).cast("int")
+    return (
+        grouped.withColumn("chunk", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            "src",
+            "chunk",
+            F.slice(
+                F.col("all_neighbors"),
+                F.col("chunk") * chunk_size + 1,
+                chunk_size,
+            ).alias("neighbors"),
+            "deg",
+        )
+    )
+
+
+def forward_adjacency(edges: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Oriented adjacency: only neighbors with id > src → (src, neighbors, fdeg).
+
+    The BiggerNeighboursMainGraphDecorator.java:11-20 trick: enumerating
+    triangles/cliques over forward neighbors yields each subgraph exactly
+    once (a<b<c), replacing the reference's runtime canonicality filter
+    (BasicEmbedding.java:162-195) with a join predicate Catalyst can push.
+    """
+    fwd = edges.select("src", "dst")  # already canonical src<dst
+    if num_partitions:
+        fwd = fwd.repartition(num_partitions, "src")
+    return fwd.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("neighbors"),
+        F.count("*").cast("int").alias("fdeg"),
+    )
+
+
+def dense_vertex_ids(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    id_col: str = "vid",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Mint deterministic dense ids 0..V-1 ordered by `key_cols`.
+
+    Honors the reference's sequential-id contract
+    (BasicMainGraph.java:367-370) without a single-partition Window:
+    range-partition + sort by key, count rows per partition (one cheap job),
+    broadcast the cumulative offsets, then assign offset+local-index with a
+    vectorized mapInPandas. Deterministic as long as `key_cols` form a
+    unique key (the global sort order is then total, independent of where
+    range boundaries land).
+    """
+    keys = [F.col(c) for c in key_cols]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = (
+        df.select(*key_cols)
+        .dropDuplicates(list(key_cols))
+        .repartitionByRange(n, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = {
+        row["_pid"]: row["cnt"]
+        for row in parts.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    bc = df.sparkSession.sparkContext.broadcast(offsets)
+
+    out_schema = T.StructType(
+        [f for f in parts.schema.fields if f.name != "_pid"]
+        + [T.StructField(id_col, T.LongType(), False)]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        for batch in batches:
+            if batch.empty:
+                continue
+            pid = int(batch["_pid"].iloc[0])
+            start = bc.value[pid] + local
+            out = batch.drop(columns=["_pid"])
+            out[id_col] = range(start, start + len(batch))
+            local += len(batch)
+            yield out
+
+    return parts.mapInPandas(assign, schema=out_schema)

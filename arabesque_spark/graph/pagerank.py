@@ -1,0 +1,157 @@
+"""PageRank over an undirected canonical edge table.
+
+Assembled from the same dataflow pieces the reference uses for its
+aggregation-driven algorithms: the expand-join (BasicComputation.java:62-116
+→ ``state ⋈ adj`` + ``explode``), sum-reduction aggregation
+(AggregationStorage.java:102-153 → ``groupBy(vid).agg(sum)``), and the
+master halt protocol (MasterExecutionEngine.java:210-216 → scalar
+max-delta aggregation per iteration).
+
+Scale notes
+-----------
+* The adjacency table is chunked (build.py) so hub explodes never pin one
+  task; it is persisted once and reused by every superstep — the join side
+  that never changes should never be recomputed or reshuffled.
+* State and adjacency are both hash-partitioned on the vertex id with the
+  same partition count, so the per-iteration join co-locates.
+* Dangling mass (deg == 0 vertices) is aggregated as a 1-row DataFrame and
+  broadcast-cross-joined — no per-iteration ``collect`` on the driver.
+* All arithmetic is float64; convergence = max per-vertex |delta| < tol,
+  matching the BASELINE target (allclose 1e-6 at convergence).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arabesque_spark.engine.superstep import RunResult, SuperstepRunner
+from arabesque_spark.graph.build import DEFAULT_CHUNK_SIZE, build_adjacency, degrees
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iterations: int = 100,
+    checkpoint_dir: str | Path | None = None,
+    resume: bool = False,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    num_partitions: int | None = None,
+) -> RunResult:
+    """Run PageRank to convergence; result state is (vid, rank, deg, delta).
+
+    ``edges`` must be canonical (src < dst, deduped; see
+    ``graph.build.canonical_edges``). ``vertices`` optionally supplies
+    isolated vertices (deg 0 → dangling; their mass is redistributed
+    uniformly each superstep).
+    """
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    # column-pruned before persist: the per-iteration join only needs
+    # (src, neighbors) — `deg` travels in the state instead.
+    adj = (
+        build_adjacency(edges, chunk_size=chunk_size, num_partitions=n_parts)
+        .select("src", "neighbors")
+        .persist()
+    )
+    deg = degrees(edges)
+
+    if vertices is None:
+        verts = deg.select("vid")
+    else:
+        verts = vertices.select("vid").dropDuplicates(["vid"])
+    verts = verts.repartition(n_parts, "vid")
+
+    n_vertices = verts.count()
+    if n_vertices == 0:
+        raise ValueError("pagerank: empty vertex set")
+
+    state0 = (
+        verts.join(deg, "vid", "left")
+        .select(
+            "vid",
+            F.lit(1.0 / n_vertices).cast("double").alias("rank"),
+            F.coalesce("deg", F.lit(0)).cast("int").alias("deg"),
+            F.lit(float("inf")).alias("delta"),
+        )
+    )
+
+    inv_n = 1.0 / n_vertices
+    teleport = (1.0 - damping) * inv_n
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
+        contribs = (
+            state.join(adj, state["vid"] == adj["src"])
+            .select(
+                F.explode("neighbors").alias("vid"),
+                (F.col("rank") / F.col("deg")).alias("contrib"),
+            )
+            .groupBy("vid")
+            .agg(F.sum("contrib").alias("contrib_sum"))
+        )
+        # dangling mass as a 1-row frame: stays on the cluster, broadcast into
+        # the final select — no driver round-trip inside the loop.
+        dangling = state.filter(F.col("deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass")
+        )
+        new_state = (
+            state.join(contribs, "vid", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "vid",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("contrib_sum", F.lit(0.0))
+                        + F.col("dangling_mass") * F.lit(inv_n)
+                    )
+                ).alias("new_rank"),
+                "deg",
+                F.col("rank").alias("old_rank"),
+            )
+            .select(
+                "vid",
+                F.col("new_rank").alias("rank"),
+                "deg",
+                F.abs(F.col("new_rank") - F.col("old_rank")).alias("delta"),
+            )
+        )
+        return new_state, {"superstep": i}
+
+    def halt(state: DataFrame, i: int) -> tuple[bool, dict]:
+        max_delta = state.agg(F.max("delta").alias("d")).collect()[0]["d"]
+        return (max_delta is not None and max_delta < tol), {"max_delta": max_delta}
+
+    runner = SuperstepRunner(
+        spark, checkpoint_dir=checkpoint_dir, max_iterations=max_iterations
+    )
+    result = runner.run(state0, step, halt=halt, resume=resume)
+    adj.unpersist()
+    return result
+
+
+def pagerank_fixed(
+    spark: SparkSession,
+    edges: DataFrame,
+    iterations: int,
+    damping: float = 0.85,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+) -> DataFrame:
+    """Fixed-iteration PageRank → (vid, rank). Oracle-checkable variant.
+
+    Same kernel as :func:`pagerank` but with a deterministic iteration count
+    so a SQL twin (unrolled CTEs in DuckDB) can verify values.
+    """
+    result = pagerank(
+        spark,
+        edges,
+        tol=-1.0,  # never converges on tolerance; stops at max_iterations
+        max_iterations=iterations,
+        chunk_size=chunk_size,
+    )
+    return result.state.select("vid", "rank")

@@ -1,0 +1,29 @@
+"""Shared pytest fixtures: one SparkSession per test run, golden fixtures."""
+
+from __future__ import annotations
+
+import pytest
+
+from arabesque_spark.session import get_spark
+
+# 7-vertex golden graph ported from the reference's test suite
+# (testutils/graphs/TestGraph.groovy:6-16, UnlabelledTestGraph.groovy:29-37):
+# a 4-pronged star centered at 0, a square 0-3-5-4, a triangle 4-5-6.
+TEST_GRAPH_EDGES = [(0, 1), (0, 2), (0, 3), (0, 4), (3, 5), (4, 5), (4, 6), (5, 6)]
+TEST_GRAPH_V = 7
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark(
+        app_name="arabesque_spark_tests",
+        master="local[4]",
+        shuffle_partitions=8,
+    )
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def test_graph(spark):
+    """Canonical edge DataFrame of the golden 7-vertex graph."""
+    return spark.createDataFrame(TEST_GRAPH_EDGES, "src long, dst long")

@@ -1,0 +1,143 @@
+"""Pure-Python/numpy reference implementations for golden tests.
+
+These are the oracles the north rule measures against: tiny, obviously
+correct, single-machine implementations of the same semantics the engine
+computes distributed.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import numpy as np
+
+
+def adjacency_dict(edges: list[tuple[int, int]]) -> dict[int, list[int]]:
+    adj: dict[int, list[int]] = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    return {k: sorted(vs) for k, vs in adj.items()}
+
+
+def pagerank_numpy(
+    edges: list[tuple[int, int]],
+    vertices: list[int] | None = None,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iterations: int = 100,
+) -> dict[int, float]:
+    """Power iteration with uniform dangling-mass redistribution (float64)."""
+    adj = adjacency_dict(edges)
+    verts = sorted(vertices if vertices is not None else adj.keys())
+    index = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    deg = np.array([len(adj.get(v, [])) for v in verts], dtype=np.float64)
+    rank = np.full(n, 1.0 / n, dtype=np.float64)
+    for _ in range(max_iterations):
+        contrib = np.zeros(n, dtype=np.float64)
+        for v in verts:
+            i = index[v]
+            if deg[i] > 0:
+                share = rank[i] / deg[i]
+                for u in adj[v]:
+                    contrib[index[u]] += share
+        dangling = rank[deg == 0].sum()
+        new_rank = (1.0 - damping) / n + damping * (contrib + dangling / n)
+        if np.max(np.abs(new_rank - rank)) < tol:
+            rank = new_rank
+            break
+        rank = new_rank
+    return {v: float(rank[index[v]]) for v in verts}
+
+
+def connected_components_unionfind(
+    edges: list[tuple[int, int]], vertices: list[int] | None = None
+) -> dict[int, int]:
+    """Component label = min vertex id in the component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for u, v in edges:
+        union(u, v)
+    for v in vertices or []:
+        find(v)
+    return {v: find(v) for v in parent}
+
+
+def triangles_bruteforce(edges: list[tuple[int, int]]) -> tuple[int, dict[int, int]]:
+    """(total triangle count, per-vertex participation counts)."""
+    adj = {k: set(vs) for k, vs in adjacency_dict(edges).items()}
+    per_vertex: Counter[int] = Counter()
+    total = 0
+    verts = sorted(adj)
+    for a in verts:
+        for b in adj[a]:
+            if b <= a:
+                continue
+            for c in adj[a] & adj[b]:
+                if c > b:
+                    total += 1
+                    per_vertex[a] += 1
+                    per_vertex[b] += 1
+                    per_vertex[c] += 1
+    return total, dict(per_vertex)
+
+
+def lpa_sync(
+    edges: list[tuple[int, int]],
+    max_iterations: int = 20,
+) -> dict[int, int]:
+    """Synchronous label propagation, min-label tie-break, fixpoint halt."""
+    adj = adjacency_dict(edges)
+    labels = {v: v for v in adj}
+    for _ in range(max_iterations):
+        new_labels = {}
+        for v, nbrs in adj.items():
+            counts: Counter[int] = Counter(labels[u] for u in nbrs)
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new_labels[v] = best[0]
+        if new_labels == labels:
+            break
+        labels = new_labels
+    return labels
+
+
+def er_graph(n: int, avg_degree: float, seed: int) -> list[tuple[int, int]]:
+    """Seeded Erdős–Rényi graph — analog of the reference data/GenER2Qanat.java."""
+    rng = np.random.default_rng(seed)
+    p = avg_degree / max(n - 1, 1)
+    edges = []
+    for u in range(n):
+        draws = rng.random(n - u - 1)
+        for offset in np.nonzero(draws < p)[0]:
+            edges.append((u, u + 1 + int(offset)))
+    return edges
+
+
+def powerlaw_graph(n: int, m: int, seed: int) -> list[tuple[int, int]]:
+    """Seeded preferential-attachment graph: genuine hubs for skew tests."""
+    rng = np.random.default_rng(seed)
+    targets = list(range(m))
+    repeated: list[int] = list(range(m))
+    edges = set()
+    for v in range(m, n):
+        chosen = set()
+        while len(chosen) < m:
+            chosen.add(int(repeated[rng.integers(len(repeated))]))
+        for t in chosen:
+            edges.add((min(v, t), max(v, t)))
+            repeated.append(t)
+        repeated.extend([v] * m)
+    del targets
+    return sorted(edges)

@@ -1,0 +1,72 @@
+"""Unit tests for graph table construction (SURVEY §5.2 item 1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph import (
+    build_adjacency,
+    canonical_edges,
+    degrees,
+    dense_vertex_ids,
+    forward_adjacency,
+)
+from tests.conftest import TEST_GRAPH_EDGES
+
+
+def test_canonical_edges_dedup_and_orientation(spark):
+    # both directions + duplicates + a self loop in the raw input
+    raw = [(1, 0), (0, 1), (2, 0), (3, 0), (0, 4), (5, 3), (4, 5), (6, 4), (5, 6), (5, 5)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+    canon = canonical_edges(df)
+    got = {(r["src"], r["dst"]) for r in canon.collect()}
+    assert got == set(TEST_GRAPH_EDGES)
+    assert canon.filter(F.col("src") >= F.col("dst")).count() == 0
+
+
+def test_degrees_sum_is_twice_edges(spark, test_graph):
+    deg = {r["vid"]: r["deg"] for r in degrees(test_graph).collect()}
+    assert deg == {0: 4, 1: 1, 2: 1, 3: 2, 4: 3, 5: 3, 6: 2}
+    assert sum(deg.values()) == 2 * test_graph.count()
+
+
+def test_adjacency_contents_sorted(spark, test_graph):
+    adj = build_adjacency(test_graph).collect()
+    by_src = {r["src"]: r for r in adj}
+    assert by_src[0]["neighbors"] == [1, 2, 3, 4]
+    assert by_src[4]["neighbors"] == [0, 5, 6]  # deg(4) = 3
+    assert all(r["deg"] == len(r["neighbors"]) for r in adj)
+    assert all(r["chunk"] == 0 for r in adj)
+
+
+def test_adjacency_chunking_splits_hubs(spark, test_graph):
+    adj = build_adjacency(test_graph, chunk_size=2).collect()
+    star = sorted(
+        (r["chunk"], r["neighbors"]) for r in adj if r["src"] == 0
+    )
+    assert star == [(0, [1, 2]), (1, [3, 4])]
+    # full degree repeated on every chunk row
+    assert all(r["deg"] == 4 for r in adj if r["src"] == 0)
+    # reassembled neighbor multiset identical to unchunked
+    flat = sorted(n for r in adj if r["src"] == 0 for n in r["neighbors"])
+    assert flat == [1, 2, 3, 4]
+
+
+def test_forward_adjacency_orientation(spark, test_graph):
+    fwd = {r["src"]: r["neighbors"] for r in forward_adjacency(test_graph).collect()}
+    assert fwd == {0: [1, 2, 3, 4], 3: [5], 4: [5, 6], 5: [6]}
+
+
+def test_dense_vertex_ids_bijection_and_determinism(spark):
+    keys = [(f"repo{i:03d}", f"file{j}") for i in range(40) for j in range(5)]
+    df = spark.createDataFrame(keys, "repo string, path string")
+    a = dense_vertex_ids(df, ["repo", "path"], num_partitions=4).collect()
+    ids = sorted(r["vid"] for r in a)
+    assert ids == list(range(len(keys)))  # dense 0..V-1 (BasicMainGraph contract)
+    # deterministic: same input → same mapping, and ordered by key
+    b = dense_vertex_ids(df, ["repo", "path"], num_partitions=7).collect()
+    map_a = {(r["repo"], r["path"]): r["vid"] for r in a}
+    map_b = {(r["repo"], r["path"]): r["vid"] for r in b}
+    assert map_a == map_b
+    in_key_order = sorted(map_a.items())
+    assert [vid for _, vid in in_key_order] == list(range(len(keys)))

@@ -1,0 +1,60 @@
+"""PageRank golden + property tests (SURVEY §5.2 items 2 and 4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from arabesque_spark.graph.pagerank import pagerank, pagerank_fixed
+from tests.conftest import TEST_GRAPH_EDGES
+from tests.reference_impls import er_graph, pagerank_numpy, powerlaw_graph
+
+
+def _ranks(state_df) -> dict[int, float]:
+    return {r["vid"]: r["rank"] for r in state_df.select("vid", "rank").collect()}
+
+
+def test_pagerank_matches_numpy_on_test_graph(spark, test_graph):
+    result = pagerank(spark, test_graph, tol=1e-9)
+    assert result.converged
+    got = _ranks(result.state)
+    want = pagerank_numpy(TEST_GRAPH_EDGES, tol=1e-9)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_er_graph_allclose(spark):
+    edges = er_graph(200, avg_degree=6.0, seed=42)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    result = pagerank(spark, df, tol=1e-8)
+    got = _ranks(result.state)
+    want = pagerank_numpy(edges, tol=1e-8)
+    vids = sorted(want)
+    np.testing.assert_allclose(
+        [got[v] for v in vids], [want[v] for v in vids], atol=1e-6
+    )
+
+
+def test_pagerank_powerlaw_with_dangling_vertices(spark):
+    edges = powerlaw_graph(150, m=3, seed=7)
+    # add isolated (dangling) vertices 150..159 via explicit vertex table
+    verts = spark.createDataFrame([(v,) for v in range(160)], "vid long")
+    df = spark.createDataFrame(edges, "src long, dst long")
+    result = pagerank(spark, df, vertices=verts, tol=1e-8)
+    got = _ranks(result.state)
+    want = pagerank_numpy(edges, vertices=list(range(160)), tol=1e-8)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-6)
+    # mass conserved with dangling redistribution
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_fixed_iteration_count(spark, test_graph):
+    df5 = pagerank_fixed(spark, test_graph, iterations=5)
+    got = _ranks(df5)
+    want = pagerank_numpy(TEST_GRAPH_EDGES, tol=0.0, max_iterations=5)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-12)
