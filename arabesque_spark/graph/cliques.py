@@ -1,0 +1,74 @@
+"""k-clique listing via an iterated frontier of embeddings.
+
+This is the engine's closest structural analog to the reference's core
+dataflow: the frontier DataFrame plays the role of the superstep embedding
+set (ExecutionEngine.java:140-206), expansion is a join against forward
+adjacency (the expand hook, BasicComputation.java:62-116, with the clique
+optimization of extending only the LAST vertex,
+CliqueVertexInducedEmbedding.java:9-38), canonicality is by construction
+(members strictly increasing, BasicEmbedding.java:162-195 made into a join
+predicate), the is-clique filter is the candidate-set intersection
+(CliqueComputation.isClique:24-26), and the loop halts on an empty
+frontier (MasterExecutionEngine.java:210-216) or at ``max_k``
+(CliqueComputation shouldExpand, maxsize default 4).
+
+Frontier schema: (members array<long> ascending, cands array<long>) where
+``cands`` = vertices adjacent to ALL members with id > max(members). Every
+k-clique is produced exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.build import forward_adjacency
+
+
+def k_cliques(spark: SparkSession, edges: DataFrame, k: int) -> DataFrame:
+    """All k-cliques, each exactly once → (members array<long> ascending)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    fwd = forward_adjacency(edges).select("src", "neighbors").persist()
+    if k == 1:
+        from arabesque_spark.graph.build import symmetric_edges
+
+        return (
+            symmetric_edges(edges)
+            .select(F.col("src").alias("v"))
+            .dropDuplicates(["v"])
+            .select(F.array("v").alias("members"))
+        )
+
+    # size-2 frontier: every canonical edge; candidates = fwd(u) ∩ fwd(v)
+    frontier = (
+        edges.join(fwd.withColumnRenamed("src", "u_"), edges["src"] == F.col("u_"))
+        .withColumnRenamed("neighbors", "nu")
+        .join(fwd.withColumnRenamed("src", "v_"), edges["dst"] == F.col("v_"), "left")
+        .withColumnRenamed("neighbors", "nv")
+        .select(
+            F.array("src", "dst").alias("members"),
+            F.array_intersect(
+                F.col("nu"), F.coalesce(F.col("nv"), F.array().cast("array<bigint>"))
+            ).alias("cands"),
+        )
+    )
+    size = 2
+    while size < k:
+        grown = frontier.select(
+            F.col("members"), F.explode("cands").alias("v"), F.col("cands")
+        )
+        frontier = (
+            grown.join(fwd.withColumnRenamed("src", "v_"), grown["v"] == F.col("v_"), "left")
+            .select(
+                F.concat("members", F.array("v")).alias("members"),
+                F.array_intersect(
+                    F.col("cands"),
+                    F.coalesce(F.col("neighbors"), F.array().cast("array<bigint>")),
+                ).alias("cands"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        size += 1
+    result = frontier.select("members")
+    return result

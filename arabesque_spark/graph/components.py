@@ -1,0 +1,121 @@
+"""Connected components via alternating large-star / small-star.
+
+The two-phase star-contraction algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — the scalable choice the
+north rule names: O(log n) rounds regardless of component diameter, every
+round a single groupBy + join, no giant-component label-chasing.
+
+Reference parity: uses the same fixpoint-halt protocol as the reference's
+master (MasterExecutionEngine.java:210-218) — stop when an iteration
+changes nothing — and min-reduction aggregation semantics
+(aggregation/reductions/IntSumReduction.java family). Final label of every
+vertex = min vertex id in its component (the FIXTURES.md contract).
+
+Scale notes: both phases are `groupBy(u).agg(min)` + re-emit — partial
+(map-side) aggregation applies, and AQE splits skewed groups. The edge set
+shrinks monotonically toward a star forest, so later rounds are cheap.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arabesque_spark.engine.superstep import RunResult, SuperstepRunner
+from arabesque_spark.graph.build import symmetric_edges
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each u: connect every strictly larger neighbor to min(N(u) ∪ {u})."""
+    sym = symmetric_edges(edges)
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn")).select(
+        "src", F.least("mn", "src").alias("m")
+    )
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("hi"), F.col("m").alias("lo"))
+        .filter(F.col("hi") != F.col("lo"))
+        .dropDuplicates(["hi", "lo"])
+        .select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each u: connect all neighbors ≤ u (and u) to the minimum of them."""
+    # orient every edge (hi → lo); group by hi over its smaller neighbors
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("hi"), F.least("src", "dst").alias("lo")
+    )
+    mins = oriented.groupBy("hi").agg(F.min("lo").alias("m"))
+    relinked = (
+        oriented.join(mins, "hi")
+        .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+        .union(mins.select(F.col("hi"), F.col("m").alias("lo")))
+        .filter(F.col("hi") != F.col("lo"))
+        .dropDuplicates(["hi", "lo"])
+    )
+    return relinked.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+
+
+def connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iterations: int = 50,
+    checkpoint_dir: str | Path | None = None,
+    resume: bool = False,
+) -> DataFrame:
+    """Component labels → (vid, component) with component = min vid reachable.
+
+    The iterated state is the shrinking edge set itself; convergence =
+    edge-set fixpoint, detected with an order-insensitive count+hash
+    aggregation over the materialized state (cheap Parquet scan).
+    """
+    state0 = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
+        return _small_star(_large_star(state)), {"superstep": i}
+
+    prev_fp: dict = {"fp": None}
+
+    def halt(state: DataFrame, i: int) -> tuple[bool, dict]:
+        row = state.agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        fp = (row["cnt"], int(row["h"] or 0))
+        stable = fp == prev_fp["fp"]
+        prev_fp["fp"] = fp
+        return stable, {"edges": row["cnt"]}
+
+    runner = SuperstepRunner(spark, checkpoint_dir=checkpoint_dir, max_iterations=max_iterations)
+    result: RunResult = runner.run(state0, step, halt=halt, resume=resume)
+
+    # at fixpoint the state is a star forest: (src=componentMin, dst=member)
+    stars = result.state
+    labels = stars.select(
+        F.col("dst").alias("vid"), F.col("src").alias("component")
+    ).union(
+        stars.select(F.col("src").alias("vid"), F.col("src").alias("component"))
+    ).dropDuplicates(["vid"])
+
+    if vertices is not None:
+        labels = (
+            vertices.select("vid")
+            .dropDuplicates(["vid"])
+            .join(labels, "vid", "left")
+            .select("vid", F.coalesce("component", F.col("vid")).alias("component"))
+        )
+    else:
+        # make sure isolated-by-contraction originals are present
+        all_vids = (
+            symmetric_edges(edges).select(F.col("src").alias("vid")).dropDuplicates(["vid"])
+        )
+        labels = (
+            all_vids.join(labels, "vid", "left")
+            .select("vid", F.coalesce("component", F.col("vid")).alias("component"))
+        )
+    return labels

@@ -1,0 +1,84 @@
+"""Synchronous label propagation with deterministic min-label tie-break.
+
+Each superstep: every vertex adopts the most frequent label among its
+neighbors, ties broken by the SMALLEST label — the determinism requirement
+from SURVEY §7.3 (N vs 4N parallelism must produce identical labels).
+
+The argmax is a single groupBy with a struct-max aggregation
+(max(struct(count, -label)) ⇒ highest count, then lowest label) — no
+window function, so it is one shuffle with map-side partial aggregation;
+on a power-law graph the hot (vid,label) groups combine before the
+exchange. This is the reference's map/reduce aggregation pattern
+(AggregationStorage.java:102-153) with an argmax reduction.
+
+Halt: label fixpoint (no vertex changed), the
+MasterExecutionEngine.java:210-218 protocol; synchronous LPA can
+2-oscillate on bipartite structures, so ``max_iterations`` bounds the loop.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arabesque_spark.engine.superstep import RunResult, SuperstepRunner
+from arabesque_spark.graph.build import symmetric_edges
+
+
+def label_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iterations: int = 20,
+    checkpoint_dir: str | Path | None = None,
+    resume: bool = False,
+    num_partitions: int | None = None,
+) -> RunResult:
+    """Run sync LPA; result state is (vid, label, changed)."""
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    sym = symmetric_edges(edges).repartition(n_parts, "dst").persist()
+
+    state0 = (
+        sym.select(F.col("src").alias("vid"))
+        .dropDuplicates(["vid"])
+        .select("vid", F.col("vid").alias("label"), F.lit(True).alias("changed"))
+    )
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
+        # neighbor labels: edge (src→dst) delivers label(dst) to src
+        nbr_labels = sym.join(
+            state.select(F.col("vid").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("vid"), "label")
+        counts = nbr_labels.groupBy("vid", "label").agg(F.count("*").alias("cnt"))
+        # argmax(count) with min-label tie-break, window-free:
+        # max(struct(cnt, -label)) orders by cnt asc then -label asc,
+        # so the max is (highest cnt, smallest label).
+        best = (
+            counts.groupBy("vid")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("top"))
+            .select("vid", (-F.col("top.neg")).alias("new_label"))
+        )
+        new_state = (
+            state.join(best, "vid", "left")
+            .select(
+                "vid",
+                F.coalesce("new_label", "label").alias("new_label"),
+                F.col("label").alias("old_label"),
+            )
+            .select(
+                "vid",
+                F.col("new_label").alias("label"),
+                (F.col("new_label") != F.col("old_label")).alias("changed"),
+            )
+        )
+        return new_state, {"superstep": i}
+
+    def halt(state: DataFrame, i: int) -> tuple[bool, dict]:
+        n_changed = state.filter("changed").count()
+        return n_changed == 0, {"changed": n_changed}
+
+    runner = SuperstepRunner(spark, checkpoint_dir=checkpoint_dir, max_iterations=max_iterations)
+    result = runner.run(state0, step, halt=halt, resume=resume)
+    sym.unpersist()
+    return result

@@ -1,0 +1,38 @@
+"""Motif counting: connected induced subgraph census.
+
+Semantics = the reference's MotifComputation (examples/motif/
+MotifComputation.java:9-45, maxsize 3 per scripts/motifs.yaml): count the
+connected subgraphs of each isomorphism class. The reference canonicalizes
+patterns with bliss (pattern/JBlissPattern.java:55-76); for the fixed small
+sizes used here the canonical classes are closed-form, so no
+canonicalization step is needed at all:
+
+size 3: the only connected 3-vertex graphs are the open wedge (path) and
+the triangle. #triangles from the oriented join; #wedges =
+Σ_v C(deg(v), 2) − 3·#triangles (every triangle contains 3 closed wedges).
+One aggregation over degrees + one triangle count — no 3-vertex
+materialization, which is exactly the scale story: the census never
+shuffles anything bigger than the degree table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.build import degrees
+from arabesque_spark.graph.triangles import triangle_count
+
+
+def motif3_counts(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """→ (pattern, cnt): {'wedge': open 2-paths, 'triangle': triangles}."""
+    tri = triangle_count(spark, edges)
+    total_wedges = (
+        degrees(edges)
+        .agg(F.sum(F.expr("deg * (deg - 1) / 2")).alias("w"))
+        .collect()[0]["w"]
+    )
+    open_wedges = int(total_wedges) - 3 * tri
+    return spark.createDataFrame(
+        [("triangle", tri), ("wedge", open_wedges)], "pattern string, cnt long"
+    )

@@ -1,0 +1,99 @@
+"""Triangle enumeration and counting over a canonical edge table.
+
+Semantics = the reference's CountingTrianglesComputation
+(examples/triangles/CountingTrianglesComputation.java:11-52): total triangle
+count plus per-vertex participation counts (its persistent LongSum
+aggregation keyed by vertex id).
+
+The reference prunes with canonicality filtering at enumeration time
+(BasicEmbedding.java:162-195) plus the clique orientation decorator
+(optimization/CliqueOptimization.java, BiggerNeighboursMainGraphDecorator
+.java:11-20). Here the orientation IS the plan: edges are oriented
+acyclically, wedges are built by a single self-join on the oriented table,
+and triangles are closed with a left-semi join — each triangle enumerated
+exactly once, predicates pushed by Catalyst.
+
+Scale: id-orientation leaves hubs with huge forward lists (a hub with
+degree d contributes O(d²) wedges). ``degree_oriented=True`` orients edges
+from lower-(degree, id) to higher-(degree, id) — the classic compact-
+forward scheme — which bounds wedge blowup to O(E^1.5) total on any graph
+and kills the power-law hot spot. The triangle SET is identical either
+way; only join sizes differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.build import degrees
+
+
+def _oriented(edges: DataFrame, degree_oriented: bool) -> DataFrame:
+    """Acyclic orientation of canonical edges → (u, v) with u ≺ v."""
+    if not degree_oriented:
+        return edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    deg = degrees(edges)
+    e = (
+        edges.join(deg.withColumnRenamed("vid", "src").withColumnRenamed("deg", "sdeg"), "src")
+        .join(deg.withColumnRenamed("vid", "dst").withColumnRenamed("deg", "ddeg"), "dst")
+    )
+    src_first = (F.col("sdeg") < F.col("ddeg")) | (
+        (F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst"))
+    )
+    return e.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+    )
+
+
+def triangle_list(
+    spark: SparkSession, edges: DataFrame, degree_oriented: bool = True
+) -> DataFrame:
+    """Every triangle exactly once → (a, b, c), unordered set as a sorted triple."""
+    o = _oriented(edges, degree_oriented)
+    x, y = o.alias("x"), o.alias("y")
+    # wedges at the orientation's low vertex; y.v > x.v in orientation order
+    # is enforced with a plain (deg,id)-free comparison on ids to keep the
+    # pair unordered-unique: (u, v1, v2) with v1 < v2.
+    wedges = x.join(y, F.col("x.u") == F.col("y.u")).filter(
+        F.col("x.v") < F.col("y.v")
+    ).select(
+        F.col("x.u").alias("p"), F.col("x.v").alias("q"), F.col("y.v").alias("r")
+    )
+    # close the wedge: edge q-r must exist (either orientation)
+    closing = o.select(
+        F.least("u", "v").alias("q"), F.greatest("u", "v").alias("r")
+    )
+    tri = wedges.join(
+        closing,
+        (closing["q"] == F.least(wedges["q"], wedges["r"]))
+        & (closing["r"] == F.greatest(wedges["q"], wedges["r"])),
+        "left_semi",
+    )
+    return tri.select(
+        F.array_sort(F.array("p", "q", "r")).alias("t")
+    ).select(
+        F.col("t")[0].alias("a"), F.col("t")[1].alias("b"), F.col("t")[2].alias("c")
+    )
+
+
+def triangle_count(
+    spark: SparkSession, edges: DataFrame, degree_oriented: bool = True
+) -> int:
+    return triangle_list(spark, edges, degree_oriented).count()
+
+
+def triangle_counts_per_vertex(
+    spark: SparkSession, edges: DataFrame, degree_oriented: bool = True
+) -> DataFrame:
+    """(vid, triangles) — participation counts, the reference's output
+    aggregation (CountingTrianglesComputation.java:42-51). Vertices in no
+    triangle are omitted (the reference's aggregation map likewise only
+    holds touched keys)."""
+    tri = triangle_list(spark, edges, degree_oriented)
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("vid"))
+        .groupBy("vid")
+        .agg(F.count("*").alias("triangles"))
+    )

@@ -1,0 +1,134 @@
+"""Golden + property tests for CC, LPA, triangles, cliques, motifs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.cliques import k_cliques
+from arabesque_spark.graph.components import connected_components
+from arabesque_spark.graph.lpa import label_propagation
+from arabesque_spark.graph.motifs import motif3_counts
+from arabesque_spark.graph.triangles import (
+    triangle_count,
+    triangle_counts_per_vertex,
+    triangle_list,
+)
+from tests.conftest import TEST_GRAPH_EDGES
+from tests.reference_impls import (
+    connected_components_unionfind,
+    er_graph,
+    lpa_sync,
+    powerlaw_graph,
+    triangles_bruteforce,
+)
+
+
+# ---- connected components -------------------------------------------------
+def test_cc_test_graph_single_component(spark, test_graph):
+    labels = {r["vid"]: r["component"] for r in connected_components(spark, test_graph).collect()}
+    assert labels == {v: 0 for v in range(7)}
+
+
+def test_cc_multi_component_matches_unionfind(spark):
+    edges = er_graph(120, avg_degree=1.5, seed=11)  # sparse → many components
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["vid"]: r["component"] for r in connected_components(spark, df).collect()}
+    want = connected_components_unionfind(edges)
+    assert got == want
+
+
+def test_cc_with_isolated_vertices(spark, test_graph):
+    verts = spark.createDataFrame([(v,) for v in range(10)], "vid long")
+    got = {
+        r["vid"]: r["component"]
+        for r in connected_components(spark, test_graph, vertices=verts).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 6: 0, 7: 7, 8: 8, 9: 9}
+
+
+# ---- triangles --------------------------------------------------------------
+def test_triangles_test_graph(spark, test_graph):
+    assert triangle_count(spark, test_graph) == 1
+    tris = triangle_list(spark, test_graph).collect()
+    assert [(t["a"], t["b"], t["c"]) for t in tris] == [(4, 5, 6)]
+    per_v = {r["vid"]: r["triangles"] for r in triangle_counts_per_vertex(spark, test_graph).collect()}
+    assert per_v == {4: 1, 5: 1, 6: 1}
+
+
+def test_triangles_match_bruteforce_both_orientations(spark):
+    edges = powerlaw_graph(80, m=4, seed=3)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    want_total, want_per_v = triangles_bruteforce(edges)
+    for deg_oriented in (True, False):
+        assert triangle_count(spark, df, degree_oriented=deg_oriented) == want_total
+        got = {
+            r["vid"]: r["triangles"]
+            for r in triangle_counts_per_vertex(spark, df, degree_oriented=deg_oriented).collect()
+        }
+        assert got == want_per_v
+
+
+def test_triangle_count_invariant_under_relabeling(spark):
+    edges = er_graph(60, avg_degree=6.0, seed=5)
+    import random
+
+    rng = random.Random(9)
+    perm = list(range(60))
+    rng.shuffle(perm)
+    relabeled = [(min(perm[u], perm[v]), max(perm[u], perm[v])) for u, v in edges]
+    df1 = spark.createDataFrame(edges, "src long, dst long")
+    df2 = spark.createDataFrame(relabeled, "src long, dst long")
+    assert triangle_count(spark, df1) == triangle_count(spark, df2)
+
+
+# ---- LPA --------------------------------------------------------------------
+def test_lpa_matches_reference_sync_impl(spark, test_graph):
+    result = label_propagation(spark, test_graph, max_iterations=20)
+    got = {r["vid"]: r["label"] for r in result.state.select("vid", "label").collect()}
+    want = lpa_sync(TEST_GRAPH_EDGES, max_iterations=20)
+    assert got == want
+
+
+def test_lpa_two_cliques_bridge(spark):
+    # two 4-cliques joined by one bridge edge → two stable communities
+    cliq1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    cliq2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = cliq1 + cliq2 + [(3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    result = label_propagation(spark, df, max_iterations=20)
+    got = {r["vid"]: r["label"] for r in result.state.select("vid", "label").collect()}
+    want = lpa_sync(edges, max_iterations=20)
+    assert got == want
+
+
+def test_lpa_deterministic_across_parallelism(spark):
+    edges = powerlaw_graph(100, m=3, seed=21)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = label_propagation(spark, df, max_iterations=10, num_partitions=2)
+    b = label_propagation(spark, df, max_iterations=10, num_partitions=8)
+    la = {r["vid"]: r["label"] for r in a.state.select("vid", "label").collect()}
+    lb = {r["vid"]: r["label"] for r in b.state.select("vid", "label").collect()}
+    assert la == lb
+
+
+# ---- cliques / motifs -------------------------------------------------------
+def test_k_cliques_test_graph(spark, test_graph):
+    tri = sorted(tuple(r["members"]) for r in k_cliques(spark, test_graph, 3).collect())
+    assert tri == [(4, 5, 6)]
+    assert k_cliques(spark, test_graph, 4).count() == 0  # FIXTURES: no 4-cliques
+
+
+def test_k_cliques_on_k5(spark):
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    df = spark.createDataFrame(k5, "src long, dst long")
+    # C(5,3)=10 triangles, C(5,4)=5 4-cliques, 1 5-clique
+    assert k_cliques(spark, df, 3).count() == 10
+    assert k_cliques(spark, df, 4).count() == 5
+    five = [tuple(r["members"]) for r in k_cliques(spark, df, 5).collect()]
+    assert five == [(0, 1, 2, 3, 4)]
+
+
+def test_motif3_counts(spark, test_graph):
+    got = {r["pattern"]: r["cnt"] for r in motif3_counts(spark, test_graph).collect()}
+    # degrees: 4,1,1,2,3,3,2 → Σ C(d,2) = 6+0+0+1+3+3+1 = 14; wedges = 14-3·1
+    assert got == {"triangle": 1, "wedge": 11}

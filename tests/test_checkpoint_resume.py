@@ -1,0 +1,68 @@
+"""Resumability: a run killed mid-convergence continues from its manifest
+without recomputing completed iterations, and converges to identical output
+(SURVEY §5.2 item 5; north_rule resumable-from-checkpoint requirement)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from arabesque_spark.graph.pagerank import pagerank
+from tests.reference_impls import er_graph, pagerank_numpy
+
+
+@pytest.fixture()
+def edges_df(spark):
+    return spark.createDataFrame(er_graph(150, avg_degree=5.0, seed=13), "src long, dst long")
+
+
+def test_resume_mid_convergence(spark, edges_df, tmp_path):
+    ckpt = tmp_path / "ckpt"
+    # "killed" run: budget of only 3 iterations, far from convergence
+    partial = pagerank(spark, edges_df, tol=1e-9, max_iterations=3, checkpoint_dir=ckpt)
+    assert not partial.converged
+    manifest_before = (ckpt / "manifest.jsonl").read_text().splitlines()
+    assert len(manifest_before) == 3
+
+    # resumed run: picks up at iteration 3, does NOT recompute 0..2
+    full = pagerank(
+        spark, edges_df, tol=1e-9, max_iterations=100, checkpoint_dir=ckpt, resume=True
+    )
+    assert full.converged
+    assert full.resumed_from == 2
+    assert full.iterations[0].iteration == 3  # first new iteration
+
+    manifest = [json.loads(l) for l in (ckpt / "manifest.jsonl").read_text().splitlines()]
+    assert [m["iteration"] for m in manifest] == list(range(len(manifest)))
+    # iterations 0..2 untouched by the resumed run
+    assert [json.dumps(m) for m in manifest[:3]] == [
+        json.dumps(json.loads(l)) for l in manifest_before
+    ]
+
+    # converged output identical to an uninterrupted run AND the numpy oracle
+    uninterrupted = pagerank(spark, edges_df, tol=1e-9, max_iterations=100)
+    got_resumed = {r["vid"]: r["rank"] for r in full.state.select("vid", "rank").collect()}
+    got_straight = {
+        r["vid"]: r["rank"] for r in uninterrupted.state.select("vid", "rank").collect()
+    }
+    # same iteration sequence → agreement to within float shuffle-order noise
+    # (sum order inside a groupBy varies run to run; bit-identity is not a
+    # Spark guarantee, allclose is the contract)
+    for v in got_straight:
+        assert got_resumed[v] == pytest.approx(got_straight[v], abs=1e-12)
+    want = pagerank_numpy(er_graph(150, avg_degree=5.0, seed=13), tol=1e-9)
+    for v, r in want.items():
+        assert got_resumed[v] == pytest.approx(r, abs=1e-6)
+
+
+def test_resume_of_converged_run_is_noop(spark, edges_df, tmp_path):
+    ckpt = tmp_path / "ckpt2"
+    first = pagerank(spark, edges_df, tol=1e-6, checkpoint_dir=ckpt)
+    assert first.converged
+    again = pagerank(spark, edges_df, tol=1e-6, checkpoint_dir=ckpt, resume=True)
+    assert again.converged
+    assert again.iterations == []  # nothing recomputed
+    a = {r["vid"]: r["rank"] for r in first.state.select("vid", "rank").collect()}
+    b = {r["vid"]: r["rank"] for r in again.state.select("vid", "rank").collect()}
+    assert a == b
