@@ -89,31 +89,32 @@ def build_adjacency(
 
     `deg` is the FULL degree of src (repeated on every chunk row) so that
     downstream per-edge math (PageRank contribution = rank/deg) never needs
-    a second join. Neighbor lists are sorted (the reference's
-    OrderedNeighboursMainGraphDecorator.java:17-32) and split into chunks of
-    at most `chunk_size`, so a 10M-degree hub becomes ~1200 rows instead of
-    one task-killing row — bounded task skew at any scale.
+    a second join. Neighbor lists are sorted within a chunk (the reference's
+    OrderedNeighboursMainGraphDecorator.java:17-32) and hubs are split
+    across ~deg/chunk_size hash-bucketed chunk rows.
+
+    Skew-correctness at both stages: the chunk id is assigned BEFORE the
+    groupBy (pmod(xxhash64(dst), n_chunks)), so the grouping key is
+    (src, chunk) and no reduce task ever assembles more than ~chunk_size
+    neighbors — a 10M-degree hub becomes ~1200 bounded rows both during
+    CONSTRUCTION and after downstream `explode`. The degree pre-pass is a
+    count aggregation (tiny partial-agg state, hub-safe by map-side
+    combine).
     """
     sym = symmetric_edges(edges)
     if num_partitions:
         sym = sym.repartition(num_partitions, "src")
-    grouped = sym.groupBy("src").agg(
-        F.sort_array(F.collect_list("dst")).alias("all_neighbors"),
-        F.count("*").cast("int").alias("deg"),
-    )
-    n_chunks = F.ceil(F.col("deg") / F.lit(chunk_size)).cast("int")
+    deg = sym.groupBy("src").agg(F.count("*").cast("int").alias("deg"))
+    n_chunks = F.greatest(F.lit(1), F.ceil(F.col("deg") / F.lit(chunk_size))).cast("int")
     return (
-        grouped.withColumn("chunk", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
-        .select(
-            "src",
-            "chunk",
-            F.slice(
-                F.col("all_neighbors"),
-                F.col("chunk") * chunk_size + 1,
-                chunk_size,
-            ).alias("neighbors"),
-            "deg",
+        sym.join(deg, "src")
+        .withColumn("chunk", F.pmod(F.xxhash64("dst"), n_chunks).cast("int"))
+        .groupBy("src", "chunk")
+        .agg(
+            F.sort_array(F.collect_list("dst")).alias("neighbors"),
+            F.first("deg").alias("deg"),
         )
+        .select("src", "chunk", "neighbors", "deg")
     )
 
 

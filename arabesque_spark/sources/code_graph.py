@@ -1,0 +1,142 @@
+"""Derive the link graph from the source-code corpus table.
+
+Vertices are repos and files; edges come from (a) shared-commit file
+co-occurrence and (b) content-sha256 co-occurrence across the corpus —
+the link-graph construction the engine exists to serve.
+
+Scale design — the co-occurrence pair explosion is THE hazard at 10^12
+files: a commit touching 10^4 files or a sha256 group with 10^6 duplicates
+would emit O(n²) pairwise edges. Both sources therefore use a
+**star topology per group** (every member linked to the group's minimum
+member) by default: connectivity-equivalent for component/label analytics,
+O(n) edges per group, and one groupBy(min)+join instead of a self-join.
+``pairwise_limit`` optionally materializes full cliques for small groups
+(where subgraph analytics like triangles benefit), still skew-safe because
+groups above the limit fall back to stars.
+
+Dense vertex ids honor the reference's sequential-id contract
+(BasicMainGraph.java:367-370) via graph.build.dense_vertex_ids.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.build import canonical_edges, dense_vertex_ids
+
+
+@dataclass
+class CodeGraph:
+    vertices: DataFrame  # (vid, kind, key)
+    edges: DataFrame  # (src, dst) canonical
+
+
+def _group_edges(
+    members: DataFrame, group_col: str, member_col: str, pairwise_limit: int
+) -> DataFrame:
+    """Edges within each group: full clique if |group| ≤ limit, else star.
+
+    ``members`` must be distinct (group, member) rows.
+    """
+    sized = members.join(
+        members.groupBy(group_col).agg(F.count("*").alias("gsz")), group_col
+    )
+    small = sized.filter(F.col("gsz") <= pairwise_limit).drop("gsz")
+    big = sized.filter(F.col("gsz") > pairwise_limit).drop("gsz")
+
+    a, b = small.alias("a"), small.alias("b")
+    clique = a.join(
+        b,
+        (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+        & (F.col(f"a.{member_col}") < F.col(f"b.{member_col}")),
+    ).select(
+        F.col(f"a.{member_col}").alias("src"), F.col(f"b.{member_col}").alias("dst")
+    )
+
+    mins = big.groupBy(group_col).agg(F.min(member_col).alias("m"))
+    star = (
+        big.join(mins, group_col)
+        .filter(F.col(member_col) != F.col("m"))
+        .select(F.col("m").alias("src"), F.col(member_col).alias("dst"))
+    )
+    return clique.union(star)
+
+
+def build_code_graph(
+    corpus: DataFrame,
+    include_repo_vertices: bool = True,
+    pairwise_limit: int = 16,
+    num_partitions: int | None = None,
+) -> CodeGraph:
+    """Corpus (repo, path, commit, lang, content, sha) → CodeGraph.
+
+    Edge sources:
+    * shared-commit: files touched by the same (repo, commit);
+    * content-hash: files (across repos) whose content sha256 is identical;
+    * repo containment (if ``include_repo_vertices``): repo vertex — file
+      vertex for every file in the repo.
+    """
+    files = corpus.select(
+        "repo", "path", F.concat_ws("\x1f", "repo", "path").alias("fkey"), "commit", "sha"
+    )
+
+    # vertex table: files (+ repos), dense ids ordered by (kind, key)
+    file_verts = files.select(F.lit("file").alias("kind"), F.col("fkey").alias("key"))
+    if include_repo_vertices:
+        repo_verts = corpus.select(F.lit("repo").alias("kind"), F.col("repo").alias("key"))
+        vert_keys = file_verts.union(repo_verts)
+    else:
+        vert_keys = file_verts
+    # materialize: the vertex table is reused by three joins below and by
+    # every downstream iteration — recomputing the dense-id assignment per
+    # action would be quadratic plan growth. (Production path: write to
+    # Parquet once at ingest; localCheckpoint is the in-session analog.)
+    vertices = (
+        dense_vertex_ids(vert_keys, ["kind", "key"], num_partitions=num_partitions)
+        .select("vid", "kind", "key")
+        .localCheckpoint(eager=True)
+    )
+
+    fmap = vertices.filter(F.col("kind") == "file").select(
+        F.col("key").alias("fkey"), F.col("vid").alias("fvid")
+    )
+
+    # shared-commit co-occurrence: distinct (repo∥commit, file)
+    commit_members = (
+        files.select(
+            F.concat_ws("\x1f", "repo", "commit").alias("grp"), "fkey"
+        )
+        .dropDuplicates(["grp", "fkey"])
+        .join(fmap, "fkey")
+        .select("grp", F.col("fvid").alias("member"))
+    )
+    commit_edges = _group_edges(commit_members, "grp", "member", pairwise_limit)
+
+    # content-hash co-occurrence: distinct (sha, file)
+    sha_members = (
+        files.select(F.col("sha").alias("grp"), "fkey")
+        .dropDuplicates(["grp", "fkey"])
+        .join(fmap, "fkey")
+        .select("grp", F.col("fvid").alias("member"))
+    )
+    sha_edges = _group_edges(sha_members, "grp", "member", pairwise_limit)
+
+    all_edges = commit_edges.union(sha_edges)
+
+    if include_repo_vertices:
+        rmap = vertices.filter(F.col("kind") == "repo").select(
+            F.col("key").alias("repo"), F.col("vid").alias("rvid")
+        )
+        containment = (
+            files.dropDuplicates(["fkey"])
+            .join(fmap, "fkey")
+            .join(rmap, "repo")
+            .select(F.col("rvid").alias("src"), F.col("fvid").alias("dst"))
+        )
+        all_edges = all_edges.union(containment)
+
+    edges = canonical_edges(all_edges).localCheckpoint(eager=True)
+    return CodeGraph(vertices=vertices, edges=edges)

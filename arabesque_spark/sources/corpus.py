@@ -1,0 +1,164 @@
+"""Source-code-repository corpus: synthesis, ingest, sha256 invariant.
+
+The engine's primary input (per the target contract) is a table of
+source-code repositories with columns
+``(repo:string, path:string, commit:string, lang:string, content:string)``
+at up to 10^12-file scale. This module provides:
+
+* :func:`synth_corpus` — a DETERMINISTIC, fully distributed synthetic
+  generator of that table (seeded hash chains, no driver-side data, no
+  ``rand()``); scales linearly with executors because every row is a pure
+  function of (repo index, commit index, file index, seed);
+* :func:`with_sha256` / :func:`verify_sha256` — the per-row ingest
+  invariant: ``sha2(content, 256)`` stamped at generation time must equal
+  the hash recomputed from the content after every ingest/materialization
+  hop (the analog of the reference's load-time sanity checks,
+  BasicMainGraph.java:345-370, promoted to a cryptographic row invariant);
+* :func:`ingest_corpus` — write → read-back → verify round trip.
+
+Duplication: with probability ``1/dup_mod`` a file's content is generated
+from its duplication-group seed instead of its own identity, creating
+cross-repo content-hash co-occurrence (the second edge source for the link
+graph). Deterministic: group membership is a hash of (repo, path).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LANGS = ["py", "java", "c", "go", "md"]
+# small deterministic vocabulary for token-soup content
+_VOCAB = [
+    "def", "return", "class", "import", "public", "static", "void", "int",
+    "func", "package", "struct", "interface", "if", "else", "for", "while",
+    "try", "except", "raise", "self", "this", "new", "null", "nil",
+    "true", "false", "len", "range", "map", "filter", "reduce", "lambda",
+    "print", "println", "fmt", "str", "float", "bool", "byte", "char",
+    "const", "var", "let", "async", "await", "yield", "switch", "case",
+    "break", "continue", "default", "型", "数", "값", "переменная", "função",
+    "x", "y", "i", "j", "k", "n", "tmp", "buf",
+]
+
+
+def synth_corpus(
+    spark: SparkSession,
+    num_repos: int = 200,
+    commits_per_repo: int = 4,
+    files_per_commit: int = 5,
+    seed: int = 42,
+    dup_mod: int = 20,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic synthetic corpus → (repo, path, commit, lang, content).
+
+    Every value derives from xxhash64 chains over (seed, indices): two
+    invocations with equal parameters produce identical tables regardless
+    of parallelism. A commit touches ``files_per_commit`` files drawn from
+    the repo's file population (with overlap across commits, so
+    shared-commit edges form); ``1/dup_mod`` of files copy their content
+    from a shared duplication group (cross-repo sha256 collisions).
+    """
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    rows = spark.range(
+        0, num_repos * commits_per_repo * files_per_commit, 1, n_parts
+    ).select(
+        (F.col("id") / (commits_per_repo * files_per_commit)).cast("long").alias("r"),
+        (
+            (F.col("id") / files_per_commit).cast("long") % commits_per_repo
+        ).alias("c"),
+        (F.col("id") % files_per_commit).alias("f"),
+    )
+
+    def h(*cols) -> F.Column:
+        return F.xxhash64(F.lit(seed), *cols)
+
+    # file identity: a commit touches file slot (hash(r,c,f) % file population)
+    # so successive commits of a repo overlap on files → shared-commit pairs
+    file_population = files_per_commit * 3
+    rows = rows.withColumn("fid", F.pmod(h(F.col("r"), F.col("c"), F.col("f")), F.lit(file_population)))
+
+    repo = F.format_string("repo%05d", F.col("r"))
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in LANGS]),
+        (F.pmod(h(F.col("r"), F.col("fid"), F.lit(1)), F.lit(len(LANGS))) + 1).cast("int"),
+    )
+    path = F.format_string(
+        "src/d%d/f%04d.%s",
+        F.pmod(h(F.col("r"), F.col("fid"), F.lit(2)), F.lit(4)).cast("int"),
+        F.col("fid").cast("int"),
+        lang,
+    )
+    commit = F.lower(F.hex(F.abs(h(F.col("r"), F.col("c"), F.lit(3)))))
+
+    # duplication group: ~1/dup_mod of files share group-seeded content
+    is_dup = F.pmod(h(repo, path, F.lit(4)), F.lit(dup_mod)) == 0
+    dup_group = F.pmod(h(repo, path, F.lit(5)), F.lit(max(num_repos // 10, 1)))
+    content_seed = F.when(is_dup, dup_group).otherwise(h(repo, path, F.lit(6)))
+
+    vocab = F.array(*[F.lit(w) for w in _VOCAB])
+    n_tokens = (F.pmod(h(content_seed, F.lit(7)), F.lit(120)) + 8).cast("int")
+    content = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_tokens),
+            lambda i: F.element_at(
+                vocab,
+                (
+                    F.pmod(F.xxhash64(content_seed, i), F.lit(len(_VOCAB))) + 1
+                ).cast("int"),
+            ),
+        ),
+        " ",
+    )
+
+    corpus = (
+        rows.select(
+            repo.alias("repo"),
+            path.alias("path"),
+            commit.alias("commit"),
+            lang.alias("lang"),
+            content.alias("content"),
+        )
+        # a commit may draw the same file slot twice — keep one row per
+        # (repo, path, commit), mirroring a real VCS log
+        .dropDuplicates(["repo", "path", "commit"])
+    )
+    return with_sha256(corpus)
+
+
+def with_sha256(corpus: DataFrame) -> DataFrame:
+    """Stamp the generator/ingest-side content hash (the row invariant)."""
+    return corpus.withColumn("sha", F.sha2(F.col("content"), 256))
+
+
+def verify_sha256(corpus: DataFrame) -> int:
+    """Number of rows violating sha2(content,256) == sha. Must be 0.
+
+    One JVM-side scan — the invariant check itself never moves data.
+    """
+    return corpus.filter(F.sha2(F.col("content"), 256) != F.col("sha")).count()
+
+
+def ingest_corpus(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str | Path,
+    partition_by: str | None = "lang",
+) -> DataFrame:
+    """Write the corpus table, read it back, verify the sha invariant.
+
+    Raises if any row's content hash changed across the materialization —
+    the per-row invariant the target contract demands of every ingest hop.
+    """
+    out = str(out_dir)
+    writer = corpus.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(out)
+    back = spark.read.parquet(out)
+    bad = verify_sha256(back)
+    if bad:
+        raise ValueError(f"ingest_corpus: {bad} rows violate the sha256 invariant")
+    return back

@@ -1,0 +1,90 @@
+"""Corpus synthesis, sha256 ingest invariant, code-graph derivation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.components import connected_components
+from arabesque_spark.sources.code_graph import build_code_graph
+from arabesque_spark.sources.corpus import (
+    ingest_corpus,
+    synth_corpus,
+    verify_sha256,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synth_corpus(spark, num_repos=30, seed=42).persist()
+
+
+def test_corpus_schema_and_shape(corpus):
+    assert corpus.columns == ["repo", "path", "commit", "lang", "content", "sha"]
+    assert corpus.count() > 0
+    langs = {r["lang"] for r in corpus.select("lang").distinct().collect()}
+    assert langs <= {"py", "java", "c", "go", "md"}
+    # path extension agrees with lang
+    bad_ext = corpus.filter(~F.col("path").endswith(F.concat(F.lit("."), F.col("lang")))).count()
+    assert bad_ext == 0
+
+
+def test_corpus_deterministic_and_parallelism_independent(spark, corpus):
+    again = synth_corpus(spark, num_repos=30, seed=42, num_partitions=2)
+    a = sorted(map(tuple, corpus.collect()))
+    b = sorted(map(tuple, again.collect()))
+    assert a == b
+    different_seed = synth_corpus(spark, num_repos=30, seed=7)
+    assert sorted(map(tuple, different_seed.collect())) != a
+
+
+def test_sha_invariant_through_ingest(spark, corpus, tmp_path):
+    assert verify_sha256(corpus) == 0
+    back = ingest_corpus(spark, corpus, tmp_path / "corpus")
+    assert verify_sha256(back) == 0
+    assert back.count() == corpus.count()
+    # corrupting content breaks the invariant (the check actually checks)
+    corrupted = corpus.withColumn(
+        "content", F.concat(F.col("content"), F.lit(" tampered"))
+    )
+    assert verify_sha256(corrupted) == corpus.count()
+
+
+def test_corpus_has_cross_repo_duplicates(corpus):
+    dup_groups = (
+        corpus.groupBy("sha")
+        .agg(F.countDistinct("repo").alias("nrepos"))
+        .filter(F.col("nrepos") > 1)
+        .count()
+    )
+    assert dup_groups > 0  # content-hash co-occurrence edges exist
+
+
+def test_code_graph_construction(spark, corpus):
+    g = build_code_graph(corpus)
+    n_v = g.vertices.count()
+    vids = sorted(r["vid"] for r in g.vertices.select("vid").collect())
+    assert vids == list(range(n_v))  # dense 0..V-1 contract
+    # canonical edges referencing real vertices
+    assert g.edges.filter(F.col("src") >= F.col("dst")).count() == 0
+    max_vid = g.edges.agg(F.max(F.greatest("src", "dst"))).collect()[0][0]
+    assert max_vid < n_v
+    # every file is connected to its repo → one component per... at minimum,
+    # no component smaller than 2 (no isolated vertices in the edge-derived set)
+    labels = connected_components(spark, g.edges, vertices=g.vertices.select("vid"))
+    n_comp = labels.select("component").distinct().count()
+    assert 1 <= n_comp < n_v
+
+
+def test_code_graph_star_fallback_bounds_big_groups(spark):
+    small = synth_corpus(spark, num_repos=8, seed=42).persist()
+    # pairwise_limit=1 → everything is a star: |edges per group| = |group|-1
+    star_only = build_code_graph(small, pairwise_limit=1)
+    cliquey = build_code_graph(small, pairwise_limit=100)
+    assert star_only.edges.count() <= cliquey.edges.count()
+    # connectivity identical regardless of topology choice
+    cc_star = connected_components(spark, star_only.edges, vertices=star_only.vertices.select("vid"))
+    cc_cliq = connected_components(spark, cliquey.edges, vertices=cliquey.vertices.select("vid"))
+    a = {r["vid"]: r["component"] for r in cc_star.collect()}
+    b = {r["vid"]: r["component"] for r in cc_cliq.collect()}
+    assert a == b

@@ -41,15 +41,17 @@ def test_adjacency_contents_sorted(spark, test_graph):
 
 def test_adjacency_chunking_splits_hubs(spark, test_graph):
     adj = build_adjacency(test_graph, chunk_size=2).collect()
-    star = sorted(
-        (r["chunk"], r["neighbors"]) for r in adj if r["src"] == 0
-    )
-    assert star == [(0, [1, 2]), (1, [3, 4])]
-    # full degree repeated on every chunk row
-    assert all(r["deg"] == 4 for r in adj if r["src"] == 0)
-    # reassembled neighbor multiset identical to unchunked
-    flat = sorted(n for r in adj if r["src"] == 0 for n in r["neighbors"])
+    star = [r for r in adj if r["src"] == 0]
+    # deg 4 / chunk_size 2 → chunk ids in {0,1}; hash bucketing may leave one
+    # bucket empty but the union must reassemble the full sorted list
+    assert {r["chunk"] for r in star} <= {0, 1}
+    assert all(r["deg"] == 4 for r in star)  # full degree on every chunk row
+    flat = sorted(n for r in star for n in r["neighbors"])
     assert flat == [1, 2, 3, 4]
+    # determinism: same input → same chunk assignment
+    again = build_adjacency(test_graph, chunk_size=2).collect()
+    key = lambda rows: sorted((r["src"], r["chunk"], tuple(r["neighbors"])) for r in rows)
+    assert key(adj) == key(again)
 
 
 def test_forward_adjacency_orientation(spark, test_graph):
