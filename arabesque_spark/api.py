@@ -1,0 +1,385 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle twins.
+
+Every operator the engine claims is registered here twice: as a PySpark
+callable ``(spark, sf_dir) -> DataFrame`` and (where ANSI-SQL-expressible)
+as a DuckDB SQL string over the same parquet tables. Column names and
+value rounding are aligned pairwise so an order-insensitive value hash
+matches.
+
+The shared graph for all graph queries is the **part co-occurrence graph**:
+vertices = parts, an undirected edge wherever two parts appear in the same
+order — a deterministic, SQL-definable stand-in for the production
+shared-commit/content-hash link graph (sources/code_graph.py), with the
+same skew profile (popular parts are hubs).
+
+Iterative algorithms (convergence PageRank, star-contraction CC, LPA) get
+fixed-iteration SQL twins (unrolled CTEs / recursive closure); the
+convergence-form results are covered by the numpy-reference pytest suite.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.build import canonical_edges, degrees
+from arabesque_spark.graph.lpa import label_propagation
+from arabesque_spark.graph.motifs import motif3_counts
+from arabesque_spark.graph.pagerank import pagerank_fixed
+from arabesque_spark.graph.components import connected_components
+from arabesque_spark.graph.triangles import (
+    triangle_count,
+    triangle_counts_per_vertex,
+)
+from arabesque_spark.operators import relational
+from arabesque_spark.operators.dedup import exact_dedup, ngram_jaccard_pairs
+from arabesque_spark.operators.similarity import cosine_topk
+from arabesque_spark.operators.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+
+PAGERANK_ITERS = 8
+LPA_ITERS = 5
+JACCARD_N = 3
+JACCARD_THRESHOLD = 0.1
+
+
+# --------------------------------------------------------------------------
+# shared inputs
+# --------------------------------------------------------------------------
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def lineitem_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical part co-occurrence edges from lineitem."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    return canonical_edges(pairs)
+
+
+# SQL prelude shared by all graph oracles (DuckDB; views pre-registered).
+_GRAPH_PRELUDE = """
+WITH RECURSIVE pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT DISTINCT u AS src, v AS dst FROM pairs),
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+deg AS (SELECT src AS vid, CAST(COUNT(*) AS INTEGER) AS deg FROM sym GROUP BY src),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.dst = e2.src
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+)
+"""
+
+_DOC_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _pagerank_oracle(iters: int) -> str:
+    ctes = [
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg)",
+        "r0 AS (SELECT vid, 1.0/(SELECT n FROM n) AS rank FROM deg)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""r{t} AS (
+  SELECT d.vid, (1 - 0.85)/(SELECT n FROM n) + 0.85 * COALESCE(c.contrib, 0) AS rank
+  FROM deg d LEFT JOIN (
+    SELECT s.dst AS vid, SUM(r.rank / sd.deg) AS contrib
+    FROM sym s JOIN r{t-1} r ON s.src = r.vid JOIN deg sd ON sd.vid = s.src
+    GROUP BY s.dst
+  ) c ON d.vid = c.vid
+)"""
+        )
+    return (
+        _GRAPH_PRELUDE
+        + ","
+        + ",\n".join(ctes)
+        + f"\nSELECT vid, ROUND(rank * (SELECT n FROM n), 6) AS rank_n FROM r{iters}"
+    )
+
+
+def _lpa_oracle(iters: int) -> str:
+    ctes = ["l0 AS (SELECT vid, vid AS label FROM deg)"]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""l{t} AS (
+  SELECT vid, label FROM (
+    SELECT s.src AS vid, l.label, COUNT(*) AS c,
+           ROW_NUMBER() OVER (PARTITION BY s.src ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+    FROM sym s JOIN l{t-1} l ON s.dst = l.vid
+    GROUP BY s.src, l.label
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        _GRAPH_PRELUDE
+        + ","
+        + ",\n".join(ctes)
+        + f"\nSELECT vid, label FROM l{iters}"
+    )
+
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+def _marker_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+
+
+# --------------------------------------------------------------------------
+# Spark queries
+# --------------------------------------------------------------------------
+def q_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lineitem_graph(spark, sf_dir)
+
+
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return degrees(lineitem_graph(spark, sf_dir))
+
+
+def q_triangles_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = triangle_count(spark, lineitem_graph(spark, sf_dir))
+    return spark.createDataFrame([(n,)], "n_triangles long")
+
+
+def q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_counts_per_vertex(spark, lineitem_graph(spark, sf_dir))
+
+
+def q_motif3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return motif3_counts(spark, lineitem_graph(spark, sf_dir))
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = lineitem_graph(spark, sf_dir)
+    n = degrees(edges).count()
+    ranks = pagerank_fixed(spark, edges, iterations=PAGERANK_ITERS)
+    return ranks.select("vid", F.round(F.col("rank") * n, 6).alias("rank_n"))
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return connected_components(spark, lineitem_graph(spark, sf_dir))
+
+
+def q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    result = label_propagation(spark, lineitem_graph(spark, sf_dir), max_iterations=LPA_ITERS)
+    return result.state.select("vid", "label")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=JACCARD_N, threshold=JACCARD_THRESHOLD
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return cosine_topk(emb, list(qvec), k=10, exclude_ids=[0])
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.pricing_summary(spark, sf_dir)
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.revenue_by_nation(spark, sf_dir)
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.top_customers_per_nation(spark, sf_dir)
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.events_hourly(spark, sf_dir)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "graph_edges": q_graph_edges,
+    "graph_degrees": q_graph_degrees,
+    "triangles_total": q_triangles_total,
+    "triangles_per_vertex": q_triangles_per_vertex,
+    "motif3": q_motif3,
+    "pagerank_fixed8": q_pagerank,
+    "connected_components": q_connected_components,
+    "lpa_fixed5": q_lpa,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "token_stats": q_token_stats,
+    "quality_score": q_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_fingerprint,
+    "cosine_topk": q_cosine_topk,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_customers": q_top_customers,
+    "events_hourly": q_events_hourly,
+}
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle twins
+# --------------------------------------------------------------------------
+ORACLES: dict[str, str] = {
+    "graph_edges": _GRAPH_PRELUDE + "SELECT src, dst FROM edges",
+    "graph_degrees": _GRAPH_PRELUDE + "SELECT vid, deg FROM deg",
+    "triangles_total": _GRAPH_PRELUDE
+    + "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri",
+    "triangles_per_vertex": _GRAPH_PRELUDE
+    + """SELECT vid, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+  SELECT a AS vid FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+) GROUP BY vid""",
+    "motif3": _GRAPH_PRELUDE
+    + """SELECT 'triangle' AS pattern, CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS cnt
+UNION ALL
+SELECT 'wedge' AS pattern,
+       CAST((SELECT SUM(deg*(deg-1)//2) FROM deg) - 3*(SELECT COUNT(*) FROM tri) AS BIGINT) AS cnt""",
+    "pagerank_fixed8": _pagerank_oracle(PAGERANK_ITERS),
+    "connected_components": _GRAPH_PRELUDE
+    + """,
+reach(v, w) AS (
+  SELECT src AS v, dst AS w FROM sym
+  UNION
+  SELECT r.v, s.dst AS w FROM reach r JOIN sym s ON r.w = s.src
+)
+SELECT v AS vid, CAST(LEAST(MIN(w), v) AS BIGINT) AS component FROM reach GROUP BY v""",
+    "lpa_fixed5": _lpa_oracle(LPA_ITERS),
+    "dedup_exact": """
+WITH h AS (SELECT doc_id, sha256(text) AS hh FROM documents),
+k AS (SELECT hh, MIN(doc_id) AS keep_id FROM h GROUP BY hh)
+SELECT h.doc_id, h.doc_id = k.keep_id AS keep FROM h JOIN k ON h.hh = k.hh""",
+    "ngram_jaccard_pairs": f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKENS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {JACCARD_N}
+              THEN list_transform(range(1, len(toks) - {JACCARD_N} + 2),
+                                  i -> array_to_string(list_slice(toks, i, i + {JACCARD_N} - 1), ' '))
+              ELSE [array_to_string(toks, ' ')] END AS grams
+  FROM t),
+sh AS (SELECT DISTINCT doc_id AS doc, unnest(grams) AS s FROM g),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT x.doc AS a, y.doc AS b, COUNT(*) AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc < y.doc
+  GROUP BY x.doc, y.doc)
+SELECT a, b, ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc = a JOIN sizes sb ON sb.doc = b
+WHERE ROUND(i / (sa.sz + sb.sz - i), 6) >= {JACCARD_THRESHOLD}""",
+    "token_stats": f"""
+WITH t AS (SELECT doc_id, text, {_DOC_TOKENS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq,
+       CAST(length(text) AS INTEGER) AS n_chars,
+       CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS INTEGER) AS stop_cnt
+FROM t""",
+    "quality_score": f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKENS} AS toks FROM documents),
+s AS (SELECT doc_id,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_uniq,
+             len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS stop_cnt
+      FROM t)
+SELECT doc_id,
+       ROUND(least(1.0, CAST(n_tokens AS DOUBLE) / 64.0)
+             * (n_uniq / CAST(n_tokens AS DOUBLE))
+             * (0.5 + 0.5 * least(1.0, stop_cnt / greatest(CAST(n_tokens AS DOUBLE) * 0.05, 1.0))),
+             6) AS quality
+FROM s""",
+    "lang_id": f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKENS} AS toks FROM documents),
+h AS (SELECT doc_id,
+  len(list_filter(toks, x -> list_contains({_marker_sql('en')}, x))) AS en,
+  len(list_filter(toks, x -> list_contains({_marker_sql('de')}, x))) AS de,
+  len(list_filter(toks, x -> list_contains({_marker_sql('es')}, x))) AS es,
+  len(list_filter(toks, x -> list_contains({_marker_sql('fr')}, x))) AS fr
+FROM t)
+SELECT doc_id,
+  CASE WHEN en > 0 AND en >= de AND en >= es AND en >= fr THEN 'en'
+       WHEN de > 0 AND de >= es AND de >= fr THEN 'de'
+       WHEN es > 0 AND es >= fr THEN 'es'
+       WHEN fr > 0 THEN 'fr'
+       ELSE 'und' END AS pred_lang
+FROM h""",
+    "doc_fingerprint": f"""
+WITH t AS (SELECT doc_id, unnest({_DOC_TOKENS}) AS tok FROM documents)
+SELECT doc_id, MIN(md5(tok)) AS fp FROM t GROUP BY doc_id""",
+    "cosine_topk": """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, score FROM (
+  SELECT e.vec_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 5) AS score
+  FROM embeddings e, q WHERE e.vec_id <> 0
+) ORDER BY score DESC, vec_id ASC LIMIT 10""",
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+    "revenue_by_nation": """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name""",
+    "top_customers": """
+SELECT c_nationkey, c_custkey, c_acctbal, rk FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                 ORDER BY c_acctbal DESC, c_custkey ASC) AS INTEGER) AS rk
+  FROM customer
+) WHERE rk <= 3""",
+    "events_hourly": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2""",
+}

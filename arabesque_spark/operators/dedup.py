@@ -1,0 +1,287 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design, per operator:
+
+* **exact** — hash-groupBy on sha2(text): one shuffle of (hash, id) pairs
+  only (the text never moves), map-side combine on the min.
+* **n-gram Jaccard (exact)** — shingle inverted index + pair-join; the
+  classic quadratic hazard is a stop-shingle appearing in k docs emitting
+  k² pairs, so `max_shingle_freq` drops shingles above a document-frequency
+  cap before the self-join (standard near-dup practice; set None for
+  oracle-exact small-scale runs).
+* **MinHash + LSH** — vectorized pandas UDF computes k-permutation
+  signatures in one Arrow batch pass; banding turns all-pairs into an
+  equality join on (band, band_hash) — only same-bucket candidates are
+  compared, which is what makes near-dup feasible at 10^12 docs.
+* **SimHash** — 64-bit weighted-projection fingerprint via the same
+  vectorized path; candidate pairs by identical 16-bit chunk (Hamming ≤ 3
+  guarantee via pigeonhole on 4 chunks).
+
+Deterministic throughout: permutations are fixed-parameter universal
+hashes, not RNG state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from arabesque_spark.operators.text import tokens_col
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """(doc_id, keep) — keep the smallest id per identical-content group."""
+    hashed = docs.select(F.col(id_col), F.sha2(F.col(text), 256).alias("h"))
+    keepers = hashed.groupBy("h").agg(F.min(id_col).alias("keep_id"))
+    return hashed.join(keepers, "h").select(
+        id_col, (F.col(id_col) == F.col("keep_id")).alias("keep")
+    )
+
+
+def shingles_col(n: int, text: str = "text"):
+    """Word n-gram shingle array (distinct) as a Column expression.
+
+    Documents shorter than n tokens contribute their whole text as a single
+    shingle (guards Spark's sequence(), which DESCENDS when start > stop).
+    """
+    toks = tokens_col(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text: str = "text",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over word-n-gram shingle sets → (a, b, jaccard) with
+    a < b and jaccard ≥ threshold (rounded to 6 decimals)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc"), F.explode(shingles_col(n, text)).alias("s")
+    )
+    if max_shingle_freq is not None:
+        hot = sh.groupBy("s").agg(F.count("*").alias("df")).filter(
+            F.col("df") > max_shingle_freq
+        )
+        sh = sh.join(hot, "s", "left_anti")
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "da").withColumnRenamed("sz", "sza"), "da")
+        .join(sizes.withColumnRenamed("doc", "db").withColumnRenamed("sz", "szb"), "db")
+        .select(
+            F.col("da").alias("a"),
+            F.col("db").alias("b"),
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    k: int = 64,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """(doc_id, sig array<long> of length k) — k-permutation MinHash over
+    word n-gram shingles, computed vectorized per Arrow batch.
+
+    Permutation i is the universal hash (aᵢ·x + bᵢ) mod 2⁶¹−1 with fixed
+    (aᵢ, bᵢ) derived from i — deterministic across runs and partitions.
+    NOTE: Python's str hash is seed-dependent; we use a stable FNV-1a
+    instead of hash() for shingle hashing.
+    """
+    rng = np.random.default_rng(1234567)
+    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+
+    def fnv1a(s: str) -> int:
+        h = 0xCBF29CE484222325
+        for byte in s.encode("utf-8"):
+            h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            sigs = []
+            for txt in batch[text]:
+                toks = str(txt).split()
+                if len(toks) < n:
+                    grams = {" ".join(toks)} if toks else {""}
+                else:
+                    grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+                hs = np.array([fnv1a(g) for g in grams], dtype=np.uint64) % np.uint64(
+                    _MERSENNE
+                )
+                # (k, |grams|) permuted values; min along shingles
+                perm = (a[:, None] * hs[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+                sigs.append(perm.min(axis=1).astype(np.int64))
+            yield pd.DataFrame({id_col: batch[id_col], "sig": sigs})
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("sig", T.ArrayType(T.LongType()), False),
+        ]
+    )
+    return docs.select(id_col, text).mapInPandas(compute, schema=schema)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """(a, b, est_jaccard) — LSH-banded candidate pairs with the MinHash
+    Jaccard estimate (matching signature fraction) ≥ threshold.
+
+    bands × rows-per-band = k; candidates are pairs agreeing on at least
+    one full band — an equality join, never an all-pairs comparison.
+    """
+    assert k % bands == 0
+    rows_per_band = k // bands
+    sigs = minhash_signatures(docs, k=k, n=n, id_col=id_col, text=text).persist()
+    banded = sigs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bh")
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    sa = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("siga"))
+    sb = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sigb"))
+    est = F.aggregate(
+        F.zip_with("siga", "sigb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(k)
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash long) — 64-bit SimHash over token hashes, vectorized."""
+
+    def fnv1a(s: str) -> int:
+        h = 0xCBF29CE484222325
+        for byte in s.encode("utf-8"):
+            h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bitcols = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+        for batch in batches:
+            out = np.zeros(len(batch), dtype=np.int64)
+            for row_i, txt in enumerate(batch[text]):
+                toks = str(txt).split()
+                if not toks:
+                    continue
+                hs = np.array([fnv1a(t) for t in toks], dtype=np.uint64)
+                bits = ((hs[:, None] & bitcols) != 0).astype(np.int32)
+                acc = np.where(bits.sum(axis=0) * 2 >= len(toks), 1, 0).astype(np.uint64)
+                out[row_i] = (acc << np.arange(64, dtype=np.uint64)).sum().astype(np.int64)
+            yield pd.DataFrame({id_col: batch[id_col], "simhash": out})
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("simhash", T.LongType(), False),
+        ]
+    )
+    return docs.select(id_col, text).mapInPandas(compute, schema=schema)
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """(a, b, hamming) — pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole blocking: a distance-≤3 pair must agree on ≥1 of the 4
+    16-bit chunks, so candidates come from 4 equality joins, not all-pairs.
+    """
+    sh = simhash(docs, id_col=id_col, text=text).persist()
+    chunks = sh.select(
+        F.col(id_col).alias("doc"),
+        F.col("simhash"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda i: F.struct(
+                    i.alias("ci"),
+                    F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                ),
+            )
+        ).alias("c"),
+    ).select("doc", "simhash", "c.ci", "c.cv")
+    cand = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.ci") == F.col("y.ci"))
+            & (F.col("x.cv") == F.col("y.cv"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(
+            F.col("x.doc").alias("a"),
+            F.col("y.doc").alias("b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select("a", "b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

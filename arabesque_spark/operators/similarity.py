@@ -1,0 +1,120 @@
+"""Similarity search over an embedding column (array<float>).
+
+* :func:`cosine_topk` — exact brute-force top-k for one query vector.
+  The dot product is a JVM-side ``zip_with`` + ``aggregate`` fold (no
+  Python in the loop); the query vector rides in as a literal array, so
+  the scan is a single narrow map + a global top-k (``orderBy + limit``
+  compiles to TakeOrderedAndProject — no full sort, no full shuffle).
+* :func:`lsh_buckets` / :func:`ann_topk` — the scale path: deterministic
+  random-hyperplane LSH (hyperplane components derived from fixed hash
+  chains, not RNG state) buckets vectors; a query only reranks its own
+  bucket(s). Recall is tested against brute force in the pytest suite.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """(vec_id, score) — top-k by cosine similarity to ``query_vec``,
+    score rounded to 5 decimals BEFORE ranking (deterministic, portable),
+    ties broken by ascending id."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    df = embeddings
+    if exclude_ids:
+        df = df.filter(~F.col(id_col).isin(exclude_ids))
+    scored = df.select(
+        F.col(id_col),
+        F.round(
+            _dot(F.col(vec_col), q) / (F.lit(qn) * _norm(F.col(vec_col))), 5
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def lsh_buckets(
+    embeddings: DataFrame,
+    planes: int = 12,
+    seed: int = 97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket) — sign pattern under `planes` pseudo-random
+    hyperplanes. Hyperplane p's component for dimension d is a fixed
+    zero-mean value derived from xxhash64(seed, p, d): deterministic across
+    runs, partitions, and cluster sizes, with no broadcast of plane
+    matrices (they are recomputed in-expression)."""
+    # component(p, d) = (hash(seed,p,d) % 2001 - 1000) / 1000  ∈ [-1, 1]
+    def plane_dot(p: int):
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.transform(
+                    F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+                    lambda d: (
+                        (F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), F.lit(2001)) - 1000)
+                        / 1000.0
+                    ),
+                ),
+                lambda x, w: (x * w).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        bucket = bucket * 2 + F.when(plane_dot(p) >= 0, 1).otherwise(0)
+    return embeddings.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    planes: int = 12,
+    seed: int = 97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, score) — approximate top-k: exact rerank restricted to the
+    query's LSH bucket. At scale the bucket table is written once and
+    bucket-partitioned; a query touches ~N/2^planes vectors."""
+    buckets = lsh_buckets(embeddings, planes=planes, seed=seed, id_col=id_col, vec_col=vec_col)
+    with_b = embeddings.join(buckets, id_col)
+    qrow = with_b.filter(F.col(id_col) == query_id).select(vec_col, "bucket").collect()
+    if not qrow:
+        raise ValueError(f"ann_topk: query id {query_id} not found")
+    qvec, qbucket = list(qrow[0][0]), qrow[0][1]
+    cands = with_b.filter((F.col("bucket") == qbucket) & (F.col(id_col) != query_id))
+    return cosine_topk(cands, qvec, k=k, id_col=id_col, vec_col=vec_col)

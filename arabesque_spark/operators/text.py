@@ -1,0 +1,95 @@
+"""Text-analysis operators over a documents table.
+
+All hot-path compute is JVM-side Column expressions (split/filter/
+aggregate over token arrays — whole-stage codegen), per the engine's
+no-per-row-Python contract. Every operator here has an exact ANSI-SQL
+twin (see api.py oracles), so results are verifiable value-for-value
+against DuckDB.
+
+Operators: tokenization stats, quality scoring, language ID (marker-word
+heuristic), document fingerprinting (min-hash-of-tokens, the 1-permutation
+special case of MinHash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deterministic marker-word lists for the language-ID heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "to", "in", "and"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "es": ["el", "la", "los", "que", "una", "y"],
+    "fr": ["le", "les", "des", "et", "une", "dans"],
+}
+STOPWORDS = ["the", "a", "of", "to", "in", "and", "is", "it", "for", "on"]
+
+
+def tokens_col(text: str = "text") -> Column:
+    """Whitespace tokenization of trimmed text — identical semantics to the
+    SQL twin ``regexp_split_to_array(trim(text), '\\s+')``."""
+    return F.split(F.trim(F.col(text)), r"\s+")
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_uniq, n_chars, stop_cnt) — integer-exact."""
+    toks = tokens_col(text)
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.length(F.col(text)).alias("n_chars"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stops, t))).alias("stop_cnt"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """(doc_id, quality) — heuristic in [0,1]: length saturation × lexical
+    diversity × stopword plausibility, rounded to 6 decimals (the rounding
+    makes the value portable across float summation orders)."""
+    s = token_stats(docs, id_col, text)
+    n_tok = F.col("n_tokens").cast("double")
+    length_sat = F.least(F.lit(1.0), n_tok / F.lit(64.0))
+    diversity = F.col("n_uniq") / n_tok
+    stop_plaus = F.least(F.lit(1.0), F.col("stop_cnt") / F.greatest(n_tok * 0.05, F.lit(1.0)))
+    return s.select(
+        id_col,
+        F.round(length_sat * diversity * (F.lit(0.5) + F.lit(0.5) * stop_plaus), 6).alias(
+            "quality"
+        ),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """(doc_id, pred_lang) — marker-word hit count, fixed priority tie-break
+    (en > de > es > fr > und). Deterministic by construction."""
+    toks = tokens_col(text)
+
+    def marker_hits(markers: list[str]):
+        arr = F.array(*[F.lit(m) for m in markers])
+        # NB: the lambda must take exactly one parameter — Spark interprets
+        # a second parameter as the element index
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    hits = {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
+    en, de, es, fr = hits["en"], hits["de"], hits["es"], hits["fr"]
+    pred = (
+        F.when((en > 0) & (en >= de) & (en >= es) & (en >= fr), F.lit("en"))
+        .when((de > 0) & (de >= es) & (de >= fr), F.lit("de"))
+        .when((es > 0) & (es >= fr), F.lit("es"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+    return docs.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """(doc_id, fp) — smallest md5 over the document's tokens: a content
+    fingerprint stable under token reordering (1-permutation MinHash)."""
+    toks = tokens_col(text)
+    return docs.select(
+        F.col(id_col),
+        F.array_min(F.transform(toks, lambda t: F.md5(t))).alias("fp"),
+    )

@@ -1,0 +1,100 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry at a given sf dir on Spark AND its
+``oracle_sql()`` twin on DuckDB, compares row count, column names, and an
+order-insensitive multiset of rounded values. Exits non-zero on mismatch.
+
+Usage: python scripts/check_oracles.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from arabesque_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(v):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="check_oracles", master="local[8]", shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        cols = df.columns
+        spark_rows = [tuple(norm(v) for v in row) for row in df.collect()]
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"{name:24s} rows={len(spark_rows):8d}  (rows-only; no oracle)  spark={t_spark:.1f}s")
+            continue
+        t0 = time.time()
+        res = con.execute(oracles[name])
+        ocols = [d[0] for d in res.description]
+        oracle_rows = [tuple(norm(v) for v in row) for row in res.fetchall()]
+        t_oracle = time.time() - t0
+
+        # order-insensitive compare with columns sorted by name (driver-style)
+        def keyed(rows, columns):
+            order = sorted(range(len(columns)), key=lambda i: columns[i])
+            return sorted(tuple(r[i] for i in order) for r in rows)
+
+        ok_cols = sorted(cols) == sorted(ocols)
+        ok_count = len(spark_rows) == len(oracle_rows)
+        ok_vals = ok_cols and keyed(spark_rows, cols) == keyed(oracle_rows, ocols)
+        status = "OK " if (ok_cols and ok_count and ok_vals) else "FAIL"
+        print(
+            f"{name:24s} {status} rows={len(spark_rows):8d}/{len(oracle_rows):<8d}"
+            f" cols={'=' if ok_cols else f'{cols} vs {ocols}'}"
+            f" vals={'=' if ok_vals else 'MISMATCH'}  spark={t_spark:.1f}s duck={t_oracle:.1f}s"
+        )
+        if status == "FAIL":
+            failures.append(name)
+            if ok_cols and ok_count and not ok_vals:
+                a = keyed(spark_rows, cols)
+                b = keyed(oracle_rows, ocols)
+                diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                for x, y in diffs:
+                    print(f"    spark={x}\n    duck ={y}")
+    if failures:
+        print("FAILURES:", failures)
+        return 1
+    print("all oracle checks passed")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
