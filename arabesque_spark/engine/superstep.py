@@ -79,12 +79,14 @@ class SuperstepRunner:
         spark: SparkSession,
         checkpoint_dir: str | Path | None = None,
         max_iterations: int = 100,
-        lineage: bool = True,
+        lineage: bool | None = None,
     ) -> None:
         self.spark = spark
         self.checkpoint_dir = Path(checkpoint_dir) if checkpoint_dir else None
         self.max_iterations = max_iterations
-        self.lineage = lineage
+        # per-partition lineage stats cost one aggregation per iteration;
+        # default them on only when there is a manifest to record them in
+        self.lineage = (checkpoint_dir is not None) if lineage is None else lineage
         if self.checkpoint_dir:
             self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
 

@@ -256,12 +256,16 @@ def simhash_near_pairs(
         F.col(id_col).alias("doc"),
         F.col("simhash"),
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda i: F.struct(
-                    i.alias("ci"),
-                    F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("ci"),
+                        F.shiftright("simhash", ci * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for ci in range(4)
+                ]
             )
         ).alias("c"),
     ).select("doc", "simhash", "c.ci", "c.cv")

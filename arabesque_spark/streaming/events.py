@@ -1,0 +1,78 @@
+"""Structured Streaming operators over the events table.
+
+The reference is strictly batch (SURVEY §2.5: no streaming/watermarks);
+this module is the Spark-native extension of the engine's aggregation
+surface to unbounded input: the same groupBy-aggregate semantics as the
+batch twin (operators/relational.events_hourly), expressed as an
+incremental windowed aggregation with watermark-bounded state.
+
+Scale notes: tumbling-window + watermark keeps per-key state bounded
+(late rows beyond the watermark are dropped, state for closed windows is
+evicted); the aggregation is the same partial+final hash agg as batch, so
+hot event types combine map-side before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over a directory of event parquet files (each new
+    file is a micro-batch — the standard ingest pattern for landed data)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour counts per event type with late-data watermark.
+
+    Semantics identical to the batch twin (relational.events_hourly) for
+    on-time data; rows later than the watermark are dropped and their
+    window state evicted.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, source_dir: str, query_name: str = "hourly_counts"
+) -> DataFrame:
+    """Run the stream to completion over the currently-available files and
+    return the result as a DataFrame (used by tests; complete output mode
+    because windowed counts are a full-refresh aggregate)."""
+    stream = hourly_counts_stream(read_event_stream(spark, source_dir))
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(query_name)

@@ -1,0 +1,114 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., ...extras}
+
+Extras include PageRank edges/sec-per-superstep (the BASELINE.md headline
+number) and iteration counts, so successive rounds can track throughput,
+not just wall time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from arabesque_spark import api
+from arabesque_spark.graph.build import degrees
+from arabesque_spark.graph.components import connected_components
+from arabesque_spark.graph.lpa import label_propagation
+from arabesque_spark.graph.pagerank import pagerank
+from arabesque_spark.graph.triangles import triangle_count
+from arabesque_spark.operators.dedup import minhash_lsh_pairs
+from arabesque_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(
+        app_name="arabesque_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(2 * cpus, 16),
+    )
+
+    timings: dict[str, float] = {}
+    extras: dict = {"cpus": cpus}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # graph build (persisted for reuse by the algorithms)
+    edges = timed(
+        "graph_build",
+        lambda: api.lineitem_graph(spark, sf_dir).persist(),
+    )
+    n_edges = edges.count()
+    n_vertices = degrees(edges).count()
+    extras["graph"] = {"vertices": n_vertices, "edges": n_edges}
+
+    # PageRank to convergence — the headline metric
+    t0 = time.time()
+    pr = pagerank(spark, edges, tol=1e-6, max_iterations=60)
+    pr_wall = time.time() - t0
+    timings["pagerank_converge"] = round(pr_wall, 3)
+    iters = pr.num_iterations
+    directed_edges = 2 * n_edges
+    # per-superstep throughput from the iteration walls alone (excludes
+    # adjacency build / vertex count setup)
+    iter_wall = sum(r.wall_s for r in pr.iterations) or pr_wall
+    extras["pagerank"] = {
+        "iterations": iters,
+        "converged": pr.converged,
+        "edges_per_sec_per_superstep": round(directed_edges * iters / iter_wall, 1),
+        "sec_per_superstep": round(iter_wall / max(iters, 1), 3),
+    }
+
+    timed("triangle_count", lambda: triangle_count(spark, edges))
+    timed(
+        "connected_components",
+        lambda: connected_components(spark, edges).count(),
+    )
+    timed(
+        "lpa_5iter",
+        lambda: label_propagation(spark, edges, max_iterations=5).state.count(),
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed(
+        "minhash_lsh",
+        lambda: minhash_lsh_pairs(docs, k=64, bands=16, threshold=0.3).count(),
+    )
+    timed("cosine_topk", lambda: api.q_cosine_topk(spark, sf_dir).collect())
+    timed("pricing_summary", lambda: api.q_pricing_summary(spark, sf_dir).collect())
+    timed(
+        "ngram_jaccard", lambda: api.q_ngram_jaccard(spark, sf_dir).count()
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall (graph build + PageRank-to-convergence "
+                "+ triangles + CC + LPA + dedup + ANN + relational)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

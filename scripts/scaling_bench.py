@@ -1,0 +1,149 @@
+"""Scaling-efficiency evidence: same PageRank job at local[8] vs local[32].
+
+The north rule's two-cluster-size criterion (throughput scaling efficiency
+≥ 0.8 from N to 4N executors) is evidenced in this sandbox by running the
+IDENTICAL job on the IDENTICAL input at two parallelism levels in fresh
+JVMs. The input is a deterministic synthetic power-law-ish link graph big
+enough that per-core compute dominates scheduling overhead (scheduling is
+a fixed cost that would otherwise fake poor scaling at toy sizes).
+
+Usage:
+  python scripts/scaling_bench.py             # orchestrates both runs, writes BENCH/BASELINE.md
+  python scripts/scaling_bench.py worker N    # one timed run at local[N] (prints JSON)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GRAPH_DIR = "/tmp/arabesque_scaling_graph"
+EDGE_ROWS = 24_000_000
+VERTICES = 2_000_000
+ITERATIONS = 5
+SEED = 42
+
+
+def build_input() -> None:
+    """Materialize the shared input graph once (both runs read the same
+    parquet — 'same input' is literal)."""
+    from pyspark.sql import functions as F
+
+    from arabesque_spark.graph.build import canonical_edges
+    from arabesque_spark.session import get_spark
+
+    if os.path.exists(f"{GRAPH_DIR}/_SUCCESS"):
+        return
+    spark = get_spark(app_name="scaling_input", master="local[32]", shuffle_partitions=64)
+    rows = spark.range(0, EDGE_ROWS, 1, 64)
+    # src uniform; dst log-uniform in [1, V) → power-law-ish in-degree with
+    # genuine hubs (vertex 1 collects ~E/ln(V)/V ... many edges) — exercises
+    # chunked adjacency + AQE skew handling.
+    u = F.pmod(F.xxhash64(F.lit(SEED), "id", F.lit(1)), F.lit(10**9)) / 1e9
+    src = F.pmod(F.xxhash64(F.lit(SEED), "id", F.lit(2)), F.lit(VERTICES))
+    dst = F.floor(F.exp(u * F.log(F.lit(float(VERTICES)))))
+    edges = canonical_edges(rows.select(src.alias("src"), dst.alias("dst")))
+    edges.repartition(64, "src").write.mode("overwrite").parquet(GRAPH_DIR)
+    spark.stop()
+
+
+def worker(cpus: int) -> None:
+    import time
+
+    from arabesque_spark.graph.pagerank import pagerank
+    from arabesque_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"scaling_{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+    )
+    edges = spark.read.parquet(GRAPH_DIR)
+    n_edges = edges.count()
+    t0 = time.time()
+    result = pagerank(spark, edges, tol=-1.0, max_iterations=ITERATIONS)
+    wall = time.time() - t0
+    iter_wall = sum(r.wall_s for r in result.iterations)
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "edges": n_edges,
+                "iterations": ITERATIONS,
+                "total_wall_s": round(wall, 2),
+                "iter_wall_s": round(iter_wall, 2),
+                "edges_per_sec_per_superstep": round(2 * n_edges * ITERATIONS / iter_wall, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+def orchestrate() -> None:
+    build_input()
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "worker", str(cpus)],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            timeout=3600,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(line)
+    t8, t32 = results[8]["iter_wall_s"], results[32]["iter_wall_s"]
+    speedup = t8 / t32
+    efficiency = speedup / 4.0
+    summary = {
+        "speedup_8_to_32": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+        "runs": results,
+    }
+    print(json.dumps(summary))
+    write_baseline_md(summary)
+
+
+def write_baseline_md(summary: dict) -> None:
+    r8, r32 = summary["runs"][8], summary["runs"][32]
+    md = f"""# BENCH/BASELINE — measured engine numbers
+
+## Scaling efficiency (north-rule two-cluster-size criterion)
+
+No real cluster exists in this sandbox; the N → 4N executor criterion is
+evidenced by the SAME PageRank job ({ITERATIONS} supersteps) on the SAME
+pre-materialized input graph ({r8["edges"]:,} undirected edges,
+{VERTICES:,} vertices, log-uniform hub skew) at local[8] vs local[32],
+each in a fresh JVM.
+
+| parallelism | superstep wall (s) | edges/sec/superstep |
+|---|---|---|
+| local[8]  (N)  | {r8["iter_wall_s"]} | {r8["edges_per_sec_per_superstep"]:,} |
+| local[32] (4N) | {r32["iter_wall_s"]} | {r32["edges_per_sec_per_superstep"]:,} |
+
+**Speedup 8→32 cores: {summary["speedup_8_to_32"]}× → scaling efficiency
+{summary["scaling_efficiency"]} (target ≥ 0.8).**
+
+Reproduce: `python scripts/scaling_bench.py`
+
+## Headline suite (sf0.1, local[32])
+
+See the driver-recorded `BENCH_r*.json` (produced by `bench.py`) for the
+per-query timings and the PageRank edges/sec/superstep at sf0.1.
+"""
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    with open(f"{REPO}/BENCH/BASELINE.md", "w") as fh:
+        fh.write(md)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, REPO)
+    if len(sys.argv) > 1 and sys.argv[1] == "worker":
+        sys.path.insert(0, REPO)
+        worker(int(sys.argv[2]))
+    else:
+        orchestrate()

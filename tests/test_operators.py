@@ -1,0 +1,168 @@
+"""Tests for dedup, similarity, text, multimodal, and streaming operators."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from arabesque_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from arabesque_spark.operators.multimodal import (
+    decode_media,
+    frame_sample,
+    synth_media,
+)
+from arabesque_spark.operators.similarity import ann_topk, cosine_topk, lsh_buckets
+from arabesque_spark.operators.text import lang_id, quality_score, token_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "der hund und die katze sind das beste team"),
+        (3, "completely different content about spark engines and shuffles"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (5, "el gato y el perro son los mejores amigos que hay"),
+        (6, "x"),  # shorter than any n-gram
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    keep = {r["doc_id"]: r["keep"] for r in exact_dedup(docs).collect()}
+    assert keep == {0: True, 1: True, 2: True, 3: True, 4: False, 5: True, 6: True}
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.1).collect()
+    }
+    assert pairs[(0, 4)] == 1.0  # identical docs
+    # doc0 vs doc1: 7 trigrams each, 6 shared (only the last differs) → 6/8
+    assert pairs[(0, 1)] == pytest.approx(6 / 8, abs=1e-6)
+    assert (0, 3) not in pairs
+
+
+def test_minhash_estimates_jaccard(docs):
+    sigs = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures(docs, k=128).collect()}
+    assert all(len(s) == 128 for s in sigs.values())
+    assert sigs[0] == sigs[4]  # identical content → identical signature
+    est01 = sum(a == b for a, b in zip(sigs[0], sigs[1])) / 128
+    assert est01 == pytest.approx(6 / 8, abs=0.15)  # k=128 → ±~0.04 stderr
+    est03 = sum(a == b for a, b in zip(sigs[0], sigs[3])) / 128
+    assert est03 < 0.15
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r["a"], r["b"]) for r in minhash_lsh_pairs(docs, k=64, bands=16, threshold=0.3).collect()}
+    assert (0, 4) in pairs
+    assert (0, 1) in pairs
+    assert (2, 3) not in pairs
+
+
+def test_simhash_blocking(docs):
+    hashes = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert hashes[0] == hashes[4]
+    near = {(r["a"], r["b"]): r["hamming"] for r in simhash_near_pairs(docs, max_hamming=16).collect()}
+    assert near[(0, 4)] == 0
+    # blocking is sound for its guarantee: every pair within hamming<=3 found
+    brute = {
+        (a, b): bin(hashes[a] ^ hashes[b]).count("1")
+        for a, b in itertools.combinations(sorted(hashes), 2)
+    }
+    for (a, b), d in brute.items():
+        if d <= 3:
+            assert (a, b) in near
+
+
+def test_cosine_topk_and_ann(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(200, 16)).astype("float32")
+    # make ids 1..5 near-copies of id 0
+    for i in range(1, 6):
+        base[i] = base[0] + rng.normal(scale=0.05, size=16).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in base[0]]
+    top = cosine_topk(emb, q, k=5, exclude_ids=[0]).collect()
+    assert {r["vec_id"] for r in top} == {1, 2, 3, 4, 5}
+    assert all(r["score"] > 0.99 for r in top)
+
+    # ANN recall vs brute force on the same query
+    ann = ann_topk(emb, query_id=0, k=5, planes=8)
+    got = {r["vec_id"] for r in ann.collect()}
+    brute = {r["vec_id"] for r in top}
+    assert len(got & brute) >= 3  # near-copies hash to the query's bucket
+
+    buckets = lsh_buckets(emb, planes=8)
+    assert buckets.count() == 200
+    b = {r["vec_id"]: r["bucket"] for r in buckets.collect()}
+    same = sum(b[i] == b[0] for i in range(1, 6))
+    assert same >= 3  # most near-copies share the bucket
+
+
+def test_text_operators_basic(docs):
+    stats = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert stats[0]["n_tokens"] == 9
+    assert stats[0]["n_uniq"] == 8  # 'the' twice
+    assert stats[0]["stop_cnt"] == 2  # 'the' twice; no other stopwords
+    langs = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert langs[0] == "en"
+    assert langs[2] == "de"
+    assert langs[5] == "es"
+    assert langs[6] == "und"
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert 0 <= q[0] <= 1 and q[6] < q[0]
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, n=48)
+    assert media.count() == 48
+    decoded = decode_media(media, fake=True)
+    rows = decoded.collect()
+    assert len(rows) == 48
+    assert all(len(r["features"]) == 8 for r in rows)
+    assert all(16 <= r["width"] <= 255 for r in rows)
+    # deterministic across runs
+    again = {r["media_id"]: r["features"] for r in decode_media(media, fake=True).collect()}
+    assert all(again[r["media_id"]] == r["features"] for r in rows)
+    frames = frame_sample(decoded, every=8)
+    vids = [r for r in rows if r["kind"] == "video"]
+    assert frames.select("media_id").distinct().count() == len(vids)
+    # real decode path is an explicit stub
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        decode_media(media, fake=False).collect()
+
+
+def test_streaming_hourly_counts_match_batch(spark, tmp_path):
+    from arabesque_spark.operators.relational import events_hourly
+    from arabesque_spark.streaming.events import run_stream_to_memory
+
+    src = str(tmp_path / "events_stream")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream_rows = {
+        (r["hour"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in run_stream_to_memory(spark, src, "t_hourly").collect()
+    }
+    batch_rows = {
+        (r["hour"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in events_hourly(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert stream_rows == batch_rows
