@@ -1,0 +1,138 @@
+"""spark-submit entry point for the engine's jobs.
+
+Cluster usage (the production invocation shape from the target contract):
+
+    zip -r engine.zip arabesque_spark
+    spark-submit --py-files engine.zip --master <cluster> \
+        -m arabesque_spark.cli ingest   --corpus-out s3://…/corpus --repos 20000
+    spark-submit … -m arabesque_spark.cli buildgraph --corpus s3://…/corpus --out s3://…/graph
+    spark-submit … -m arabesque_spark.cli pagerank  --edges s3://…/graph/edges \
+        --checkpoint s3://…/ckpt/pr --tol 1e-6 [--resume]
+    spark-submit … -m arabesque_spark.cli cc|lpa|triangles …
+
+Every iterative job takes --checkpoint and --resume: state is written per
+iteration with a manifest (engine/superstep.py), so a preempted run
+restarts mid-convergence. In this sandbox the same commands run on
+local[N].
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="arabesque_spark")
+    parser.add_argument("--master", default=None, help="spark master (default: env/local)")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("ingest", help="synthesize + ingest the corpus table")
+    p.add_argument("--corpus-out", required=True)
+    p.add_argument("--repos", type=int, default=200)
+    p.add_argument("--seed", type=int, default=42)
+
+    p = sub.add_parser("buildgraph", help="corpus → vertices/edges/adjacency tables")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--pairwise-limit", type=int, default=16)
+
+    for name in ("pagerank", "cc", "lpa", "triangles"):
+        p = sub.add_parser(name)
+        p.add_argument("--edges", required=True, help="parquet dir with (src,dst)")
+        p.add_argument("--out", default=None, help="result parquet dir")
+        p.add_argument("--checkpoint", default=None)
+        p.add_argument("--resume", action="store_true")
+        if name == "pagerank":
+            p.add_argument("--tol", type=float, default=1e-6)
+            p.add_argument("--damping", type=float, default=0.85)
+            p.add_argument("--max-iterations", type=int, default=100)
+        if name == "lpa":
+            p.add_argument("--max-iterations", type=int, default=20)
+
+    args = parser.parse_args(argv)
+
+    from arabesque_spark.session import get_spark
+
+    spark = get_spark(app_name=f"arabesque_{args.cmd}", master=args.master)
+
+    if args.cmd == "ingest":
+        from arabesque_spark.sources.corpus import ingest_corpus, synth_corpus
+
+        corpus = synth_corpus(spark, num_repos=args.repos, seed=args.seed)
+        back = ingest_corpus(spark, corpus, args.corpus_out)
+        print(json.dumps({"rows": back.count(), "sha_invariant": "ok"}))
+        return 0
+
+    if args.cmd == "buildgraph":
+        from arabesque_spark.sources.code_graph import build_code_graph
+
+        corpus = spark.read.parquet(args.corpus)
+        g = build_code_graph(corpus, pairwise_limit=args.pairwise_limit)
+        g.vertices.write.mode("overwrite").parquet(f"{args.out}/vertices")
+        g.edges.write.mode("overwrite").parquet(f"{args.out}/edges")
+        print(
+            json.dumps(
+                {"vertices": g.vertices.count(), "edges": g.edges.count(), "out": args.out}
+            )
+        )
+        return 0
+
+    edges = spark.read.parquet(args.edges)
+    if args.cmd == "pagerank":
+        from arabesque_spark.graph.pagerank import pagerank
+
+        res = pagerank(
+            spark,
+            edges,
+            damping=args.damping,
+            tol=args.tol,
+            max_iterations=args.max_iterations,
+            checkpoint_dir=args.checkpoint,
+            resume=args.resume,
+        )
+        out_df = res.state.select("vid", "rank")
+        info = {
+            "converged": res.converged,
+            "iterations": res.num_iterations,
+            "resumed_from": res.resumed_from,
+        }
+    elif args.cmd == "cc":
+        from arabesque_spark.graph.components import connected_components
+
+        out_df = connected_components(
+            spark, edges, checkpoint_dir=args.checkpoint, resume=args.resume
+        )
+        info = {"components": out_df.select("component").distinct().count()}
+    elif args.cmd == "lpa":
+        from arabesque_spark.graph.lpa import label_propagation
+
+        res = label_propagation(
+            spark,
+            edges,
+            max_iterations=args.max_iterations,
+            checkpoint_dir=args.checkpoint,
+            resume=args.resume,
+        )
+        out_df = res.state.select("vid", "label")
+        info = {"converged": res.converged, "iterations": res.num_iterations}
+    else:  # triangles
+        from arabesque_spark.graph.triangles import triangle_counts_per_vertex
+
+        out_df = triangle_counts_per_vertex(spark, edges)
+        info = {"total": out_df.agg((F.sum("triangles") / 3).cast("long")).collect()[0][0]}
+
+    if args.out:
+        out_df.write.mode("overwrite").parquet(args.out)
+        info["out"] = args.out
+    else:
+        info["rows"] = out_df.count()
+    print(json.dumps(info))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

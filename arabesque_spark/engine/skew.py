@@ -1,0 +1,94 @@
+"""Explicit skew handling: hub detection, salted aggregation, hub broadcast.
+
+The reference balances skew with block-based work division inside a
+superstep (DomainStorageReadOnly.java:427-461 — fixed-size enumeration
+blocks round-robined across partitions). Our equivalents, in order of
+preference:
+
+1. **Chunked adjacency** (graph/build.py) — structural: hubs never occupy
+   one row/task. Handles scatter-side skew.
+2. **Map-side partial aggregation** — free for algebraic aggs (sum/count/
+   min): hot keys combine before the shuffle. Handles gather-side skew for
+   PageRank-style sums.
+3. **Salted two-phase aggregation** (here) — for holistic/expensive aggs
+   (collect_list, countDistinct-ish) where partial agg state is large: a
+   deterministic salt splits each hot key across S reducers, then a second
+   tiny aggregation merges the S partials.
+4. **Hub broadcast** (here) — for joins whose probe side is small after
+   hub removal: split the dimension at a degree threshold, broadcast the
+   hub slice, shuffle-join the long tail, union. This is the classic
+   skew-join decomposition AQE approximates at runtime; doing it
+   explicitly lets US pick the threshold from the degree distribution
+   instead of task-size heuristics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.build import degrees
+
+
+def detect_hubs(edges: DataFrame, threshold: int | None = None, top_fraction: float = 0.001) -> DataFrame:
+    """(vid, deg) of hub vertices: deg ≥ threshold, or the top fraction by
+    degree when no threshold is given. The result is small by construction
+    (it is the broadcastable set)."""
+    deg = degrees(edges)
+    if threshold is None:
+        n = max(int(deg.count() * top_fraction), 1)
+        return deg.orderBy(F.desc("deg"), F.asc("vid")).limit(n)
+    return deg.filter(F.col("deg") >= threshold)
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    agg_exprs: Callable[[], Sequence[Column]],
+    merge_exprs: Callable[[], Sequence[Column]],
+    salts: int = 16,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Two-phase aggregation: groupBy(key, salt) → groupBy(key).
+
+    ``agg_exprs()`` builds the phase-1 aggregate columns; ``merge_exprs()``
+    builds the phase-2 re-aggregation over the phase-1 outputs (column
+    names must line up). The salt is deterministic (hash of
+    ``salt_source`` or of all columns), so results are reproducible.
+
+    Example — skew-safe neighbor collection:
+        salted_agg(sym_edges, "src",
+                   lambda: [F.collect_list("dst").alias("part")],
+                   lambda: [F.flatten(F.collect_list("part")).alias("neighbors")])
+    """
+    salt_col = (
+        F.pmod(F.xxhash64(salt_source), F.lit(salts))
+        if salt_source
+        else F.pmod(F.xxhash64(*df.columns), F.lit(salts))
+    )
+    phase1 = df.withColumn("_salt", salt_col).groupBy(key, "_salt").agg(*agg_exprs())
+    return phase1.groupBy(key).agg(*merge_exprs())
+
+
+def hub_split_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    hubs: DataFrame,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``fact ⋈ dim`` with the hub slice of ``dim`` broadcast.
+
+    ``hubs`` must be a small DataFrame with a ``vid`` column identifying
+    hot keys in ``dim[key]``. The hub rows join map-side (no shuffle of the
+    fact rows that hit hubs — exactly the rows that would have skewed);
+    the tail joins normally. Row-level semantics identical to a plain join.
+    """
+    hub_keys = hubs.select(F.col("vid").alias(key))
+    dim_hub = dim.join(F.broadcast(hub_keys), key, "left_semi")
+    dim_tail = dim.join(F.broadcast(hub_keys), key, "left_anti")
+    hot = fact.join(F.broadcast(dim_hub), key, how)
+    cold = fact.join(dim_tail, key, how)
+    return hot.unionByName(cold)

@@ -36,8 +36,17 @@ def label_propagation(
     num_partitions: int | None = None,
 ) -> RunResult:
     """Run sync LPA; result state is (vid, label, changed)."""
-    n_parts = num_partitions or spark.sparkContext.defaultParallelism
-    sym = symmetric_edges(edges).repartition(n_parts, "dst").persist()
+    # align with shuffle.partitions and pre-sort on the join key so the
+    # cached E-scale edge table is never re-exchanged or re-sorted inside
+    # the loop (same reasoning as graph/pagerank.py)
+    n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = (
+        symmetric_edges(edges)
+        .repartition(n_parts, "dst")
+        .sortWithinPartitions("dst")
+        .persist()
+    )
+    sym.count()
 
     state0 = (
         sym.select(F.col("src").alias("vid"))

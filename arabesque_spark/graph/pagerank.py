@@ -50,14 +50,31 @@ def pagerank(
     isolated vertices (deg 0 → dangling; their mass is redistributed
     uniformly each superstep).
     """
-    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    # partition the adjacency with the SAME count as shuffle partitions:
+    # state comes out of each iteration hash-partitioned by vid into
+    # shuffle.partitions, so a matching adjacency layout makes the
+    # per-superstep join exchange-free on both sides
+    n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     # column-pruned before persist: the per-iteration join only needs
     # (src, neighbors) — `deg` travels in the state instead.
+    # Repartition by src and sort within partitions BEFORE caching:
+    # build_adjacency's groupBy leaves HashPartitioning(src, chunk), which
+    # does NOT satisfy the join's (src) distribution — without this, the
+    # cached E-scale adjacency is re-exchanged AND re-sorted in every
+    # superstep's sort-merge join. Cached with the right partitioning and
+    # ordering, the adjacency side of the join moves zero bytes per
+    # iteration; only the V-scale state gets sorted.
     adj = (
         build_adjacency(edges, chunk_size=chunk_size, num_partitions=n_parts)
         .select("src", "neighbors")
+        .repartition(n_parts, "src")
+        .sortWithinPartitions("src")
         .persist()
     )
+    # materialize the persisted adjacency BEFORE the loop: it is a one-time
+    # build cost, and leaving it lazy would silently charge it to the first
+    # superstep (production path: written to storage at ingest)
+    adj.count()
     deg = degrees(edges)
 
     if vertices is None:
@@ -82,6 +99,10 @@ def pagerank(
 
     inv_n = 1.0 / n_vertices
     teleport = (1.0 - damping) * inv_n
+    # one-time structural check: a graph with no dangling vertices (the
+    # common case — every edge endpoint has degree ≥ 1) skips the
+    # dangling-mass aggregation stage in EVERY superstep
+    has_dangling = state0.filter(F.col("deg") == 0).limit(1).count() > 0
 
     def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
         contribs = (
@@ -93,33 +114,31 @@ def pagerank(
             .groupBy("vid")
             .agg(F.sum("contrib").alias("contrib_sum"))
         )
-        # dangling mass as a 1-row frame: stays on the cluster, broadcast into
-        # the final select — no driver round-trip inside the loop.
-        dangling = state.filter(F.col("deg") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass")
-        )
-        new_state = (
-            state.join(contribs, "vid", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "vid",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce("contrib_sum", F.lit(0.0))
-                        + F.col("dangling_mass") * F.lit(inv_n)
-                    )
-                ).alias("new_rank"),
-                "deg",
-                F.col("rank").alias("old_rank"),
+        joined = state.join(contribs, "vid", "left")
+        if has_dangling:
+            # dangling mass as a 1-row frame: stays on the cluster,
+            # broadcast into the select — no driver round-trip in the loop
+            dangling = state.filter(F.col("deg") == 0).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass")
             )
-            .select(
-                "vid",
-                F.col("new_rank").alias("rank"),
-                "deg",
-                F.abs(F.col("new_rank") - F.col("old_rank")).alias("delta"),
-            )
+            joined = joined.crossJoin(F.broadcast(dangling))
+            dangling_term = F.col("dangling_mass") * F.lit(inv_n)
+        else:
+            dangling_term = F.lit(0.0)
+        new_state = joined.select(
+            "vid",
+            (
+                F.lit(teleport)
+                + F.lit(damping)
+                * (F.coalesce("contrib_sum", F.lit(0.0)) + dangling_term)
+            ).alias("new_rank"),
+            "deg",
+            F.col("rank").alias("old_rank"),
+        ).select(
+            "vid",
+            F.col("new_rank").alias("rank"),
+            "deg",
+            F.abs(F.col("new_rank") - F.col("old_rank")).alias("delta"),
         )
         return new_state, {"superstep": i}
 
@@ -130,7 +149,9 @@ def pagerank(
     runner = SuperstepRunner(
         spark, checkpoint_dir=checkpoint_dir, max_iterations=max_iterations
     )
-    result = runner.run(state0, step, halt=halt, resume=resume)
+    # fixed-iteration runs (tol < 0) never converge on tolerance — skip the
+    # per-iteration convergence aggregation entirely (one fewer job/superstep)
+    result = runner.run(state0, step, halt=halt if tol >= 0 else None, resume=resume)
     adj.unpersist()
     return result
 

@@ -44,6 +44,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        # e.g. /dev/shm/spark_local: in this sandbox all executor threads
+        # share ONE virtio disk, so shuffle I/O — a resource a real cluster
+        # scales with node count — becomes the bottleneck at high core
+        # counts; tmpfs shuffle isolates engine scaling from that artifact
+        builder = builder.config("spark.local.dir", local_dir)
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()

@@ -1,0 +1,59 @@
+"""End-to-end CLI flow: ingest → buildgraph → pagerank with resume."""
+
+from __future__ import annotations
+
+import json
+
+from arabesque_spark import cli
+
+
+def test_cli_full_pipeline(spark, tmp_path, capsys):
+    # ingest (synthesize + sha-verify round trip)
+    assert (
+        cli.main(
+            ["ingest", "--corpus-out", str(tmp_path / "corpus"), "--repos", "12"]
+        )
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["sha_invariant"] == "ok" and out["rows"] > 0
+
+    # corpus → graph tables
+    assert (
+        cli.main(
+            [
+                "buildgraph",
+                "--corpus",
+                str(tmp_path / "corpus"),
+                "--out",
+                str(tmp_path / "graph"),
+            ]
+        )
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["vertices"] > 0 and out["edges"] > 0
+
+    # pagerank with checkpointing, then resume (no-op second run)
+    args = [
+        "pagerank",
+        "--edges",
+        str(tmp_path / "graph" / "edges"),
+        "--checkpoint",
+        str(tmp_path / "ckpt"),
+        "--out",
+        str(tmp_path / "ranks"),
+        "--tol",
+        "1e-6",
+    ]
+    assert cli.main(args) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["converged"]
+
+    assert cli.main(args + ["--resume"]) == 0
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["converged"] and second["iterations"] == 0
+
+    ranks = spark.read.parquet(str(tmp_path / "ranks"))
+    assert ranks.columns == ["vid", "rank"]
+    assert ranks.count() == out["vertices"] or ranks.count() > 0

@@ -1,0 +1,64 @@
+"""Skew utilities: hub detection, salted aggregation, hub-split join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arabesque_spark.engine.skew import detect_hubs, hub_split_join, salted_agg
+from arabesque_spark.graph.build import symmetric_edges
+from tests.reference_impls import powerlaw_graph
+
+
+def _graph(spark):
+    return spark.createDataFrame(powerlaw_graph(300, m=4, seed=2), "src long, dst long")
+
+
+def test_detect_hubs_threshold_and_fraction(spark):
+    edges = _graph(spark)
+    hubs = detect_hubs(edges, threshold=30)
+    assert hubs.count() > 0
+    assert hubs.agg(F.min("deg")).collect()[0][0] >= 30
+    top = detect_hubs(edges, top_fraction=0.01)
+    assert top.count() == 3  # 1% of 300 vertices
+    # top-k really is the k largest degrees
+    all_degs = sorted((r["deg"] for r in detect_hubs(edges, threshold=0).collect()), reverse=True)
+    got = sorted((r["deg"] for r in top.collect()), reverse=True)
+    assert got == all_degs[:3]
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    edges = _graph(spark)
+    sym = symmetric_edges(edges)
+    plain = {
+        r["src"]: sorted(r["ns"])
+        for r in sym.groupBy("src").agg(F.collect_list("dst").alias("ns")).collect()
+    }
+    salted = {
+        r["src"]: sorted(r["neighbors"])
+        for r in salted_agg(
+            sym,
+            "src",
+            lambda: [F.collect_list("dst").alias("part")],
+            lambda: [F.flatten(F.collect_list("part")).alias("neighbors")],
+            salts=8,
+            salt_source="dst",
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_hub_split_join_equals_plain_join(spark):
+    edges = _graph(spark)
+    sym = symmetric_edges(edges)
+    state = sym.select(F.col("src").alias("vid")).distinct().withColumn(
+        "rank", F.col("vid") * 0.001
+    )
+    dim = state.withColumnRenamed("vid", "src")
+    hubs = detect_hubs(edges, threshold=20)
+    plain = sym.join(dim, "src").groupBy("dst").agg(F.sum("rank").alias("s"))
+    split = hub_split_join(sym, dim, "src", hubs).groupBy("dst").agg(
+        F.sum("rank").alias("s")
+    )
+    a = {r["dst"]: round(r["s"], 9) for r in plain.collect()}
+    b = {r["dst"]: round(r["s"], 9) for r in split.collect()}
+    assert a == b
