@@ -183,6 +183,31 @@ def q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.state.select("vid", "label")
 
 
+def q_adjacency_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arabesque_spark.graph.dataprep import to_adjacency_list
+
+    return to_adjacency_list(lineitem_graph(spark, sf_dir))
+
+
+def q_degree_relabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arabesque_spark.graph.dataprep import degree_sorted_relabel
+
+    return degree_sorted_relabel(lineitem_graph(spark, sf_dir))
+
+
+def q_frequent_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arabesque_spark.graph.dataprep import frequent_edges
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pair_events = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    return frequent_edges(pair_events, min_support=3)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -240,6 +265,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_fixed8": q_pagerank,
     "connected_components": q_connected_components,
     "lpa_fixed5": q_lpa,
+    "adjacency_list": q_adjacency_list,
+    "degree_relabel": q_degree_relabel,
+    "frequent_edges": q_frequent_edges,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "token_stats": q_token_stats,
@@ -281,6 +309,23 @@ reach(v, w) AS (
 )
 SELECT v AS vid, CAST(LEAST(MIN(w), v) AS BIGINT) AS component FROM reach GROUP BY v""",
     "lpa_fixed5": _lpa_oracle(LPA_ITERS),
+    "adjacency_list": _GRAPH_PRELUDE
+    + """SELECT src AS vid, CAST(COUNT(*) AS INTEGER) AS deg,
+       string_agg(dst, ',' ORDER BY dst) AS neighbors_csv
+FROM sym GROUP BY src""",
+    "degree_relabel": _GRAPH_PRELUDE
+    + """SELECT vid,
+       CAST(ROW_NUMBER() OVER (ORDER BY deg DESC, vid ASC) - 1 AS BIGINT) AS new_vid,
+       deg
+FROM deg""",
+    "frequent_edges": """
+WITH ev AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS support
+FROM ev GROUP BY src, dst HAVING COUNT(*) >= 3""",
     "dedup_exact": """
 WITH h AS (SELECT doc_id, sha256(text) AS hh FROM documents),
 k AS (SELECT hh, MIN(doc_id) AS keep_id FROM h GROUP BY hh)

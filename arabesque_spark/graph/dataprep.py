@@ -1,0 +1,130 @@
+"""Data-prep converters — the reference's standalone tools re-expressed.
+
+The reference ships a family of single-purpose graph-munging mains under
+`data/` (SURVEY §2.1 S8): edge-list↔adjacency-list conversion
+(ConvertListOfEdges2Qanat.java, ConvertQanat2ListOfEdges.java), vertex
+relabeling by degree (SortNodesGraphByDegree.java), label renaming
+(RenameGraphLabels.java), Erdős–Rényi generation (GenER2Qanat.java), and
+infrequent-edge removal (RemoveNonFrequentEdges.java). Each is one or two
+DataFrame operations here; all are deterministic and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from arabesque_spark.graph.build import degrees, symmetric_edges
+
+
+def to_adjacency_list(edges: DataFrame) -> DataFrame:
+    """Edge list → adjacency-list rows (vid, deg, neighbors_csv sorted).
+
+    The reference's Qanat text format emits one line per vertex with its
+    sorted neighbors (ConvertListOfEdges2Qanat.java); the CSV column is
+    that line's payload — and being a string, it is directly comparable
+    in the oracle (array columns hash differently across engines).
+    """
+    return (
+        symmetric_edges(edges)
+        .groupBy(F.col("src").alias("vid"))
+        .agg(
+            F.count("*").cast("int").alias("deg"),
+            F.array_join(F.sort_array(F.collect_list("dst")), ",").alias(
+                "neighbors_csv"
+            ),
+        )
+    )
+
+
+def from_adjacency_list(adj: DataFrame) -> DataFrame:
+    """Adjacency rows (vid, neighbors_csv) → canonical edge list."""
+    from arabesque_spark.graph.build import canonical_edges
+
+    exploded = adj.select(
+        F.col("vid").alias("src"),
+        F.explode(F.split("neighbors_csv", ",")).alias("dst_s"),
+    ).select("src", F.col("dst_s").cast("long").alias("dst"))
+    return canonical_edges(exploded)
+
+
+def degree_sorted_relabel(edges: DataFrame) -> DataFrame:
+    """Relabel vertices by degree rank → (vid, new_vid, deg).
+
+    new_vid 0 = highest degree; ties broken by ascending old id — the
+    reference's SortNodesGraphByDegree.java semantics (degree-descending
+    relabeling improves locality of hub-adjacent storage).
+
+    Note: a global Window with no partition key is a deliberate choice
+    here — the output is a V-scale dictionary, and V (vertex count) is
+    orders of magnitude below E; for truly huge V swap in
+    graph.build.dense_vertex_ids ordered by (-deg, vid).
+    """
+    w = Window.orderBy(F.desc("deg"), F.asc("vid"))
+    return degrees(edges).select(
+        "vid", (F.row_number().over(w) - 1).cast("long").alias("new_vid"), "deg"
+    )
+
+
+def relabel_edges(edges: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Apply a (vid, new_vid) dictionary to both edge endpoints and
+    re-canonicalize (RenameGraphLabels.java semantics, applied to ids)."""
+    from arabesque_spark.graph.build import canonical_edges
+
+    m_src = mapping.select(F.col("vid").alias("src"), F.col("new_vid").alias("ns"))
+    m_dst = mapping.select(F.col("vid").alias("dst"), F.col("new_vid").alias("nd"))
+    return canonical_edges(
+        edges.join(m_src, "src").join(m_dst, "dst").select(
+            F.col("ns").alias("src"), F.col("nd").alias("dst")
+        )
+    )
+
+
+def frequent_edges(pair_events: DataFrame, min_support: int) -> DataFrame:
+    """Keep co-occurrence edges with support ≥ min_support →
+    (src, dst, support).
+
+    ``pair_events`` is a raw (src, dst) pair table WITH duplicates (one
+    row per co-occurrence event); support = event count per canonical
+    edge. This is the RemoveNonFrequentEdges.java filter with support
+    playing the role of edge-label frequency.
+    """
+    return (
+        pair_events.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+
+
+def er_edges(
+    spark: SparkSession, n: int, p: float, seed: int = 42, num_partitions: int | None = None
+) -> DataFrame:
+    """Distributed deterministic Erdős–Rényi G(n, p) → canonical (src, dst).
+
+    GenER2Qanat.java's generator, minus the RNG state: pair (u,v) is an
+    edge iff hash(seed,u,v) maps below p — fully parallel (one task per
+    id-range slice), identical output at any parallelism. Enumerates all
+    n·(n−1)/2 pairs, so intended for test/calibration graphs (the
+    reference tool is likewise an offline generator).
+    """
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    total = n * (n - 1) // 2
+    pairs = spark.range(0, total, 1, n_parts)
+    # map linear index k to pair (u, v), u < v, via triangular indexing
+    k = F.col("id")
+    u = (
+        (F.lit(2 * n - 1) - F.sqrt((F.lit(2 * n - 1)) ** 2 - 8 * k)) / 2
+    ).cast("long")
+    base = u * (F.lit(2 * n) - u - 1) / 2
+    v = (k - base.cast("long")) + u + 1
+    keep = F.pmod(F.xxhash64(F.lit(seed), u, v), F.lit(1_000_000_007)) < int(
+        p * 1_000_000_007
+    )
+    return pairs.select(u.alias("src"), v.alias("dst")).filter(keep).filter(
+        (F.col("dst") > F.col("src")) & (F.col("dst") < n)
+    )

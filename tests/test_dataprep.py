@@ -1,0 +1,64 @@
+"""Data-prep converters (reference S8 tools)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.dataprep import (
+    degree_sorted_relabel,
+    er_edges,
+    frequent_edges,
+    from_adjacency_list,
+    relabel_edges,
+    to_adjacency_list,
+)
+from arabesque_spark.graph.triangles import triangle_count
+from tests.conftest import TEST_GRAPH_EDGES
+
+
+def test_adjacency_list_roundtrip(spark, test_graph):
+    adj = to_adjacency_list(test_graph)
+    rows = {r["vid"]: r for r in adj.collect()}
+    assert rows[0]["neighbors_csv"] == "1,2,3,4"
+    assert rows[0]["deg"] == 4
+    back = {(r["src"], r["dst"]) for r in from_adjacency_list(adj).collect()}
+    assert back == set(TEST_GRAPH_EDGES)
+
+
+def test_degree_relabel_is_bijection_and_degree_sorted(spark, test_graph):
+    m = degree_sorted_relabel(test_graph).collect()
+    new_ids = sorted(r["new_vid"] for r in m)
+    assert new_ids == list(range(7))
+    by_new = sorted(m, key=lambda r: r["new_vid"])
+    degs = [r["deg"] for r in by_new]
+    assert degs == sorted(degs, reverse=True)
+    assert by_new[0]["vid"] == 0  # deg 4, smallest id among ties
+
+
+def test_relabel_preserves_structure(spark, test_graph):
+    mapping = degree_sorted_relabel(test_graph).select("vid", "new_vid")
+    relabeled = relabel_edges(test_graph, mapping)
+    assert relabeled.count() == test_graph.count()
+    # triangle count is relabeling-invariant
+    assert triangle_count(spark, relabeled) == 1
+
+
+def test_frequent_edges_threshold(spark):
+    events = [(1, 2)] * 5 + [(2, 3)] * 2 + [(3, 1)] * 3 + [(4, 2)]
+    df = spark.createDataFrame(events, "src long, dst long")
+    out = {(r["src"], r["dst"]): r["support"] for r in frequent_edges(df, 3).collect()}
+    assert out == {(1, 2): 5, (1, 3): 3}
+
+
+def test_er_edges_deterministic_and_valid(spark):
+    a = er_edges(spark, n=100, p=0.1, seed=7, num_partitions=3).collect()
+    b = er_edges(spark, n=100, p=0.1, seed=7, num_partitions=8).collect()
+    ea = sorted((r["src"], r["dst"]) for r in a)
+    eb = sorted((r["src"], r["dst"]) for r in b)
+    assert ea == eb  # parallelism-independent
+    assert len(ea) == len(set(ea))  # no duplicate pairs
+    assert all(0 <= u < v < 100 for u, v in ea)
+    # expected edges = p * C(100,2) = 495; allow generous tolerance
+    assert 350 <= len(ea) <= 650
+    different = er_edges(spark, n=100, p=0.1, seed=8).collect()
+    assert sorted((r["src"], r["dst"]) for r in different) != ea
