@@ -208,6 +208,40 @@ def q_frequent_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_edges(pair_events, min_support=3)
 
 
+def q_labeled_motif3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled 3-motif census (two-level quick→canonical aggregation).
+
+    No SQL oracle: the canonicalization step is a pandas UDF (the
+    reference's bliss-equivalent) — driver records a rows-only check;
+    exactness is covered by tests/test_patterns.py against brute force.
+    """
+    from arabesque_spark.graph.patterns import labeled_motif3_census
+
+    labels = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("vid"), (F.col("p_size") % 4).cast("int").alias("label")
+    )
+    return labeled_motif3_census(spark, lineitem_graph(spark, sf_dir), labels)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs — rows-only (hash family not portable
+    to SQL); estimator accuracy covered by tests/test_operators.py."""
+    from arabesque_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), k=64, bands=16, threshold=0.3
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — rows-only; recall vs brute force in tests."""
+    from arabesque_spark.operators.similarity import ann_topk
+
+    # 4 planes → 16 buckets: sized for the 500-vector test collection
+    # (rule of thumb: ~2^planes ≈ N/32 so buckets stay rerankable)
+    return ann_topk(load_table(spark, sf_dir, "embeddings"), query_id=0, k=10, planes=4)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -268,7 +302,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "adjacency_list": q_adjacency_list,
     "degree_relabel": q_degree_relabel,
     "frequent_edges": q_frequent_edges,
+    "labeled_motif3": q_labeled_motif3,
     "dedup_exact": q_dedup_exact,
+    "minhash_lsh_pairs": q_minhash_lsh,
+    "ann_topk": q_ann_topk,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "token_stats": q_token_stats,
     "quality_score": q_quality,

@@ -1,0 +1,138 @@
+"""Pattern extraction and canonicalization — labeled motif census.
+
+Reference semantics re-expressed:
+
+* **quick pattern** (BasicPattern.java:104-167): an embedding's cheap,
+  order-dependent key — here the positional label vector + adjacency
+  bitmask of the enumerated subgraph;
+* **canonical pattern** (JBlissPattern.java:55-76, bliss JNI): the
+  isomorphism-class key. The reference needs a general automorphism
+  solver; our motif sizes are fixed and tiny, so the canonical form is
+  the MINIMUM over all k! vertex permutations of (labels, adjacency
+  bits) — exact, dependency-free, vectorized over Arrow batches;
+* **two-level aggregation** (PatternAggregationStorage.java:196-249,
+  SURVEY §4 O3): aggregate by quick pattern FIRST (huge input → tiny
+  distinct-key table, all map-side combinable), then canonicalize only
+  the distinct quick keys (a pandas UDF over thousands of rows, not
+  billions of embeddings), then re-aggregate by canonical key. This is
+  the reference's central performance trick and it survives any scale:
+  the expensive step runs on data proportional to |distinct patterns|,
+  not |embeddings|.
+"""
+
+from __future__ import annotations
+
+from itertools import permutations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from arabesque_spark.graph.triangles import triangle_list
+
+
+def _canonical_key(labels: tuple[int, ...], adjbits: int, perms, edge_index) -> str:
+    """Min over permutations of (permuted labels, permuted adjacency)."""
+    k = len(labels)
+    best = None
+    for perm in perms:
+        plabels = tuple(labels[perm[i]] for i in range(k))
+        pbits = 0
+        for bit, (i, j) in enumerate(edge_index):
+            if adjbits & (1 << bit):
+                pi, pj = perm.index(i), perm.index(j)
+                a, b = (pi, pj) if pi < pj else (pj, pi)
+                pbits |= 1 << edge_index.index((a, b))
+        cand = (plabels, pbits)
+        if best is None or cand < best:
+            best = cand
+    plabels, pbits = best
+    return ",".join(map(str, plabels)) + "|" + format(pbits, "x")
+
+
+def canonicalize_patterns(quick: DataFrame, size: int) -> DataFrame:
+    """(labels array<int>, adjbits long, cnt) → (pattern string, cnt).
+
+    The input is the DISTINCT-quick-key table (already aggregated); the
+    permutation search runs only over that small table.
+    """
+    perms = list(permutations(range(size)))
+    edge_index = [(i, j) for i in range(size) for j in range(i + 1, size)]
+
+    @F.pandas_udf(T.StringType())
+    def canon(labels: pd.Series, adjbits: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _canonical_key(tuple(l), int(b), perms, edge_index)
+                for l, b in zip(labels, adjbits)
+            ]
+        )
+
+    return (
+        quick.withColumn("pattern", canon("labels", "adjbits"))
+        .groupBy("pattern")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def labeled_motif3_census(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertex_labels: DataFrame,
+) -> DataFrame:
+    """Count connected 3-vertex induced subgraphs per isomorphism class
+    → (pattern, cnt). ``vertex_labels`` is (vid, label int).
+
+    Enumeration is exact-once: open wedges at their center (end pair
+    ordered), triangles via the oriented join. Quick keys aggregate
+    before the (tiny) canonicalization step — the O3 two-level plan.
+    Positional convention: vertices [center, end1, end2] with adjacency
+    bits over pairs (0,1),(0,2),(1,2); wedges set bits 0,1; triangles all.
+    """
+    lab = vertex_labels.select("vid", "label")
+
+    def with_label(df: DataFrame, col: str, out: str) -> DataFrame:
+        return df.join(
+            lab.withColumnRenamed("vid", col).withColumnRenamed("label", out), col
+        )
+
+    from arabesque_spark.graph.build import symmetric_edges
+
+    sym = symmetric_edges(edges)
+    x, y = sym.alias("x"), sym.alias("y")
+    wedges = (
+        x.join(y, (F.col("x.src") == F.col("y.src")) & (F.col("x.dst") < F.col("y.dst")))
+        .select(
+            F.col("x.src").alias("c"), F.col("x.dst").alias("e1"), F.col("y.dst").alias("e2")
+        )
+    )
+    closing = edges.select(
+        F.least("src", "dst").alias("e1c"), F.greatest("src", "dst").alias("e2c")
+    )
+    open_wedges = wedges.join(
+        closing,
+        (closing["e1c"] == wedges["e1"]) & (closing["e2c"] == wedges["e2"]),
+        "left_anti",
+    )
+    open_quick = (
+        with_label(with_label(with_label(open_wedges, "c", "lc"), "e1", "l1"), "e2", "l2")
+        .select(
+            F.array("lc", "l1", "l2").alias("labels"),
+            F.lit(0b011).cast("long").alias("adjbits"),
+        )
+        .groupBy("labels", "adjbits")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tris = triangle_list(spark, edges)
+    tri_quick = (
+        with_label(with_label(with_label(tris, "a", "lc"), "b", "l1"), "c", "l2")
+        .select(
+            F.array("lc", "l1", "l2").alias("labels"),
+            F.lit(0b111).cast("long").alias("adjbits"),
+        )
+        .groupBy("labels", "adjbits")
+        .agg(F.count("*").alias("cnt"))
+    )
+    quick = open_quick.union(tri_quick)
+    return canonicalize_patterns(quick, size=3)

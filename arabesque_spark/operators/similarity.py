@@ -117,4 +117,9 @@ def ann_topk(
         raise ValueError(f"ann_topk: query id {query_id} not found")
     qvec, qbucket = list(qrow[0][0]), qrow[0][1]
     cands = with_b.filter((F.col("bucket") == qbucket) & (F.col(id_col) != query_id))
+    # thin-bucket fallback: when the query's bucket cannot fill top-k
+    # (over-partitioned space for the collection size), rerank everything —
+    # approximate fast path, exact safety net
+    if cands.limit(k).count() < k:
+        cands = embeddings.filter(F.col(id_col) != query_id)
     return cosine_topk(cands, qvec, k=k, id_col=id_col, vec_col=vec_col)
