@@ -48,9 +48,21 @@ def _oriented(edges: DataFrame, degree_oriented: bool) -> DataFrame:
 
 
 def triangle_list(
-    spark: SparkSession, edges: DataFrame, degree_oriented: bool = True
+    spark: SparkSession,
+    edges: DataFrame,
+    degree_oriented: bool = True,
+    broadcast_closing: bool | None = None,
 ) -> DataFrame:
-    """Every triangle exactly once → (a, b, c), unordered set as a sorted triple."""
+    """Every triangle exactly once → (a, b, c), unordered set as a sorted triple.
+
+    The closing semi-join probes |wedges| = O(E^1.5) rows against |E|
+    edges. With ``broadcast_closing=None`` (default) the physical join is
+    left to AQE, which converts to a broadcast hash join at runtime when
+    the edge side is small (measured: equivalent to an explicit hint at
+    sf0.1); ``True`` forces the broadcast hint (wedge side never shuffles
+    or sorts), ``False`` leaves sort-merge — the right plan when edges
+    outgrow executor memory at 100-TB scale.
+    """
     o = _oriented(edges, degree_oriented)
     x, y = o.alias("x"), o.alias("y")
     # wedges at the orientation's low vertex; y.v > x.v in orientation order
@@ -65,6 +77,8 @@ def triangle_list(
     closing = o.select(
         F.least("u", "v").alias("q"), F.greatest("u", "v").alias("r")
     )
+    if broadcast_closing:
+        closing = F.broadcast(closing)
     tri = wedges.join(
         closing,
         (closing["q"] == F.least(wedges["q"], wedges["r"]))
@@ -79,9 +93,14 @@ def triangle_list(
 
 
 def triangle_count(
-    spark: SparkSession, edges: DataFrame, degree_oriented: bool = True
+    spark: SparkSession,
+    edges: DataFrame,
+    degree_oriented: bool = True,
+    broadcast_closing: bool | None = None,
 ) -> int:
-    return triangle_list(spark, edges, degree_oriented).count()
+    return triangle_list(
+        spark, edges, degree_oriented, broadcast_closing=broadcast_closing
+    ).count()
 
 
 def triangle_counts_per_vertex(
