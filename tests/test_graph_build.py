@@ -59,6 +59,33 @@ def test_forward_adjacency_orientation(spark, test_graph):
     assert fwd == {0: [1, 2, 3, 4], 3: [5], 4: [5, 6], 5: [6]}
 
 
+def test_dense_vertex_ids_large_skewed(spark):
+    # Regression: repartitionByRange re-SAMPLES boundaries per execution,
+    # so the offsets job and the assignment job used to see different
+    # partition contents — silently minting colliding/skipped ids at
+    # exactly the scale where sampling matters. 300k skewed keys must
+    # come out as a perfect 0..V-1 enumeration.
+    n = 300_000
+    df = (
+        spark.range(n)
+        # heavy skew: 90% of keys share a narrow prefix region
+        .selectExpr(
+            "concat(CASE WHEN id % 10 < 9 THEN 'dense' ELSE 'sparse' END,"
+            " lpad(cast(id as string), 8, '0')) AS k"
+        )
+    )
+    ids = dense_vertex_ids(df, ["k"], num_partitions=16)
+    stats = ids.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("vid").alias("nd"),
+        F.min("vid").alias("lo"),
+        F.max("vid").alias("hi"),
+    ).collect()[0]
+    assert stats["n"] == n
+    assert stats["nd"] == n  # no collisions
+    assert stats["lo"] == 0 and stats["hi"] == n - 1  # no gaps
+
+
 def test_dense_vertex_ids_bijection_and_determinism(spark):
     keys = [(f"repo{i:03d}", f"file{j}") for i in range(40) for j in range(5)]
     df = spark.createDataFrame(keys, "repo string, path string")

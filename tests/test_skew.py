@@ -62,3 +62,20 @@ def test_hub_split_join_equals_plain_join(spark):
     a = {r["dst"]: round(r["s"], 9) for r in plain.collect()}
     b = {r["dst"]: round(r["s"], 9) for r in split.collect()}
     assert a == b
+
+
+def test_hub_split_join_outer_semantics(spark):
+    # Regression: with only the dim side split, every fact row was
+    # emitted by BOTH branches of a non-inner join (matched in one,
+    # null-padded in the other) — 2x row blowup.
+    fact = spark.createDataFrame([(1, "a"), (2, "b"), (9, "c")], "src long, f string")
+    dim = spark.createDataFrame([(1, 10.0), (2, 20.0)], "src long, w double")
+    hubs = spark.createDataFrame([(1,)], "vid long")
+    for how in ("left", "inner", "full"):
+        plain = fact.join(dim, "src", how)
+        split = hub_split_join(fact, dim, "src", hubs, how=how)
+        key = lambda df: sorted(
+            (r["src"], r["f"], -1.0 if r["w"] is None else r["w"])
+            for r in df.collect()
+        )
+        assert key(split) == key(plain), how
