@@ -49,6 +49,13 @@ PAGERANK_ITERS = 8
 LPA_ITERS = 5
 JACCARD_N = 3
 JACCARD_THRESHOLD = 0.1
+# FSM runs on the support-filtered co-occurrence graph (sparse enough for
+# the SQL twin) with part-size labels; min_support=200 prunes ~4 of the 10
+# single-edge patterns at sf0.01 — the C8 aggregation-filter does real work
+FSM_EDGE_SUPPORT = 2
+FSM_MIN_SUPPORT = 200
+FSM_N_LABELS = 4
+CLIQUE_EDGE_SUPPORT = 3
 
 
 # --------------------------------------------------------------------------
@@ -134,6 +141,93 @@ def _lpa_oracle(iters: int) -> str:
         + ",\n".join(ctes)
         + f"\nSELECT vid, label FROM l{iters}"
     )
+
+
+def _support_graph_sql(min_support: int) -> str:
+    """CTEs for the support-filtered co-occurrence graph + part-size labels."""
+    return f"""
+ev AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+fe AS (SELECT src, dst FROM ev GROUP BY src, dst HAVING COUNT(*) >= {min_support}),
+vlab AS (SELECT p_partkey AS vid, CAST(p_size % {FSM_N_LABELS} AS INTEGER) AS lab FROM part)
+"""
+
+
+def _fsm_oracle() -> str:
+    """DuckDB twin of the FSM query (levels 1-2, MNI support, C8 filter).
+
+    Pattern strings and position maps come from literal DECODE TABLES
+    generated by the same ``quick_canonical`` the engine uses — the
+    canonicalization itself is brute-force-verified in pytest
+    (tests/test_fsm.py); what the oracle independently checks is the
+    DISTRIBUTED machinery: expansion, dedup, domain counting, the
+    end-aggregation drop, and the aggregation-filter.
+    """
+    from arabesque_spark.graph.fsm import quick_canonical
+
+    rows2 = []
+    for l0 in range(FSM_N_LABELS):
+        for l1 in range(FSM_N_LABELS):
+            p, pm = quick_canonical((l0, l1), (1,))
+            rows2.append(f"({l0},{l1},'{p}',{pm[0]},{pm[1]})")
+    # wedge adjcodes by the center's vid-rank r: pairs over stored positions
+    adj_by_rank = {0: (1, 2), 1: (1, 18), 2: (2, 18)}
+    rows3 = []
+    for l0 in range(FSM_N_LABELS):
+        for l1 in range(FSM_N_LABELS):
+            for l2 in range(FSM_N_LABELS):
+                for r, code in adj_by_rank.items():
+                    p, pm = quick_canonical((l0, l1, l2), code)
+                    rows3.append(f"({l0},{l1},{l2},{r},'{p}',{pm[0]},{pm[1]},{pm[2]})")
+    s = FSM_MIN_SUPPORT
+    return f"""
+WITH {_support_graph_sql(FSM_EDGE_SUPPORT)},
+el AS (SELECT fe.src AS u, fe.dst AS v, la.lab AS lu, lb.lab AS lv
+       FROM fe JOIN vlab la ON la.vid = fe.src JOIN vlab lb ON lb.vid = fe.dst),
+d2(l0, l1, pattern, c0, c1) AS (VALUES {", ".join(rows2)}),
+d3(l0, l1, l2, r, pattern, c0, c1, c2) AS (VALUES {", ".join(rows3)}),
+e1 AS (SELECT el.*, d2.pattern, d2.c0, d2.c1 FROM el
+       JOIN d2 ON d2.l0 = el.lu AND d2.l1 = el.lv),
+dom1 AS (SELECT pattern, c0 AS cpos, u AS vid FROM e1
+         UNION ALL SELECT pattern, c1, v FROM e1),
+supp1 AS (SELECT pattern, MIN(d) AS support FROM
+          (SELECT pattern, cpos, COUNT(DISTINCT vid) AS d FROM dom1 GROUP BY 1, 2)
+          GROUP BY pattern),
+lvl1 AS (SELECT e.pattern, COUNT(*) AS embeddings, ANY_VALUE(s.support) AS support
+         FROM e1 e JOIN supp1 s USING (pattern) GROUP BY e.pattern),
+freq1 AS (SELECT * FROM lvl1 WHERE support >= {s}),
+es AS (SELECT e1.*, pattern IN (SELECT pattern FROM freq1) AS surv FROM e1),
+sym AS (SELECT u AS c, v AS e, lu AS lc, lv AS le, surv FROM es
+        UNION ALL SELECT v, u, lv, lu, surv FROM es),
+w AS (SELECT a.c, a.e AS x, b.e AS y, a.lc, a.le AS lx, b.le AS ly
+      FROM sym a JOIN sym b ON a.c = b.c AND a.e < b.e
+      WHERE a.surv OR b.surv),
+wk AS (SELECT
+         CASE WHEN r = 0 THEN lc ELSE lx END AS l0,
+         CASE WHEN r = 0 THEN lx WHEN r = 1 THEN lc ELSE ly END AS l1,
+         CASE WHEN r = 2 THEN lc ELSE ly END AS l2,
+         CASE WHEN r = 0 THEN c ELSE x END AS v0,
+         CASE WHEN r = 0 THEN x WHEN r = 1 THEN c ELSE y END AS v1,
+         CASE WHEN r = 2 THEN c ELSE y END AS v2,
+         r
+       FROM (SELECT *, CASE WHEN c < x THEN 0 WHEN c < y THEN 1 ELSE 2 END AS r FROM w)),
+e2 AS (SELECT wk.*, d3.pattern, d3.c0, d3.c1, d3.c2 FROM wk
+       JOIN d3 ON d3.l0 = wk.l0 AND d3.l1 = wk.l1 AND d3.l2 = wk.l2 AND d3.r = wk.r),
+dom2 AS (SELECT pattern, c0 AS cpos, v0 AS vid FROM e2
+         UNION ALL SELECT pattern, c1, v1 FROM e2
+         UNION ALL SELECT pattern, c2, v2 FROM e2),
+supp2 AS (SELECT pattern, MIN(d) AS support FROM
+          (SELECT pattern, cpos, COUNT(DISTINCT vid) AS d FROM dom2 GROUP BY 1, 2)
+          GROUP BY pattern),
+lvl2 AS (SELECT e.pattern, COUNT(*) AS embeddings, ANY_VALUE(s.support) AS support
+         FROM e2 e JOIN supp2 s USING (pattern) GROUP BY e.pattern),
+freq2 AS (SELECT * FROM lvl2 WHERE support >= {s})
+SELECT pattern, CAST(1 AS INTEGER) AS n_edges, embeddings, support FROM freq1
+UNION ALL
+SELECT pattern, CAST(2 AS INTEGER) AS n_edges, embeddings, support FROM freq2"""
 
 
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
@@ -223,6 +317,55 @@ def q_labeled_motif3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled_motif3_census(spark, lineitem_graph(spark, sf_dir), labels)
 
 
+def _support_graph(spark: SparkSession, sf_dir: str, min_support: int) -> DataFrame:
+    from arabesque_spark.graph.dataprep import frequent_edges
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pair_events = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    return frequent_edges(pair_events, min_support=min_support).select("src", "dst")
+
+
+def _part_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("vid"),
+        (F.col("p_size") % FSM_N_LABELS).cast("int").alias("label"),
+    )
+
+
+def q_fsm_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FSM (A4): frequent 1- and 2-edge patterns, MNI support ≥ threshold."""
+    from arabesque_spark.graph.fsm import fsm
+
+    edges = _support_graph(spark, sf_dir, FSM_EDGE_SUPPORT)
+    labels = _part_labels(spark, sf_dir)
+    return fsm(
+        spark, edges, labels, min_support=FSM_MIN_SUPPORT, max_edges=2
+    ).to_df(spark)
+
+
+def q_clique4_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-clique count (A2, CliqueComputation maxsize=4) on the sparser
+    support-filtered graph — the count stays SQL-oracle-sized there."""
+    from arabesque_spark.graph.cliques import k_cliques
+
+    edges = _support_graph(spark, sf_dir, CLIQUE_EDGE_SUPPORT)
+    n = k_cliques(spark, edges, 4).count()
+    return spark.createDataFrame([(n,)], "n_cliques long")
+
+
+def q_motif4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Induced size-4 motif census (A3 at maxsize 4)."""
+    from arabesque_spark.graph.motifs import motif4_counts
+
+    edges = _support_graph(spark, sf_dir, FSM_EDGE_SUPPORT)
+    return motif4_counts(spark, edges).filter(F.col("cnt") != 0)
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs — rows-only (hash family not portable
     to SQL); estimator accuracy covered by tests/test_operators.py."""
@@ -240,6 +383,15 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4 planes → 16 buckets: sized for the 500-vector test collection
     # (rule of thumb: ~2^planes ≈ N/32 so buckets stay rerankable)
     return ann_topk(load_table(spark, sf_dir, "embeddings"), query_id=0, k=10, planes=4)
+
+
+def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join (all queries at once, no driver round-trips) —
+    rows-only; recall vs brute force in tests/test_operators.py."""
+    from arabesque_spark.operators.similarity import ann_topk_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_batch(emb.filter(F.col("vec_id") < 20), emb, k=10, planes=4)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,10 +459,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "adjacency_list": q_adjacency_list,
     "degree_relabel": q_degree_relabel,
     "frequent_edges": q_frequent_edges,
+    "fsm_frequent": q_fsm_frequent,
+    "clique4_count": q_clique4_count,
+    "motif4": q_motif4,
     "labeled_motif3": q_labeled_motif3,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh_pairs": q_minhash_lsh,
     "ann_topk": q_ann_topk,
+    "ann_topk_batch": q_ann_batch,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "token_stats": q_token_stats,
     "quality_score": q_quality,
@@ -368,6 +524,73 @@ WITH ev AS (
 )
 SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS support
 FROM ev GROUP BY src, dst HAVING COUNT(*) >= 3""",
+    "fsm_frequent": _fsm_oracle(),
+    "clique4_count": f"""
+WITH {_support_graph_sql(CLIQUE_EDGE_SUPPORT)}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cliques FROM fe e1
+JOIN fe e2 ON e2.src = e1.src AND e2.dst > e1.dst
+JOIN fe e3 ON e3.src = e1.src AND e3.dst > e2.dst
+JOIN fe e4 ON e4.src = e1.dst AND e4.dst = e2.dst
+JOIN fe e5 ON e5.src = e1.dst AND e5.dst = e3.dst
+JOIN fe e6 ON e6.src = e2.dst AND e6.dst = e3.dst""",
+    "motif4": f"""
+WITH {_support_graph_sql(FSM_EDGE_SUPPORT)},
+sym AS (SELECT src AS u, dst AS v FROM fe UNION ALL SELECT dst, src FROM fe),
+tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c FROM fe e1
+        JOIN fe e2 ON e2.src = e1.dst
+        JOIN fe e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+k4 AS (SELECT COUNT(*) AS c FROM fe e1
+       JOIN fe e2 ON e2.src = e1.src AND e2.dst > e1.dst
+       JOIN fe e3 ON e3.src = e1.src AND e3.dst > e2.dst
+       JOIN fe e4 ON e4.src = e1.dst AND e4.dst = e2.dst
+       JOIN fe e5 ON e5.src = e1.dst AND e5.dst = e3.dst
+       JOIN fe e6 ON e6.src = e2.dst AND e6.dst = e3.dst),
+diamond AS (
+  SELECT COUNT(*) AS c FROM fe h
+  JOIN sym ex ON ex.u = h.src AND ex.v <> h.dst
+  JOIN sym ey ON ey.u = h.src AND ey.v > ex.v AND ey.v <> h.dst
+  WHERE EXISTS (SELECT 1 FROM sym s WHERE s.u = h.dst AND s.v = ex.v)
+    AND EXISTS (SELECT 1 FROM sym s WHERE s.u = h.dst AND s.v = ey.v)
+    AND NOT EXISTS (SELECT 1 FROM sym s WHERE s.u = ex.v AND s.v = ey.v)),
+c4 AS (
+  SELECT COUNT(*) AS c FROM sym ax
+  JOIN sym ay ON ay.u = ax.u AND ax.v < ay.v
+  JOIN sym xb ON xb.u = ax.v AND xb.v > ax.u AND xb.v <> ay.v
+  WHERE ax.v > ax.u AND ay.v > ax.u
+    AND EXISTS (SELECT 1 FROM sym s WHERE s.u = ay.v AND s.v = xb.v)
+    AND NOT EXISTS (SELECT 1 FROM sym s WHERE s.u = ax.u AND s.v = xb.v)
+    AND NOT EXISTS (SELECT 1 FROM sym s WHERE s.u = ax.v AND s.v = ay.v)),
+paw AS (
+  SELECT COUNT(*) AS c FROM (
+    SELECT t.a AS x1, t.b AS x2, t.c AS x3, s.v AS p FROM tri t JOIN sym s ON s.u = t.a
+    UNION ALL SELECT t.b, t.a, t.c, s.v FROM tri t JOIN sym s ON s.u = t.b
+    UNION ALL SELECT t.c, t.a, t.b, s.v FROM tri t JOIN sym s ON s.u = t.c
+  ) q
+  WHERE p NOT IN (x2, x3)
+    AND NOT EXISTS (SELECT 1 FROM sym s WHERE s.u = q.x2 AND s.v = q.p)
+    AND NOT EXISTS (SELECT 1 FROM sym s WHERE s.u = q.x3 AND s.v = q.p)),
+claw AS (
+  SELECT COUNT(*) AS c FROM sym s1
+  JOIN sym s2 ON s2.u = s1.u AND s2.v > s1.v
+  JOIN sym s3 ON s3.u = s1.u AND s3.v > s2.v
+  WHERE NOT EXISTS (SELECT 1 FROM sym s WHERE s.u = s1.v AND s.v = s2.v)
+    AND NOT EXISTS (SELECT 1 FROM sym s WHERE s.u = s1.v AND s.v = s3.v)
+    AND NOT EXISTS (SELECT 1 FROM sym s WHERE s.u = s2.v AND s.v = s3.v)),
+p4 AS (
+  SELECT COUNT(*) AS c FROM fe m
+  JOIN sym sx ON sx.u = m.src AND sx.v <> m.dst
+  JOIN sym sy ON sy.u = m.dst AND sy.v <> m.src AND sy.v <> sx.v
+  WHERE NOT EXISTS (SELECT 1 FROM sym s WHERE s.u = sx.v AND s.v = m.dst)
+    AND NOT EXISTS (SELECT 1 FROM sym s WHERE s.u = m.src AND s.v = sy.v)
+    AND NOT EXISTS (SELECT 1 FROM sym s WHERE s.u = sx.v AND s.v = sy.v))
+SELECT pattern, cnt FROM (
+  SELECT 'p4' AS pattern, (SELECT c FROM p4) AS cnt
+  UNION ALL SELECT 'claw', (SELECT c FROM claw)
+  UNION ALL SELECT 'c4', (SELECT c FROM c4)
+  UNION ALL SELECT 'paw', (SELECT c FROM paw)
+  UNION ALL SELECT 'diamond', (SELECT c FROM diamond)
+  UNION ALL SELECT 'k4', (SELECT c FROM k4)
+) WHERE cnt <> 0""",
     "dedup_exact": """
 WITH h AS (SELECT doc_id, sha256(text) AS hh FROM documents),
 k AS (SELECT hh, MIN(doc_id) AS keep_id FROM h GROUP BY hh)

@@ -27,17 +27,22 @@ import shutil
 import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
+from decimal import Decimal
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 # step(state, iteration) -> (new_state, metrics)
 StepFn = Callable[[DataFrame, int], tuple[DataFrame, dict]]
-# halt(materialized_state, iteration) -> (converged, metrics) — runs AFTER the
-# iteration's state is materialized, so the convergence aggregation is a cheap
-# scan over checkpointed Parquet rather than a recompute of the whole step.
+# halt(materialized_state, iteration) -> (converged, metrics) — legacy
+# protocol: runs as a SEPARATE aggregation job after materialization. Prefer
+# the fused halt_exprs/halt_decide protocol (zero extra jobs per superstep).
 HaltFn = Callable[[DataFrame, int], tuple[bool, dict]]
+# halt_decide(observed_metrics, iteration) -> converged. observed_metrics
+# holds every halt_exprs key plus "rows"; aggregates over an empty state
+# come back None (e.g. max of nothing) — decide fns must tolerate that.
+HaltDecideFn = Callable[[dict, int], bool]
 
 
 @dataclass
@@ -135,30 +140,17 @@ class SuperstepRunner:
         state.write.mode("overwrite").parquet(str(path))
         return self.spark.read.parquet(str(path)), str(path)
 
-    def _lineage_stats(self, state: DataFrame) -> tuple[int, int | None, list[int]]:
-        """(total rows, value fingerprint, per-partition row counts).
-
-        One aggregation job over the just-materialized state: the fingerprint
-        is an order-insensitive sum of per-row xxhash64, so two runs that
-        claim the same iteration can be compared value-for-value without
-        rereading data.
+    @staticmethod
+    def _partition_rows(path: str) -> list[int]:
+        """Per-partition (per-file) row counts from the parquet FOOTERS of a
+        just-written checkpoint — driver-side metadata reads, zero Spark
+        jobs. This is the per-partition lineage record; on a lakehouse
+        deployment the table format's manifests carry the same stats.
         """
-        if not self.lineage:
-            return state.count(), None, []
-        rows = (
-            state.withColumn("_pid", F.spark_partition_id())
-            .groupBy("_pid")
-            .agg(
-                F.count("*").alias("cnt"),
-                # decimal sum: ANSI-safe (a long sum of 64-bit hashes overflows)
-                F.sum(F.xxhash64(*state.columns).cast("decimal(38,0)")).alias("fp"),
-            )
-            .collect()
-        )
-        total = sum(r["cnt"] for r in rows)
-        fingerprint = int(sum(int(r["fp"] or 0) for r in rows)) % (2**63)
-        per_part = [r["cnt"] for r in sorted(rows, key=lambda r: r["_pid"])]
-        return total, fingerprint, per_part
+        import pyarrow.parquet as pq
+
+        files = sorted(Path(path).glob("part-*.parquet"))
+        return [pq.ParquetFile(str(f)).metadata.num_rows for f in files]
 
     # ---- the loop ------------------------------------------------------
     def run(
@@ -167,16 +159,31 @@ class SuperstepRunner:
         step: StepFn,
         halt: HaltFn | None = None,
         resume: bool = False,
+        halt_exprs: dict[str, Column] | None = None,
+        halt_decide: HaltDecideFn | None = None,
     ) -> RunResult:
-        """Iterate ``step`` until ``halt`` reports convergence or max_iterations.
+        """Iterate ``step`` until convergence or max_iterations.
 
         ``step(state, i)`` returns ``(new_state, metrics)``; ``metrics`` is a
         JSON-able dict recorded in the manifest (the analog of the
         reference's per-superstep counters, MasterExecutionEngine.java:22-27).
-        ``halt`` is evaluated on the materialized state; with no ``halt``,
-        the loop stops when an iteration produces 0 rows — the reference's
-        empty-frontier protocol (MasterExecutionEngine.java:210-216:
-        processed == 0 && generated == 0).
+
+        **One Spark job per superstep.** Row count, the value fingerprint,
+        and the convergence aggregates (``halt_exprs``) are all attached to
+        the materialization job via ``DataFrame.observe`` — the write that
+        checkpoints the state computes them as it streams rows, so neither
+        lineage stats nor the halt check submits a job of its own (each
+        extra job costs fixed driver latency that does NOT shrink with
+        cluster size — it was the measured non-scaling residual).
+        ``halt_decide(metrics, i)`` then judges convergence driver-side
+        from the observed scalars. Per-partition lineage counts come from
+        the checkpoint's parquet footers (driver-side metadata read).
+
+        The legacy ``halt(materialized_state, i)`` callable is still
+        honored (one extra aggregation job) for convergence logic that is
+        not a single aggregation. With neither form, the loop stops when an
+        iteration produces 0 rows — the reference's empty-frontier protocol
+        (MasterExecutionEngine.java:210-216: processed == 0 && generated == 0).
         """
         start_iter = 0
         state = initial_state
@@ -204,13 +211,40 @@ class SuperstepRunner:
         for i in range(start_iter, self.max_iterations):
             t0 = time.time()
             new_state, metrics = step(state, i)
-            new_state, path = self._materialize(new_state, i)
-            rows, fingerprint, per_part = self._lineage_stats(new_state)
-            if halt is not None:
+            obs_exprs = [F.count(F.lit(1)).alias("_rows")]
+            if self.lineage:
+                # decimal sum: ANSI-safe (a long sum of 64-bit hashes
+                # overflows); order-insensitive, so two runs claiming the
+                # same iteration compare value-for-value without rereads
+                obs_exprs.append(
+                    F.sum(F.xxhash64(*new_state.columns).cast("decimal(38,0)")).alias("_fp")
+                )
+            for name, col in (halt_exprs or {}).items():
+                obs_exprs.append(col.alias(name))
+            obs = Observation()
+            new_state, path = self._materialize(new_state.observe(obs, *obs_exprs), i)
+            observed = {
+                k: (int(v) if isinstance(v, Decimal) else v)
+                for k, v in dict(obs.get).items()
+            }
+            rows = observed.pop("_rows")
+            raw_fp = observed.pop("_fp", None)
+            fingerprint = (
+                (int(raw_fp) if raw_fp is not None else 0) % (2**63)
+                if self.lineage
+                else None
+            )
+            per_part = self._partition_rows(path) if (self.lineage and path) else []
+            if halt_decide is not None:
+                halt_metrics = {"rows": rows, **observed}
+                converged = halt_decide(halt_metrics, i)
+                metrics = {**metrics, **observed}
+            elif halt is not None:
                 converged, halt_metrics = halt(new_state, i)
                 metrics = {**metrics, **halt_metrics}
             else:
                 converged = rows == 0
+                metrics = {**metrics, **observed}
             wall = time.time() - t0
             result = IterationResult(
                 iteration=i,

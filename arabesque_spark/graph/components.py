@@ -81,18 +81,23 @@ def connected_components(
 
     prev_fp: dict = {"fp": None}
 
-    def halt(state: DataFrame, i: int) -> tuple[bool, dict]:
-        row = state.agg(
-            F.count("*").alias("cnt"),
-            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        fp = (row["cnt"], int(row["h"] or 0))
+    def halt_decide(m: dict, i: int) -> bool:
+        # edge-set fixpoint: order-insensitive (count, hash) of the new
+        # state, observed on the materialization job itself, equals the
+        # previous iteration's
+        fp = (m["rows"], m["edge_fp"] or 0)
         stable = fp == prev_fp["fp"]
         prev_fp["fp"] = fp
-        return stable, {"edges": row["cnt"]}
+        return stable
 
     runner = SuperstepRunner(spark, checkpoint_dir=checkpoint_dir, max_iterations=max_iterations)
-    result: RunResult = runner.run(state0, step, halt=halt, resume=resume)
+    result: RunResult = runner.run(
+        state0,
+        step,
+        resume=resume,
+        halt_exprs={"edge_fp": F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)"))},
+        halt_decide=halt_decide,
+    )
 
     # at fixpoint the state is a star forest: (src=componentMin, dst=member)
     stars = result.state

@@ -1,0 +1,358 @@
+"""Frequent subgraph mining (FSM) with MNI/domain support — SURVEY §2.3 A4.
+
+Reference semantics re-expressed (all citations into /root/reference):
+
+* **edge-induced embeddings** grown one edge per superstep
+  (examples/fsm/FSMComputation.java:10-71);
+* **MNI/domain support**: a pattern is frequent iff EVERY pattern position
+  has ≥ s distinct graph vertices mapped to it across the pattern's
+  embeddings (examples/fsm/DomainSupport.java:24-154 — domain = per-position
+  vertex set, support = min over positions);
+* **end-aggregation drop** of infrequent patterns after the per-superstep
+  aggregation (DomainSupportEndAggregationFunction.java:13-29) — a
+  HAVING-style post-agg filter (SURVEY C11);
+* **aggregation-filter (C8)**: the next superstep's frontier is filtered
+  against the PREVIOUS superstep's surviving patterns
+  (FSMComputation.aggregationFilter:63-65, Computation.java:23-24,
+  BasicComputation.java:64-70) — here a left-semi join of the frontier's
+  quick keys against the frequent-pattern key set;
+* **halt when nothing frequent** (FSMMasterComputation.java:22-25) — the
+  runner's empty-frontier protocol;
+* **two-level quick→canonical aggregation**
+  (pattern/BasicPattern.java:104-167 quick patterns,
+  aggregation/PatternAggregationStorage.java:196-249 canonical conversion,
+  with domain values remapped through the canonical permutation —
+  ``handleConversionFromQuickToCanonical``): embeddings aggregate under a
+  cheap vid-order quick key built from pure Column expressions; only the
+  tiny distinct-quick-key table goes through the Python canonicalization.
+
+Dataflow differences from the reference (Spark-first, not a port):
+
+* Exactly-once enumeration uses **dedup-by-aggregation** on the canonical
+  edge-set key (``dropDuplicates``) instead of the reference's runtime
+  canonicality filter (BasicEmbedding.java:162-195). A (k+1)-edge embedding
+  is generated once per surviving k-edge parent (≤ k+1 of them) and
+  deduplicated in one shuffle — exact, set-oriented, and linear in frontier
+  size; the canonicality filter saves that constant factor but needs
+  per-embedding connectivity tests that don't vectorize.
+* Embeddings are rows: ``vs array<struct<vid,lab>>`` (vid-sorted) +
+  ``edges array<struct<u,v>>`` (u<v, lexicographically sorted). Everything
+  on the embedding scale is Column exprs / joins; Python only touches the
+  distinct quick-key table.
+
+Scale notes: the frontier is the working set — FSM's cost is inherent to
+the support threshold (low s ⇒ exponential frontier, on any engine; the
+reference has the same property). Every stage here is a hash join or
+hash aggregation on embedding rows: no driver collect touches anything
+larger than the pattern table (bounded by |distinct patterns|).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from itertools import permutations
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arabesque_spark.engine.superstep import RunResult, SuperstepRunner
+
+# ---------------------------------------------------------------------------
+# canonicalization (pure Python core, shared with the oracle decode table)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _perms(k: int):
+    return list(permutations(range(k)))
+
+
+@lru_cache(maxsize=None)
+def _edge_index(k: int):
+    return [(i, j) for i in range(k) for j in range(i + 1, k)]
+
+
+def quick_canonical(labels: tuple[int, ...], adjcode: tuple[int, ...]) -> tuple[str, list[int]]:
+    """Canonical form of a quick pattern → (pattern string, pos_map).
+
+    ``labels`` are vertex labels in the embedding's stored (vid-sorted)
+    order; ``adjcode`` encodes each present edge as ``i*16 + j`` over
+    stored positions i < j. The canonical key is the MINIMUM over all k!
+    permutations of (permuted labels, permuted edge codes) — exact
+    isomorphism classing for the small k of mining patterns (the
+    reference's bliss call, JBlissPattern.java:55-76). Among minimizing
+    permutations the LEXICOGRAPHICALLY SMALLEST is chosen, making
+    ``pos_map`` (stored position → canonical position) deterministic —
+    the analog of the reference's quick→canonical value remap
+    (PatternAggregationStorage.java:196-249).
+    """
+    k = len(labels)
+    pairs = [(c >> 4, c & 15) for c in adjcode]
+    best = None
+    best_perm = None
+    for perm in _perms(k):
+        plabels = tuple(labels[perm[i]] for i in range(k))
+        inv = [0] * k
+        for ci, qi in enumerate(perm):
+            inv[qi] = ci
+        pcodes = tuple(
+            sorted(
+                (min(inv[i], inv[j]) << 4) | max(inv[i], inv[j]) for (i, j) in pairs
+            )
+        )
+        cand = (plabels, pcodes)
+        if best is None or cand < best:
+            best = cand
+            best_perm = perm
+    plabels, pcodes = best
+    ei = _edge_index(k)
+    bits = 0
+    for c in pcodes:
+        bits |= 1 << ei.index((c >> 4, c & 15))
+    pos_map = [0] * k
+    for ci, qi in enumerate(best_perm):
+        pos_map[qi] = ci
+    return ",".join(map(str, plabels)) + "|" + format(bits, "x"), pos_map
+
+
+def canonicalize_quick(quick: DataFrame) -> DataFrame:
+    """Add (pattern, pos_map) to a distinct-quick-key table.
+
+    Input columns: labels array<int>, adjcode array<int>, cnt. The pandas
+    UDF runs only over |distinct quick keys| rows — the O3 two-level plan.
+    """
+
+    @F.pandas_udf("pattern string, pos_map array<int>")
+    def canon(labels: pd.Series, adjcode: pd.Series) -> pd.DataFrame:
+        pats, maps = [], []
+        for l, a in zip(labels, adjcode):
+            p, m = quick_canonical(tuple(int(x) for x in l), tuple(int(x) for x in a))
+            pats.append(p)
+            maps.append(m)
+        return pd.DataFrame({"pattern": pats, "pos_map": maps})
+
+    return quick.withColumn("c", canon("labels", "adjcode")).select(
+        "labels", "adjcode", "cnt", "c.pattern", "c.pos_map"
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-frontier Column expressions
+# ---------------------------------------------------------------------------
+
+def _vids():
+    return F.transform("vs", lambda x: x["vid"])
+
+
+def _labels():
+    return F.transform("vs", lambda x: x["lab"])
+
+
+def _adjcode_col():
+    # vs is vid-sorted and each edge has u < v, so pos(u) < pos(v):
+    # code = pos(u)*16 + pos(v) (array_position is 1-based)
+    vids = _vids()
+    return F.sort_array(
+        F.transform(
+            "edges",
+            lambda e: (
+                (F.array_position(vids, e["u"]) - 1) * 16
+                + (F.array_position(vids, e["v"]) - 1)
+            ).cast("int"),
+        )
+    )
+
+
+def _with_quick(frontier: DataFrame) -> DataFrame:
+    return frontier.withColumn("labels", _labels().cast("array<int>")).withColumn(
+        "adjcode", _adjcode_col()
+    )
+
+
+@dataclass
+class FSMResult:
+    """All frequent patterns found, plus the runner's iteration record."""
+
+    patterns: list[dict]  # {pattern, n_edges, embeddings, support}
+    run: RunResult | None
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(
+            [
+                (p["pattern"], p["n_edges"], p["embeddings"], p["support"])
+                for p in self.patterns
+            ],
+            "pattern string, n_edges int, embeddings long, support long",
+        )
+
+
+def _labeled_edge_table(edges: DataFrame, vertex_labels: DataFrame) -> DataFrame:
+    lab = vertex_labels.select("vid", F.col("label").alias("lab"))
+    return (
+        edges.select("src", "dst")
+        .join(lab.withColumnRenamed("vid", "src").withColumnRenamed("lab", "lsrc"), "src")
+        .join(lab.withColumnRenamed("vid", "dst").withColumnRenamed("lab", "ldst"), "dst")
+    )
+
+
+def _level_stats(
+    frontier: DataFrame, n_edges: int, min_support: int
+) -> tuple[list[dict], DataFrame]:
+    """(frequent patterns at this level, surviving frontier).
+
+    One quick aggregation + tiny canonicalization + one distinct-count
+    aggregation; the survivors semi-join is the C8 aggregation-filter.
+    """
+    fr = _with_quick(frontier)
+    quick = fr.groupBy("labels", "adjcode").agg(F.count("*").alias("cnt"))
+    canon = canonicalize_quick(quick).localCheckpoint(eager=True)
+
+    # domains: every embedding contributes its vertex at each canonical
+    # position (DomainSupport.convertFromEmbeddingToNormal:130-154)
+    dom = (
+        fr.select("labels", "adjcode", F.posexplode(_vids()).alias("pos", "vid"))
+        .join(F.broadcast(canon.select("labels", "adjcode", "pattern", "pos_map")),
+              ["labels", "adjcode"])
+        .select("pattern", F.col("pos_map")[F.col("pos")].alias("cpos"), "vid")
+    )
+    support = (
+        dom.groupBy("pattern", "cpos")
+        .agg(F.countDistinct("vid").alias("d"))
+        .groupBy("pattern")
+        .agg(F.min("d").alias("support"))
+    )
+    counts = canon.groupBy("pattern").agg(F.sum("cnt").alias("embeddings"))
+    level = counts.join(support, "pattern")
+    # C11 end-aggregation: drop infrequent patterns
+    freq_rows = level.filter(F.col("support") >= min_support).collect()
+    freq = [
+        {
+            "pattern": r["pattern"],
+            "n_edges": n_edges,
+            "embeddings": r["embeddings"],
+            "support": r["support"],
+        }
+        for r in freq_rows
+    ]
+    if not freq:
+        empty = frontier.limit(0)
+        return [], empty
+    freq_patterns = {p["pattern"] for p in freq}
+    freq_quick = canon.filter(
+        F.col("pattern").isin(list(freq_patterns))
+    ).select("labels", "adjcode")
+    # C8 aggregation-filter: frontier semi-joined on surviving patterns
+    survivors = fr.join(F.broadcast(freq_quick), ["labels", "adjcode"], "left_semi").drop(
+        "labels", "adjcode"
+    )
+    return freq, survivors
+
+
+def _expand(frontier: DataFrame, ledges_sym: DataFrame) -> DataFrame:
+    """Grow every embedding by one incident edge; dedup on the edge set.
+
+    ``ledges_sym`` is (u, v, lv): both directions of the labeled edge
+    table. The C2 expand-join: member vertices probe the adjacency; the
+    new edge must not already be in the embedding; the result set is
+    deduplicated on the sorted edge array (exactly-once enumeration).
+    """
+    members = frontier.select("vs", "edges", F.explode(_vids()).alias("m"))
+    cand = members.join(ledges_sym, members["m"] == ledges_sym["u"])
+    new_edge = F.struct(
+        F.least("m", "v").alias("u"), F.greatest("m", "v").alias("v")
+    )
+    grown = (
+        cand.filter(~F.array_contains("edges", new_edge))
+        .select(
+            F.array_sort(
+                F.array_union("vs", F.array(F.struct(F.col("v").alias("vid"), F.col("lv").alias("lab"))))
+            ).alias("vs"),
+            F.array_sort(F.array_union("edges", F.array(new_edge))).alias("edges"),
+        )
+        .dropDuplicates(["edges"])
+    )
+    return grown
+
+
+def fsm(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertex_labels: DataFrame,
+    min_support: int,
+    max_edges: int = 3,
+    checkpoint_dir: str | Path | None = None,
+    resume: bool = False,
+) -> FSMResult:
+    """Mine all frequent connected subgraphs of ≤ ``max_edges`` edges.
+
+    ``edges`` canonical (src < dst, deduped); ``vertex_labels`` (vid,
+    label int). Returns every pattern whose MNI support ≥ ``min_support``,
+    with its embedding count and support. Mirrors the reference FSM job:
+    scripts/fsm.yaml (support 300, citeseer) drives the same loop.
+    """
+    led = _labeled_edge_table(edges, vertex_labels)
+    ledges_sym = (
+        led.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("ldst").alias("lv"))
+        .union(
+            led.select(F.col("dst").alias("u"), F.col("src").alias("v"), F.col("lsrc").alias("lv"))
+        )
+        .persist()
+    )
+
+    # bootstrap: size-1 (single-edge) embeddings — C1
+    frontier1 = led.select(
+        F.array_sort(
+            F.array(
+                F.struct(F.col("src").alias("vid"), F.col("lsrc").alias("lab")),
+                F.struct(F.col("dst").alias("vid"), F.col("ldst").alias("lab")),
+            )
+        ).alias("vs"),
+        F.array(F.struct(F.col("src").alias("u"), F.col("dst").alias("v"))).alias("edges"),
+    )
+    found, survivors = _level_stats(frontier1, 1, min_support)
+    all_patterns: list[dict] = list(found)
+
+    if max_edges > 1 and found:
+
+        def step(state: DataFrame, i: int):
+            k = i + 2  # state holds size-(k-1) survivors
+            grown = _expand(state, ledges_sym).localCheckpoint(eager=True)
+            freq, surv = _level_stats(grown, k, min_support)
+            all_patterns.extend(freq)
+            return surv, {
+                "level": k,
+                "frequent": [[p["pattern"], p["embeddings"], p["support"]] for p in freq],
+            }
+
+        runner = SuperstepRunner(
+            spark, checkpoint_dir=checkpoint_dir, max_iterations=max_edges - 1
+        )
+        # halt: empty surviving frontier == "no frequent patterns left"
+        # (FSMMasterComputation.java:22-25)
+        run = runner.run(survivors, step, resume=resume)
+        if resume and run.resumed_from is not None:
+            # levels completed before the restart are replayed from the
+            # manifest's metrics (the driver-side pattern lists); keep the
+            # last entry per iteration (reruns may overlap)
+            by_iter: dict[int, dict] = {}
+            for entry in runner.read_manifest():
+                by_iter[entry["iteration"]] = entry
+            for it in sorted(by_iter):
+                entry = by_iter[it]
+                if entry["iteration"] <= run.resumed_from:
+                    for pat, emb, sup in entry["metrics"].get("frequent", []):
+                        all_patterns.append(
+                            {
+                                "pattern": pat,
+                                "n_edges": entry["metrics"]["level"],
+                                "embeddings": emb,
+                                "support": sup,
+                            }
+                        )
+    else:
+        run = None
+    ledges_sym.unpersist()
+    return FSMResult(patterns=all_patterns, run=run)

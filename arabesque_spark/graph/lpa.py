@@ -83,11 +83,14 @@ def label_propagation(
         )
         return new_state, {"superstep": i}
 
-    def halt(state: DataFrame, i: int) -> tuple[bool, dict]:
-        n_changed = state.filter("changed").count()
-        return n_changed == 0, {"changed": n_changed}
-
     runner = SuperstepRunner(spark, checkpoint_dir=checkpoint_dir, max_iterations=max_iterations)
-    result = runner.run(state0, step, halt=halt, resume=resume)
+    # label fixpoint observed on the materialization job — no extra action
+    result = runner.run(
+        state0,
+        step,
+        resume=resume,
+        halt_exprs={"changed": F.count_if(F.col("changed"))},
+        halt_decide=lambda m, i: (m["changed"] or 0) == 0,
+    )
     sym.unpersist()
     return result

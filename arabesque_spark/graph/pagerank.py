@@ -142,16 +142,23 @@ def pagerank(
         )
         return new_state, {"superstep": i}
 
-    def halt(state: DataFrame, i: int) -> tuple[bool, dict]:
-        max_delta = state.agg(F.max("delta").alias("d")).collect()[0]["d"]
-        return (max_delta is not None and max_delta < tol), {"max_delta": max_delta}
+    def halt_decide(m: dict, i: int) -> bool:
+        md = m.get("max_delta")
+        return md is not None and md < tol
 
     runner = SuperstepRunner(
         spark, checkpoint_dir=checkpoint_dir, max_iterations=max_iterations
     )
-    # fixed-iteration runs (tol < 0) never converge on tolerance — skip the
-    # per-iteration convergence aggregation entirely (one fewer job/superstep)
-    result = runner.run(state0, step, halt=halt if tol >= 0 else None, resume=resume)
+    # convergence rides on the materialization job via observe() — ZERO
+    # extra jobs per superstep; fixed-iteration runs (tol < 0) skip even
+    # the observed aggregate
+    result = runner.run(
+        state0,
+        step,
+        resume=resume,
+        halt_exprs={"max_delta": F.max("delta")} if tol >= 0 else None,
+        halt_decide=halt_decide if tol >= 0 else None,
+    )
     adj.unpersist()
     return result
 

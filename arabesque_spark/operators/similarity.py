@@ -123,3 +123,68 @@ def ann_topk(
     if cands.limit(k).count() < k:
         cands = embeddings.filter(F.col(id_col) != query_id)
     return cosine_topk(cands, qvec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ann_topk_batch(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    planes: int = 12,
+    probes: int | None = None,
+    seed: int = 97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch approximate k-NN JOIN → (qid, vec_id, score, rk) for every
+    query at once — the shape a training-data pipeline runs (dedup against
+    a corpus, retrieval candidate generation), with ZERO driver actions:
+    no per-query collect, no thin-bucket count gate, no full-scan fallback.
+
+    Both sides are bucketed by the same deterministic random-hyperplane
+    LSH; each query probes its own bucket plus the ``planes`` buckets at
+    Hamming distance 1 (multi-probe — recovers most of the recall lost to
+    boundary effects without touching more than (1+planes)/2^planes of the
+    index per query). Candidates come from an equality join on the bucket
+    id; exact cosine reranks JVM-side; per-query top-k is a single
+    windowed row_number. At scale the bucketed index is written once,
+    partitioned by bucket, so the probe join co-locates.
+
+    ``probes`` caps the probe list (1 = exact-bucket only). Scores are
+    rounded to 5 decimals before ranking, ties broken by ascending id —
+    deterministic across partitionings.
+    """
+    from pyspark.sql.window import Window
+
+    qb = lsh_buckets(queries, planes=planes, seed=seed, id_col=id_col, vec_col=vec_col)
+    flips = [F.col("bucket")] + [
+        F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(planes)
+    ]
+    if probes is not None:
+        flips = flips[:probes]
+    qprobe = (
+        queries.join(qb, id_col)
+        .select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qvec"),
+            _norm(F.col(vec_col)).alias("qnorm"),
+            F.explode(F.array(*flips)).alias("bucket"),
+        )
+    )
+    ib = index.join(
+        lsh_buckets(index, planes=planes, seed=seed, id_col=id_col, vec_col=vec_col),
+        id_col,
+    ).select(id_col, vec_col, _norm(F.col(vec_col)).alias("inorm"), "bucket")
+    cand = qprobe.join(ib, "bucket").filter(F.col("qid") != F.col(id_col))
+    scored = cand.select(
+        "qid",
+        F.col(id_col),
+        F.round(
+            _dot(F.col("qvec"), F.col(vec_col)) / (F.col("qnorm") * F.col("inorm")), 5
+        ).alias("score"),
+    )  # each index vector lives in exactly one bucket → no duplicate pairs
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", id_col, "score", "rk")
+    )

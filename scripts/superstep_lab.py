@@ -1,0 +1,174 @@
+"""PageRank superstep variant lab — measure, don't guess.
+
+Round-1 measurement (BENCH/BASELINE.md) put engine scaling at 0.68 of the
+hardware ceiling with a ~constant non-scaling residual per superstep. The
+physical plan shows where it hides: after materialization the state has
+UnknownPartitioning, so every superstep EXCHANGES the V-scale state twice
+(gather join + writeback join) and SORTS it twice (sort-merge joins), and
+the 188M-row exploded gather runs a partial aggregation whose per-task
+hash table can reach V entries (spill → sort fallback).
+
+Variants measured here, composable:
+
+  base   — the engine's current step (fused observe, 1 action/superstep)
+  hash   — shuffle_hash join hints on both joins (no sorts of state)
+  repart — repartition state once after materialization; AQE reuses the
+           exchange stage for both joins (1 state exchange instead of 2)
+  noagg  — explode → repartition(vid) → groupBy: the partial aggregate
+           runs AFTER the exchange (bounded V/n-key tables, no spill);
+           shuffles raw (vid, contrib) rows instead of partial sums
+
+Usage:
+  python scripts/superstep_lab.py worker <cores> <variant> <edge_fraction> <iters>
+  python scripts/superstep_lab.py sweep   # runs the matrix, prints JSON lines
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GRAPH_DIR = "/tmp/arabesque_scaling_graph"
+TMPFS = "/dev/shm/spark_local"
+
+
+def make_step(spark, adj, n_parts, variant: str):
+    from pyspark.sql import functions as F
+
+    hash_hint = "hash" in variant
+    repart = "repart" in variant
+    noagg = "noagg" in variant
+
+    def step(state, i):
+        if repart:
+            state = state.repartition(n_parts, "vid")
+        gather_left = state.hint("shuffle_hash") if hash_hint else state
+        exploded = (
+            gather_left.join(adj, gather_left["vid"] == adj["src"])
+            .select(
+                F.explode("neighbors").alias("vid"),
+                (F.col("rank") / F.col("deg")).alias("contrib"),
+            )
+        )
+        if noagg:
+            contribs = (
+                exploded.repartition(n_parts, "vid")
+                .groupBy("vid")
+                .agg(F.sum("contrib").alias("contrib_sum"))
+            )
+        else:
+            contribs = exploded.groupBy("vid").agg(F.sum("contrib").alias("contrib_sum"))
+        if hash_hint:
+            contribs = contribs.hint("shuffle_hash")
+        joined = state.join(contribs, "vid", "left")
+        new_state = joined.select(
+            "vid",
+            (F.lit(0.15 / 8_000_000) + F.lit(0.85) * F.coalesce("contrib_sum", F.lit(0.0))).alias(
+                "rank"
+            ),
+            "deg",
+            F.abs(F.col("rank")).alias("delta"),
+        )
+        return new_state, {"superstep": i}
+
+    return step
+
+
+def worker(cores: int, variant: str, frac: float, iters: int) -> None:
+    from pyspark.sql import functions as F
+
+    from arabesque_spark.engine.superstep import SuperstepRunner
+    from arabesque_spark.graph.build import build_adjacency
+    from arabesque_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"lab_{cores}_{variant}",
+        master=f"local[{cores}]",
+        shuffle_partitions=2 * cores,
+    )
+    n_parts = 2 * cores
+    edges = spark.read.parquet(GRAPH_DIR)
+    if frac < 1.0:
+        edges = edges.filter(F.pmod(F.xxhash64("src", "dst"), F.lit(1000)) < int(frac * 1000))
+    adj = (
+        build_adjacency(edges, num_partitions=n_parts)
+        .select("src", "neighbors")
+        .repartition(n_parts, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    adj.count()
+    from arabesque_spark.graph.build import degrees
+
+    deg = degrees(edges)
+    state0 = deg.select(
+        "vid", F.lit(1.0 / 8_000_000).alias("rank"), "deg", F.lit(1.0).alias("delta")
+    )
+    runner = SuperstepRunner(spark, max_iterations=iters)
+    step = make_step(spark, adj, n_parts, variant)
+    t0 = time.time()
+    result = runner.run(state0, step, halt_decide=lambda m, i: False, halt_exprs={})
+    wall = time.time() - t0
+    walls = [round(r.wall_s, 2) for r in result.iterations]
+    med = statistics.median(walls)
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "variant": variant,
+                "frac": frac,
+                "iters": iters,
+                "walls": walls,
+                "median": round(med, 3),
+                "total": round(wall, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+def run_worker(cores: int, variant: str, frac: float, iters: int) -> dict:
+    env = {**os.environ, "SPARK_GRAFT_LOCAL_DIR": TMPFS}
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            "worker",
+            str(cores),
+            variant,
+            str(frac),
+            str(iters),
+        ],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env=env,
+        timeout=3600,
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(out.stderr[-3000:])
+        raise RuntimeError(f"worker {cores}/{variant} failed")
+    rec = json.loads(lines[-1])
+    print(lines[-1], flush=True)
+    return rec
+
+
+def sweep() -> None:
+    os.makedirs(TMPFS, exist_ok=True)
+    variants = ["base", "hash", "hash_repart", "hash_repart_noagg", "repart", "noagg"]
+    for v in variants:
+        run_worker(16, v, 0.25, 5)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, REPO)
+    if sys.argv[1] == "worker":
+        worker(int(sys.argv[2]), sys.argv[3], float(sys.argv[4]), int(sys.argv[5]))
+    else:
+        sweep()

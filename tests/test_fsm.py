@@ -1,0 +1,137 @@
+"""FSM: MNI support semantics vs a brute-force miner, C8 pruning, resume."""
+
+from __future__ import annotations
+
+from itertools import permutations
+
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.fsm import fsm, quick_canonical
+from tests.conftest import TEST_GRAPH_EDGES
+
+LABELS = {0: 1, 1: 2, 2: 2, 3: 1, 4: 3, 5: 1, 6: 2}
+
+
+def _connected(es) -> bool:
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in es:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        parent[find(u)] = find(v)
+    return len({find(x) for x in parent}) == 1
+
+
+def _pattern(es, labels):
+    vs = sorted({x for e in es for x in e})
+    labs = tuple(labels[v] for v in vs)
+    idx = {v: i for i, v in enumerate(vs)}
+    adjcode = tuple(sorted(idx[u] * 16 + idx[v] for u, v in es))
+    return quick_canonical(labs, adjcode), vs
+
+
+def bruteforce_fsm(edges, labels, min_support, max_edges):
+    """Ground truth replicating the engine's semantics: MNI domains from
+    vid-sorted stored embeddings remapped through the canonical pos_map,
+    generation = surviving parent + one incident edge, dedup by edge set.
+    """
+    all_edges = [tuple(sorted(e)) for e in edges]
+    results = {}
+    frontier = {frozenset([e]) for e in all_edges}
+    for k in range(1, max_edges + 1):
+        stats: dict = {}
+        pattern_of: dict = {}
+        for es in frontier:
+            (pat, pos_map), vs = _pattern(es, labels)
+            pattern_of[es] = pat
+            d = stats.setdefault(pat, {"emb": 0, "dom": {}})
+            d["emb"] += 1
+            for i, v in enumerate(vs):
+                d["dom"].setdefault(pos_map[i], set()).add(v)
+        freq = set()
+        for pat, d in stats.items():
+            support = min(len(s) for s in d["dom"].values())
+            if support >= min_support:
+                freq.add(pat)
+                results[pat] = (k, d["emb"], support)
+        if not freq or k == max_edges:
+            break
+        survivors = [es for es in frontier if pattern_of[es] in freq]
+        nxt = set()
+        for es in survivors:
+            vset = {x for e in es for x in e}
+            for e in all_edges:
+                if e not in es and (e[0] in vset or e[1] in vset):
+                    nxt.add(es | {e})
+        frontier = nxt
+    return results
+
+
+def _run_engine(spark, edges, labels, s, k, **kw):
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    ldf = spark.createDataFrame(list(labels.items()), "vid long, label int")
+    res = fsm(spark, edf, ldf, min_support=s, max_edges=k, **kw)
+    return {p["pattern"]: (p["n_edges"], p["embeddings"], p["support"]) for p in res.patterns}
+
+
+def test_fsm_matches_bruteforce_on_test_graph(spark):
+    for s in (1, 2, 3):
+        got = _run_engine(spark, TEST_GRAPH_EDGES, LABELS, s, 3)
+        want = bruteforce_fsm(TEST_GRAPH_EDGES, LABELS, s, 3)
+        assert got == want, f"min_support={s}"
+
+
+def test_fsm_c8_pruning_blocks_infrequent_parents(spark):
+    # two label-(1,1) edges (frequent at s=2) + one label-(1,9) edge
+    # (support 1, infrequent): the wedge 1-2-3 exists in the graph but one
+    # of its parents is infrequent; it must still be generated via its
+    # OTHER (frequent) parent — while the wedge 2-3-4 pattern involving
+    # vertex 4 only through the infrequent edge must NOT appear with s=2.
+    edges = [(1, 2), (2, 3), (3, 4)]
+    labels = {1: 1, 2: 1, 3: 1, 4: 9}
+    got = _run_engine(spark, edges, labels, 2, 2)
+    want = bruteforce_fsm(edges, labels, 2, 2)
+    assert got == want
+    # the (1,9) edge pattern is infrequent → absent
+    assert "1,9|1" not in got
+    # level-2: wedge (1,1,9) generated only from the surviving (1,1) parent
+    # — present in the generated set but its support over position domains
+    # decides frequency; brute force is the arbiter (checked above)
+
+
+def test_fsm_canonical_key_is_relabeling_invariant():
+    # isomorphism-class property checked independently of the engine: any
+    # vertex re-ordering of the same labeled subgraph yields the same key
+    es = [(0, 1), (1, 2), (0, 2), (2, 3)]  # triangle + pendant
+    labs = {0: 5, 1: 7, 2: 5, 3: 7}
+    keys = set()
+    for perm in permutations(range(4)):
+        m = dict(zip(range(4), perm))
+        res = [tuple(sorted((m[u], m[v]))) for u, v in es]
+        vs = sorted({x for e in res for x in e})
+        idx = {v: i for i, v in enumerate(vs)}
+        inv_lab = {m[v]: labs[v] for v in labs}
+        labels = tuple(inv_lab[v] for v in vs)
+        adjcode = tuple(sorted(idx[u] * 16 + idx[v] for u, v in res))
+        keys.add(quick_canonical(labels, adjcode)[0])
+    assert len(keys) == 1
+
+
+def test_fsm_checkpoint_resume(spark, tmp_path):
+    ckpt = tmp_path / "fsm_ckpt"
+    full = _run_engine(spark, TEST_GRAPH_EDGES, LABELS, 2, 3, checkpoint_dir=ckpt)
+    resumed = _run_engine(
+        spark, TEST_GRAPH_EDGES, LABELS, 2, 3, checkpoint_dir=ckpt, resume=True
+    )
+    assert resumed == full
+
+
+def test_fsm_empty_when_nothing_frequent(spark):
+    got = _run_engine(spark, TEST_GRAPH_EDGES, LABELS, 100, 3)
+    assert got == {}

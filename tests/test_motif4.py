@@ -1,0 +1,71 @@
+"""Size-4 induced motif census vs brute force (golden graph + ER graphs)."""
+
+from __future__ import annotations
+
+from collections import Counter
+from itertools import combinations
+
+from arabesque_spark.graph.motifs import motif4_counts
+from tests.conftest import TEST_GRAPH_EDGES
+from tests.reference_impls import powerlaw_graph
+
+
+def census4_bruteforce(edges) -> dict[str, int]:
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    verts = sorted(adj)
+    out: Counter[str] = Counter()
+    for quad in combinations(verts, 4):
+        sub = [(a, b) for a, b in combinations(quad, 2) if b in adj[a]]
+        if len(sub) < 3:
+            continue
+        degs = Counter()
+        for a, b in sub:
+            degs[a] += 1
+            degs[b] += 1
+        if any(degs[q] == 0 for q in quad):
+            continue  # isolated vertex → disconnected
+        ds = tuple(sorted(degs[q] for q in quad))
+        m = len(sub)
+        if m == 3:
+            # 3 edges, no isolated vertex → always connected (tree)
+            out["p4" if ds == (1, 1, 2, 2) else "claw"] += 1
+        elif m == 4:
+            if ds == (2, 2, 2, 2):
+                out["c4"] += 1
+            else:
+                out["paw"] += 1
+        elif m == 5:
+            out["diamond"] += 1
+        else:
+            out["k4"] += 1
+    return dict(out)
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["pattern"]: r["cnt"] for r in motif4_counts(spark, df).collect()}
+    return {k: v for k, v in got.items() if v != 0}
+
+
+def test_motif4_on_test_graph(spark):
+    got = _run(spark, TEST_GRAPH_EDGES)
+    want = census4_bruteforce(TEST_GRAPH_EDGES)
+    assert got == want
+
+
+def test_motif4_on_random_graphs(spark):
+    # power-law-ish graphs exercise every class incl. k4/diamond
+    for n, m, seed in ((30, 4, 7), (25, 5, 11)):
+        edges = powerlaw_graph(n, m=m, seed=seed)
+        got = _run(spark, edges)
+        want = census4_bruteforce(edges)
+        assert got == want, (n, m, seed)
+
+
+def test_motif4_complete_graph_is_all_k4(spark):
+    edges = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    got = _run(spark, edges)
+    assert got == {"k4": 15}  # C(6,4)
