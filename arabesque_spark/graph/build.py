@@ -54,6 +54,50 @@ def canonical_edges(df: DataFrame, src: str = "src", dst: str = "dst") -> DataFr
     )
 
 
+def canonical_labeled_edges(
+    df: DataFrame, src: str = "src", dst: str = "dst", label: str = "label"
+) -> DataFrame:
+    """Labeled-edge canonicalization → (src, dst, label) with src < dst.
+
+    The reference's edge-labeled load path (graph/LabelledEdge.java:8-30,
+    BasicMainGraph.java:390-400, flag conf/Configuration.java:54-55).
+    Dedup includes the label, so parallel edges with DISTINCT labels are
+    kept — the multigraph neighbourhood semantics
+    (graph/MultiVertexNeighbourhood.java:22-27); a simple labeled graph
+    (one label per edge) is unchanged by that choice.
+    """
+    u, v = F.col(src), F.col(dst)
+    return (
+        df.select(
+            F.least(u, v).alias("src"),
+            F.greatest(u, v).alias("dst"),
+            F.col(label).cast("int").alias("label"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst", "label"])
+    )
+
+
+def labeled_adjacency(ledges: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Adjacency with per-edge labels → (src, neighbors array<struct<nbr, elabel>>, deg).
+
+    The analog of MultiVertexNeighbourhood (neighbor → edge list); one
+    struct per incident edge, sorted by (nbr, elabel) — parallel labeled
+    edges appear as distinct structs.
+    """
+    sym = ledges.select("src", "dst", "label").union(
+        ledges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "label")
+    )
+    if num_partitions:
+        sym = sym.repartition(num_partitions, "src")
+    return sym.groupBy("src").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("dst").alias("nbr"), F.col("label").alias("elabel")))
+        ).alias("neighbors"),
+        F.count("*").cast("int").alias("deg"),
+    )
+
+
 def symmetric_edges(edges: DataFrame) -> DataFrame:
     """Both directions of a canonical (src<dst) edge table.
 

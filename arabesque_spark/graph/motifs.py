@@ -70,10 +70,13 @@ def motif4_counts(spark: SparkSession, edges: DataFrame) -> DataFrame:
     All arithmetic decimal(38,0) — ANSI-safe for hub degrees.
     """
     from arabesque_spark.graph.cliques import k_cliques
+    from arabesque_spark.graph.triangles import _oriented
 
     deg = degrees(edges)
     dec = lambda c: F.col(c).cast("decimal(38,0)")
-    tris = triangle_list(spark, edges).persist()
+    # orient once (two E-scale degree joins), reuse for the triangle list
+    ori = _oriented(edges, True).persist()
+    tris = triangle_list(spark, edges, oriented=ori).persist()
     n_tri = tris.count()
 
     # per-edge triangle participation t_e
@@ -132,6 +135,7 @@ def motif4_counts(spark: SparkSession, edges: DataFrame) -> DataFrame:
     c4_ni = c4_ni2 // 2
     k4 = k_cliques(spark, edges, 4).count()
     tris.unpersist()
+    ori.unpersist()
 
     # non-induced → induced (each larger class contains the smaller
     # pattern as a subgraph a fixed number of times)

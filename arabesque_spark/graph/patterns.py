@@ -185,3 +185,186 @@ def labeled_motif3_census(
     )
     quick = open_quick.union(tri_quick)
     return canonicalize_patterns(quick, size=3)
+
+
+# ---------------------------------------------------------------------------
+# edge-labeled census (LabelledEdge semantics)
+# ---------------------------------------------------------------------------
+
+def quick_canonical_edge_labeled(
+    vlabels: tuple[int, ...], pairs: tuple[tuple[int, int], ...]
+) -> str:
+    """Canonical key of a pattern with BOTH vertex and edge labels.
+
+    ``pairs`` holds (pos_code, edge_label) with pos_code = i*16 + j over
+    stored positions i < j. Minimum over all k! vertex permutations of
+    (permuted vertex labels, sorted permuted (pair, edge_label) list) —
+    the VICPattern search the reference uses when edges are labeled
+    (pattern/VICPattern.java:22-66, selected at conf/Configuration.java:178-180,
+    since bliss only canonicalizes vertex-labeled graphs).
+    """
+    k = len(vlabels)
+    best = None
+    for perm in permutations(range(k)):
+        inv = [0] * k
+        for ci, qi in enumerate(perm):
+            inv[qi] = ci
+        pvl = tuple(vlabels[perm[i]] for i in range(k))
+        ppairs = tuple(
+            sorted(
+                ((min(inv[c >> 4], inv[c & 15]) << 4) | max(inv[c >> 4], inv[c & 15]), el)
+                for c, el in pairs
+            )
+        )
+        cand = (pvl, ppairs)
+        if best is None or cand < best:
+            best = cand
+    pvl, ppairs = best
+    return ",".join(map(str, pvl)) + "|" + ";".join(f"{c:x}:{el}" for c, el in ppairs)
+
+
+def edge_labeled_motif3_census(
+    spark: SparkSession,
+    ledges: DataFrame,
+    vertex_labels: DataFrame,
+) -> DataFrame:
+    """3-vertex census over a graph with vertex AND edge labels
+    → (pattern, cnt). ``ledges`` is canonical (src, dst, label).
+
+    Same shape as :func:`labeled_motif3_census` — no wedge rows: the
+    per-center histogram keys on the (neighbor vertex label, edge label)
+    pair, so a wedge class is a center label plus a multiset of two
+    (vlabel, elabel) prongs; closed wedges subtract via the triangle list
+    re-joined with its three edge labels. Quick keys aggregate first, the
+    tiny distinct set canonicalizes in pandas (O3 two-level plan).
+    """
+    lab = vertex_labels.select("vid", "label")
+
+    sym = ledges.select("src", "dst", F.col("label").alias("el")).union(
+        ledges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("label"))
+    )
+    # (c, lv, el, n): prong histogram per center
+    nl = (
+        sym.join(lab.withColumnRenamed("vid", "dst").withColumnRenamed("label", "lv"), "dst")
+        .groupBy(F.col("src").alias("c"), "lv", "el")
+        .agg(F.count("*").alias("n"))
+    )
+    na, nb = nl.alias("na"), nl.alias("nb")
+    prong_a = F.struct(F.col("na.lv").alias("lv"), F.col("na.el").alias("el"))
+    prong_b = F.struct(F.col("nb.lv").alias("lv"), F.col("nb.el").alias("el"))
+    n1 = F.col("na.n").cast("decimal(38,0)")
+    pair_counts = (
+        na.join(
+            nb,
+            (F.col("na.c") == F.col("nb.c"))
+            & (
+                (F.col("na.lv") < F.col("nb.lv"))
+                | ((F.col("na.lv") == F.col("nb.lv")) & (F.col("na.el") <= F.col("nb.el")))
+            ),
+        )
+        .select(
+            F.col("na.c").alias("c"),
+            prong_a.alias("p1"),
+            prong_b.alias("p2"),
+            F.when(prong_a == prong_b, n1 * (F.col("na.n") - 1) / 2)
+            .otherwise(n1 * F.col("nb.n"))
+            .cast("long")
+            .alias("wcnt"),
+        )
+    )
+    all_wedges = (
+        pair_counts.join(
+            lab.withColumnRenamed("vid", "c").withColumnRenamed("label", "lc"), "c"
+        )
+        .groupBy("lc", "p1", "p2")
+        .agg(F.sum("wcnt").alias("total"))
+    )
+
+    # triangles with their three edge labels (a<b<c from the oriented list)
+    tris = triangle_list(spark, ledges.select("src", "dst"))
+    el = ledges.select("src", "dst", "label")
+
+    def edge_lab(df, u, v, out):
+        return df.join(
+            el.withColumnRenamed("src", u).withColumnRenamed("dst", v).withColumnRenamed(
+                "label", out
+            ),
+            [u, v],
+        )
+
+    tl = edge_lab(edge_lab(edge_lab(tris, "a", "b", "eab"), "a", "c", "eac"), "b", "c", "ebc")
+    tl = (
+        tl.join(lab.withColumnRenamed("vid", "a").withColumnRenamed("label", "la"), "a")
+        .join(lab.withColumnRenamed("vid", "b").withColumnRenamed("label", "lb"), "b")
+        .join(lab.withColumnRenamed("vid", "c").withColumnRenamed("label", "lx"), "c")
+    )
+
+    def prong(lv, e):
+        return F.struct(F.col(lv).alias("lv"), F.col(e).alias("el"))
+
+    def sorted_pair(pa, pb):
+        return F.when(pa <= pb, F.array(pa, pb)).otherwise(F.array(pb, pa))
+
+    closed = (
+        tl.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("la").alias("lc"),
+                        sorted_pair(prong("lb", "eab"), prong("lx", "eac")).alias("pp"),
+                    ),
+                    F.struct(
+                        F.col("lb").alias("lc"),
+                        sorted_pair(prong("la", "eab"), prong("lx", "ebc")).alias("pp"),
+                    ),
+                    F.struct(
+                        F.col("lx").alias("lc"),
+                        sorted_pair(prong("la", "eac"), prong("lb", "ebc")).alias("pp"),
+                    ),
+                )
+            ).alias("w")
+        )
+        .select("w.lc", F.col("w.pp")[0].alias("p1"), F.col("w.pp")[1].alias("p2"))
+        .groupBy("lc", "p1", "p2")
+        .agg(F.count("*").alias("closed"))
+    )
+    open_quick = (
+        all_wedges.join(closed, ["lc", "p1", "p2"], "left")
+        .select(
+            F.array(F.col("lc"), F.col("p1.lv"), F.col("p2.lv")).alias("vlabels"),
+            F.array(
+                F.struct(F.lit(1).alias("code"), F.col("p1.el").alias("el")),
+                F.struct(F.lit(2).alias("code"), F.col("p2.el").alias("el")),
+            ).alias("pairs"),
+            (F.col("total") - F.coalesce("closed", F.lit(0))).alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    tri_quick = tl.select(
+        F.array("la", "lb", "lx").alias("vlabels"),
+        F.array(
+            F.struct(F.lit(1).alias("code"), F.col("eab").alias("el")),
+            F.struct(F.lit(2).alias("code"), F.col("eac").alias("el")),
+            F.struct(F.lit(18).alias("code"), F.col("ebc").alias("el")),
+        ).alias("pairs"),
+    ).groupBy("vlabels", "pairs").agg(F.count("*").alias("cnt"))
+
+    quick = open_quick.unionByName(tri_quick.select("vlabels", "pairs", "cnt"))
+
+    @F.pandas_udf(T.StringType())
+    def canon(vlabels: pd.Series, pairs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                quick_canonical_edge_labeled(
+                    tuple(int(x) for x in vl),
+                    tuple((int(p["code"]), int(p["el"])) for p in pr),
+                )
+                for vl, pr in zip(vlabels, pairs)
+            ]
+        )
+
+    return (
+        quick.withColumn("pattern", canon("vlabels", "pairs"))
+        .groupBy("pattern")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -52,6 +52,7 @@ def triangle_list(
     edges: DataFrame,
     degree_oriented: bool = True,
     broadcast_closing: bool | None = None,
+    oriented: DataFrame | None = None,
 ) -> DataFrame:
     """Every triangle exactly once → (a, b, c), unordered set as a sorted triple.
 
@@ -62,8 +63,12 @@ def triangle_list(
     sf0.1); ``True`` forces the broadcast hint (wedge side never shuffles
     or sorts), ``False`` leaves sort-merge — the right plan when edges
     outgrow executor memory at 100-TB scale.
+
+    ``oriented`` lets a caller orient ONCE (``_oriented`` costs two
+    E-scale degree joins) and reuse the persisted (u, v) table across
+    triangle_count / per-vertex counts / censuses in the same session.
     """
-    o = _oriented(edges, degree_oriented)
+    o = oriented if oriented is not None else _oriented(edges, degree_oriented)
     x, y = o.alias("x"), o.alias("y")
     # wedges at the orientation's low vertex; y.v > x.v in orientation order
     # is enforced with a plain (deg,id)-free comparison on ids to keep the

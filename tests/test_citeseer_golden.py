@@ -1,0 +1,147 @@
+"""Citeseer golden tests — the reference's own sample graph (SURVEY §5.1).
+
+The reference ships citeseer (3,312 vertices / 4,536 undirected edges, six
+vertex labels) and runs every example algorithm against it
+(/root/reference/data/citeseer.graph, README.md:59-64, scripts/*.yaml).
+A mid-size known-answer graph catches bugs the 7-vertex fixture and the
+SQL oracle both miss (tie-breaking at scale, hub handling, fixpoint
+counts). Golden constants below were computed with the pure-Python
+reference implementations in this repo (tests/reference_impls.py) and the
+per-run assertions recompute them from scratch — the literals guard
+against reference-impl drift, the recomputation guards the engine.
+
+Skipped when the reference data directory is not present.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.reference_impls import (
+    connected_components_unionfind,
+    lpa_sync,
+    pagerank_numpy,
+    triangles_bruteforce,
+)
+
+CITESEER = Path("/root/reference/data/citeseer.graph")
+GOLDEN_V = 3312
+GOLDEN_E = 4536
+GOLDEN_TRIANGLES = 1166
+GOLDEN_COMPONENTS = 438
+GOLDEN_LARGEST_COMPONENT = 2110
+
+pytestmark = pytest.mark.skipif(not CITESEER.exists(), reason="citeseer data not present")
+
+
+def load_citeseer() -> tuple[list[tuple[int, int]], dict[int, int]]:
+    edges, labels = [], {}
+    for line in CITESEER.read_text().splitlines():
+        parts = line.split()
+        if not parts:
+            continue
+        vid, lab = int(parts[0]), int(parts[1])
+        labels[vid] = lab
+        for n in parts[2:]:
+            n = int(n)
+            if vid < n:
+                edges.append((vid, n))
+    return edges, labels
+
+
+@pytest.fixture(scope="module")
+def citeseer(spark):
+    edges, labels = load_citeseer()
+    edf = spark.createDataFrame(edges, "src long, dst long").persist()
+    return edges, labels, edf
+
+
+def test_citeseer_shape(citeseer):
+    edges, labels, edf = citeseer
+    assert len(labels) == GOLDEN_V
+    assert len(edges) == GOLDEN_E == edf.count()
+
+
+def test_citeseer_triangles(spark, citeseer):
+    edges, _, edf = citeseer
+    from arabesque_spark.graph.triangles import (
+        triangle_count,
+        triangle_counts_per_vertex,
+    )
+
+    total, per_vertex = triangles_bruteforce(edges)
+    assert total == GOLDEN_TRIANGLES
+    assert triangle_count(spark, edf) == total
+    got = {r["vid"]: r["triangles"] for r in triangle_counts_per_vertex(spark, edf).collect()}
+    assert got == per_vertex
+
+
+def test_citeseer_connected_components(spark, citeseer):
+    edges, labels, edf = citeseer
+    from arabesque_spark.graph.components import connected_components
+
+    verts = spark.createDataFrame([(v,) for v in labels], "vid long")
+    want = connected_components_unionfind(edges, vertices=list(labels))
+    got = {
+        r["vid"]: r["component"]
+        for r in connected_components(spark, edf, vertices=verts).collect()
+    }
+    assert got == want
+    assert len(set(got.values())) == GOLDEN_COMPONENTS
+    from collections import Counter
+
+    sizes = Counter(got.values())
+    assert max(sizes.values()) == GOLDEN_LARGEST_COMPONENT
+
+
+def test_citeseer_pagerank_allclose_1e6(spark, citeseer):
+    edges, labels, edf = citeseer
+    import numpy as np
+
+    from arabesque_spark.graph.pagerank import pagerank
+
+    verts = spark.createDataFrame([(v,) for v in labels], "vid long")
+    res = pagerank(spark, edf, vertices=verts, tol=1e-6)
+    assert res.converged
+    got = {r["vid"]: r["rank"] for r in res.state.select("vid", "rank").collect()}
+    want = pagerank_numpy(edges, vertices=list(labels), tol=1e-6)
+    assert set(got) == set(want)
+    gv = np.array([got[v] for v in sorted(got)])
+    wv = np.array([want[v] for v in sorted(want)])
+    assert np.allclose(gv, wv, atol=1e-6, rtol=0)
+    assert abs(gv.sum() - 1.0) < 1e-9  # probability mass conserved
+
+
+def test_citeseer_lpa_deterministic(spark, citeseer):
+    edges, _, edf = citeseer
+    from arabesque_spark.graph.lpa import label_propagation
+
+    got = {
+        r["vid"]: r["label"]
+        for r in label_propagation(spark, edf, max_iterations=5).state.select("vid", "label").collect()
+    }
+    want = lpa_sync(edges, max_iterations=5)
+    assert got == want
+
+
+def test_citeseer_fsm_reference_config(spark, citeseer):
+    # the reference's own FSM operating point: citeseer, support 300
+    # (/root/reference/scripts/fsm.yaml). At 300 no single-edge pattern is
+    # frequent (max MNI support on citeseer is 279 at level 1), so the
+    # aggregation-filter blocks ALL expansion and the job halts with an
+    # empty result — both engines must agree on that, and on a non-trivial
+    # threshold too.
+    edges, labels, edf = citeseer
+    from tests.test_fsm import bruteforce_fsm, _run_engine
+
+    assert _run_engine(spark, edges, labels, 300, 2) == bruteforce_fsm(
+        edges, labels, 300, 2
+    ) == {}
+
+    got = _run_engine(spark, edges, labels, 200, 2)
+    want = bruteforce_fsm(edges, labels, 200, 2)
+    assert got == want
+    assert len(got) == 9  # 5 edge patterns + 4 wedge patterns at s=200

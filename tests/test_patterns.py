@@ -67,3 +67,93 @@ def test_census_uniform_labels_reduces_to_unlabeled_motifs(spark, test_graph):
     }
     # exactly two isomorphism classes: wedge (bits 0b011) and triangle (0b111)
     assert got == {"0,0,0|3": 11, "0,0,0|7": 1}
+
+
+# --- edge-labeled census (reference EdgeLabelledTestGraph.groovy) ----------
+
+EDGE_LABELED_GRAPH = [
+    # (src, dst, edge_label) — EdgeLabelledTestGraph.groovy:34-41
+    (0, 1, 0), (0, 2, 1), (0, 3, 0), (0, 4, 1),
+    (3, 5, 2), (4, 5, 2), (4, 6, 2), (5, 6, 3),
+]
+EDGE_LABELED_VLABELS = {0: 0, 1: 1, 2: 2, 3: 1, 4: 2, 5: 0, 6: 3}
+
+
+def edge_labeled_census_bruteforce(ledges, vlabels):
+    """Independent enumeration: all connected 3-sets, min-perm canonical
+    over (vertex labels, (pair, edge label) list)."""
+    from collections import Counter
+    from itertools import combinations, permutations
+
+    adj = {}
+    for u, v, el in ledges:
+        adj.setdefault(u, {})[v] = el
+        adj.setdefault(v, {})[u] = el
+    out: Counter[str] = Counter()
+    for trip in combinations(sorted(adj), 3):
+        pairs = [
+            (i * 16 + j, adj[trip[i]][trip[j]])
+            for i in range(3)
+            for j in range(i + 1, 3)
+            if trip[j] in adj[trip[i]]
+        ]
+        if len(pairs) < 2:
+            continue
+        best = None
+        for perm in permutations(range(3)):
+            inv = [0] * 3
+            for ci, qi in enumerate(perm):
+                inv[qi] = ci
+            pvl = tuple(vlabels[trip[perm[i]]] for i in range(3))
+            pp = tuple(
+                sorted(
+                    (
+                        (min(inv[c >> 4], inv[c & 15]) << 4)
+                        | max(inv[c >> 4], inv[c & 15]),
+                        el,
+                    )
+                    for c, el in pairs
+                )
+            )
+            cand = (pvl, pp)
+            if best is None or cand < best:
+                best = cand
+        pvl, pp = best
+        key = ",".join(map(str, pvl)) + "|" + ";".join(f"{c:x}:{el}" for c, el in pp)
+        out[key] += 1
+    return dict(out)
+
+
+def test_edge_labeled_census_matches_bruteforce(spark):
+    from arabesque_spark.graph.build import canonical_labeled_edges
+    from arabesque_spark.graph.patterns import edge_labeled_motif3_census
+
+    ledges = canonical_labeled_edges(
+        spark.createDataFrame(EDGE_LABELED_GRAPH, "src long, dst long, label int")
+    )
+    vlab = spark.createDataFrame(
+        list(EDGE_LABELED_VLABELS.items()), "vid long, label int"
+    )
+    got = {
+        r["pattern"]: r["cnt"]
+        for r in edge_labeled_motif3_census(spark, ledges, vlab).collect()
+    }
+    want = edge_labeled_census_bruteforce(EDGE_LABELED_GRAPH, EDGE_LABELED_VLABELS)
+    assert got == want
+    # same topology as the unlabeled TestGraph: 11 wedges + 1 triangle
+    assert sum(got.values()) == 12
+
+
+def test_canonical_labeled_edges_multigraph(spark):
+    from arabesque_spark.graph.build import canonical_labeled_edges, labeled_adjacency
+
+    raw = spark.createDataFrame(
+        # both directions + duplicate + PARALLEL edge with a second label
+        [(1, 0, 7), (0, 1, 7), (0, 1, 8), (2, 0, 5), (2, 2, 1)],
+        "src long, dst long, label int",
+    )
+    canon = canonical_labeled_edges(raw)
+    got = {(r["src"], r["dst"], r["label"]) for r in canon.collect()}
+    assert got == {(0, 1, 7), (0, 1, 8), (0, 2, 5)}  # parallel labels kept, self-loop dropped
+    adj = {r["src"]: r["neighbors"] for r in labeled_adjacency(canon).collect()}
+    assert [(n["nbr"], n["elabel"]) for n in adj[0]] == [(1, 7), (1, 8), (2, 5)]
