@@ -40,7 +40,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--pairwise-limit", type=int, default=16)
 
-    for name in ("pagerank", "cc", "lpa", "triangles"):
+    for name in ("pagerank", "cc", "lpa", "triangles", "motifs", "fsm"):
         p = sub.add_parser(name)
         p.add_argument("--edges", required=True, help="parquet dir with (src,dst)")
         p.add_argument("--out", default=None, help="result parquet dir")
@@ -52,6 +52,12 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--max-iterations", type=int, default=100)
         if name == "lpa":
             p.add_argument("--max-iterations", type=int, default=20)
+        if name == "motifs":
+            p.add_argument("--size", type=int, default=3, choices=(3, 4))
+        if name == "fsm":
+            p.add_argument("--labels", required=True, help="parquet dir with (vid,label)")
+            p.add_argument("--support", type=int, required=True, help="MNI min support")
+            p.add_argument("--max-edges", type=int, default=3)
 
     args = parser.parse_args(argv)
 
@@ -119,6 +125,27 @@ def main(argv: list[str] | None = None) -> int:
         )
         out_df = res.state.select("vid", "label")
         info = {"converged": res.converged, "iterations": res.num_iterations}
+    elif args.cmd == "motifs":
+        from arabesque_spark.graph.motifs import motif3_counts, motif4_counts
+
+        fn = motif3_counts if args.size == 3 else motif4_counts
+        out_df = fn(spark, edges)
+        info = {"size": args.size}
+    elif args.cmd == "fsm":
+        from arabesque_spark.graph.fsm import fsm
+
+        labels = spark.read.parquet(args.labels)
+        res = fsm(
+            spark,
+            edges,
+            labels,
+            min_support=args.support,
+            max_edges=args.max_edges,
+            checkpoint_dir=args.checkpoint,
+            resume=args.resume,
+        )
+        out_df = res.to_df(spark)
+        info = {"frequent_patterns": len(res.patterns)}
     else:  # triangles
         from arabesque_spark.graph.triangles import triangle_counts_per_vertex
 

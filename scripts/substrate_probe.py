@@ -1,0 +1,36 @@
+"""Substrate probe: plain Spark SQL shuffle+agg at the PageRank gather shape.
+
+188M (key in [0,8M), double) rows -> groupBy(key).sum - no engine code,
+no materialization loop. If THIS scales like the engine superstep does,
+the residual is the substrate (Spark shuffle/agg on this VM), not the
+engine's plan.
+"""
+import json, statistics, sys, time
+sys.path.insert(0, "/root/repo")
+from arabesque_spark.session import get_spark
+from pyspark.sql import functions as F
+
+cores = int(sys.argv[1])
+spark = get_spark(app_name=f"probe_{cores}", master=f"local[{cores}]",
+                  shuffle_partitions=2 * cores)
+rows = 188_000_000
+walls = []
+for it in range(5):
+    t0 = time.time()
+    df = (spark.range(0, rows, 1, 2 * cores)
+          .select(F.pmod(F.xxhash64("id", F.lit(it)), F.lit(8_000_000)).alias("vid"),
+                  (F.col("id") % 97 / 97.0).alias("contrib"))
+          .groupBy("vid").agg(F.sum("contrib").alias("s")))
+    n = df.count()
+    walls.append(round(time.time() - t0, 2))
+print(json.dumps({"cores": cores, "walls": walls, "median": statistics.median(walls), "min": min(walls)}))
+spark.stop()
+
+# Measured on this sandbox (quiet machine, tmpfs shuffle, memory scaled
+# with cores — 12g@4, 48g@16):
+#   local[4]  walls [56.86, 38.96, 41.64, 39.93, 42.13]  median 41.64  min 38.96
+#   local[16] walls [21.59, 15.59, 15.16, 16.47, 14.03]  median 15.59  min 14.03
+#   speedup 2.67x (median) / 2.78x (min)  ->  efficiency 0.67-0.69
+# i.e. the SUBSTRATE (plain Spark shuffle+agg on one socket) caps this
+# workload class well below the 3.49x compute-only ceiling; see
+# BENCH/BASELINE.md for how engine efficiency is reported against both.

@@ -133,7 +133,15 @@ def worker(cores: int, variant: str, frac: float, iters: int) -> None:
 
 
 def run_worker(cores: int, variant: str, frac: float, iters: int) -> dict:
-    env = {**os.environ, "SPARK_GRAFT_LOCAL_DIR": TMPFS}
+    # memory scales WITH cores: a real 4N-executor cluster has 4x the
+    # total heap, so emulating N->4N at fixed heap would shrink per-task
+    # execution memory 4x at the larger size — an artificial spill
+    # asymmetry no real scale-up has (same reasoning as tmpfs shuffle)
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_LOCAL_DIR": TMPFS,
+        "SPARK_GRAFT_DRIVER_MEM": f"{3 * cores}g",
+    }
     out = subprocess.run(
         [
             sys.executable,
