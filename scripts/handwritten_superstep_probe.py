@@ -1,0 +1,65 @@
+"""Attainable-bound probe #2: a HAND-WRITTEN minimal PageRank superstep.
+
+Same input graph, same logical work as the engine's superstep — join the
+cached src-partitioned adjacency, explode, divide, groupBy-sum — but with
+NONE of the engine machinery: no runner, no observe metrics, no
+localCheckpoint materialization, no writeback join, no delta column.
+This is the textbook definition of engine overhead: engine wall vs the
+best a hand-written Spark job can do on the same data and shape.
+
+Usage: python scripts/handwritten_superstep_probe.py <cores> [iters]
+"""
+import json
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.build import build_adjacency, degrees
+from arabesque_spark.session import get_spark
+
+GRAPH_DIR = "/tmp/arabesque_scaling_graph"
+
+cores = int(sys.argv[1])
+iters = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+spark = get_spark(
+    app_name=f"hand_{cores}", master=f"local[{cores}]", shuffle_partitions=2 * cores
+)
+n_parts = 2 * cores
+edges = spark.read.parquet(GRAPH_DIR)
+adj = (
+    build_adjacency(edges, num_partitions=n_parts)
+    .select("src", "neighbors")
+    .repartition(n_parts, "src")
+    .sortWithinPartitions("src")
+    .persist()
+)
+adj.count()
+state = (
+    degrees(edges)
+    .select("vid", F.lit(1.0 / 8_000_000).alias("rank"), "deg")
+    .localCheckpoint(eager=True)
+)
+walls = []
+for i in range(iters):
+    t0 = time.time()
+    contribs = (
+        state.join(adj, state["vid"] == adj["src"])
+        .select(
+            F.explode("neighbors").alias("vid"),
+            (F.col("rank") / F.col("deg")).alias("contrib"),
+        )
+        .groupBy("vid")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    contribs.count()  # one action: the gather, nothing else
+    walls.append(round(time.time() - t0, 2))
+print(
+    json.dumps(
+        {"cores": cores, "walls": walls, "median": statistics.median(walls), "min": min(walls)}
+    )
+)
+spark.stop()
