@@ -425,6 +425,22 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact mode (the oracle twin);
+    the LSH-bucketed scale mode is recall-tested in pytest."""
+    from arabesque_spark.operators.similarity import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, mode="exact"
+    )
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arabesque_spark.operators.text import bpe_token_stats
+
+    return bpe_token_stats(load_table(spark, sf_dir, "documents"))
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -473,6 +489,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_fingerprint,
     "cosine_topk": q_cosine_topk,
+    "embed_near_dup": q_embed_near_dup,
+    "bpe_token_stats": q_bpe_token_stats,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_customers": q_top_customers,
@@ -652,6 +670,21 @@ FROM h""",
     "doc_fingerprint": f"""
 WITH t AS (SELECT doc_id, unnest({_DOC_TOKENS}) AS tok FROM documents)
 SELECT doc_id, MIN(md5(tok)) AS fp FROM t GROUP BY doc_id""",
+    "embed_near_dup": """
+SELECT a, b, score FROM (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         ROUND(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                      CAST(y.embedding AS DOUBLE[])), 5) AS score
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+) WHERE score >= 0.4""",
+    "bpe_token_stats": r"""
+WITH t AS (SELECT doc_id, text,
+                  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS n
+           FROM documents)
+SELECT doc_id,
+       CAST(n AS INTEGER) AS n_bpe_tokens,
+       ROUND(length(text) / GREATEST(CAST(n AS DOUBLE), 1.0), 4) AS chars_per_token
+FROM t""",
     "cosine_topk": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, score FROM (

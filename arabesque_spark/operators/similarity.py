@@ -188,3 +188,66 @@ def ann_topk_batch(
         .filter(F.col("rk") <= k)
         .select("qid", id_col, "score", "rk")
     )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "lsh",
+    planes: int = 8,
+    seed: int = 97,
+) -> DataFrame:
+    """Embedding near-duplicate pairs → (a, b, score) with a < b and
+    cosine ≥ threshold (rounded to 5 decimals before the filter).
+
+    The fifth dedup mode (exact / n-gram Jaccard / MinHash+LSH / SimHash /
+    THIS): near-dup detection in embedding space.
+
+    * ``mode="exact"`` — all-pairs self-join with a JVM-side cosine fold:
+      the oracle-checkable ground truth; O(N²), small collections only.
+    * ``mode="lsh"`` (default) — the scale path: candidates are pairs
+      whose random-hyperplane buckets agree exactly OR differ in one bit
+      (multi-probe), then exact cosine reranks. Never all-pairs: the
+      candidate set is Σ_bucket C(n_b, 2) + Hamming-1 cross terms. Recall
+      < 1 by construction (pytest-gated against the exact mode); raise
+      ``planes`` for precision, lower it for recall.
+    """
+    norms = embeddings.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm")
+    )
+    score = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 5
+    ).alias("score")
+    left = norms.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
+    )
+    right = norms.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb")
+    )
+    if mode == "exact":
+        pairs = left.join(right, F.col("a") < F.col("b"))
+    elif mode == "lsh":
+        buckets = lsh_buckets(
+            embeddings, planes=planes, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+        probe = buckets.select(
+            F.col(id_col).alias("a"),
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(planes)],
+                )
+            ).alias("bucket"),
+        )
+        cand = (
+            probe.join(buckets.select(F.col(id_col).alias("b"), "bucket"), "bucket")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .dropDuplicates(["a", "b"])
+        )
+        pairs = cand.join(left, "a").join(right, "b")
+    else:
+        raise ValueError(f"cosine_near_dup_pairs: unknown mode {mode!r}")
+    return pairs.select("a", "b", score).filter(F.col("score") >= threshold)

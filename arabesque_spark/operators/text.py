@@ -93,3 +93,30 @@ def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id", text: str = "text")
         F.col(id_col),
         F.array_min(F.transform(toks, lambda t: F.md5(t))).alias("fp"),
     )
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def bpe_token_stats(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """(doc_id, n_bpe_tokens, chars_per_token) — subword-ish token counting.
+
+    A BPE pre-tokenizer splits letter runs, short digit groups, and
+    individual punctuation before merges; ``BPE_ISH_PATTERN`` reproduces
+    that segmentation (letter runs | ≤3-digit groups | single
+    non-alphanumeric), giving a deterministic, tokenizer-free estimate of
+    token counts for budget/pricing-style pipeline stages.
+    ``chars_per_token`` (rounded to 4) is the usual compressibility
+    signal: prose sits near 4-5, code and noise lower. JVM-side
+    ``regexp_extract_all`` — no Python, same regex semantics as the
+    DuckDB twin.
+    """
+    toks = F.regexp_extract_all(F.col(text), F.lit(BPE_ISH_PATTERN), 0)
+    n = F.size(toks)
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_bpe_tokens"),
+        F.round(
+            F.length(F.col(text)) / F.greatest(n.cast("double"), F.lit(1.0)), 4
+        ).alias("chars_per_token"),
+    )

@@ -202,3 +202,41 @@ def test_ann_topk_batch_recall(spark):
     # rank column is a dense 1..k per query, deterministically ordered
     rks = sorted(r["rk"] for r in got if r["qid"] == 0)
     assert rks == [1, 2, 3, 4, 5]
+
+
+def test_cosine_near_dup_lsh_recall(spark):
+    import numpy as np
+
+    from arabesque_spark.operators.similarity import cosine_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(200, 16)).astype("float32")
+    # plant 20 near-dup pairs (ids 100+i ~ ids i)
+    for i in range(20):
+        base[100 + i] = base[i] + rng.normal(scale=0.12, size=16).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {
+        (r["a"], r["b"])
+        for r in cosine_near_dup_pairs(emb, 0.9, mode="exact").collect()
+    }
+    assert len(exact) >= 15  # planted pairs dominate at this threshold
+    approx = {
+        (r["a"], r["b"])
+        for r in cosine_near_dup_pairs(emb, 0.9, mode="lsh", planes=6).collect()
+    }
+    assert approx <= exact  # rerank is exact → no false positives
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, recall  # high-cosine pairs share buckets w.h.p.
+
+
+def test_bpe_token_stats(docs):
+    from arabesque_spark.operators.text import bpe_token_stats
+
+    got = {r["doc_id"]: r for r in bpe_token_stats(docs).collect()}
+    # doc 0: "the quick brown fox jumps over the lazy dog" → 9 letter runs
+    assert got[0]["n_bpe_tokens"] == 9
+    assert got[6]["n_bpe_tokens"] == 1  # "x"
+    assert all(r["chars_per_token"] > 0 for r in got.values())
