@@ -121,27 +121,36 @@ def minhash_signatures(
     """(doc_id, sig array<long> of length k) — k-permutation MinHash over
     word n-gram shingles.
 
-    Shingle hashing runs JVM-side (``transform(shingles, xxhash64)`` —
-    whole-stage codegen, no Python string loop); the pandas stage is a
-    single vectorized numpy pass: permutation values for ALL shingles of
-    an Arrow batch in one (k × n_shingles) matrix, per-row minima via
-    ``np.minimum.reduceat``. No per-row Python anywhere.
+    Shingle hashing runs JVM-side (``transform(shingles, xxhash64)``
+    truncated to 32 bits — whole-stage codegen, no Python string loop);
+    the pandas stage is a single vectorized numpy pass: permutation
+    values for ALL shingles of an Arrow batch in one (k × n_shingles)
+    uint32 matrix, per-row minima via ``np.minimum.reduceat``. No
+    per-row Python anywhere. 32-bit lanes on purpose: numpy's 64-bit
+    integer multiply is scalar (no SIMD), measured 45-160 ns/op on this
+    class of VM — uint32 vectorizes 8-wide and a 2³² hash space is ample
+    for per-document shingle sets (k permutations only need to rank ~10³
+    shingles per doc; cross-document collisions at 1/2³² are noise).
 
-    Permutation i is ``((aᵢ·x mod 2⁶⁴) + bᵢ) mod 2⁶¹−1`` with fixed odd
-    multipliers aᵢ and offsets bᵢ derived from a seeded generator — a
-    wrapped multiply-shift family (NOT the textbook (a·x+b) mod p
-    universal hash: the 64-bit product wraps before the Mersenne
-    reduction). It is deterministic across runs/partitions and mixes
-    xxhash64 inputs well empirically (estimator accuracy is pytest-gated);
-    collision bounds are heuristic, not proven.
+    Permutation i is ``(aᵢ·x + bᵢ) mod 2³²`` with fixed odd multipliers
+    aᵢ and offsets bᵢ derived from a seeded generator — a multiply-shift
+    family (Dietzfelbinger et al.), deterministic across runs and
+    partitions; estimator accuracy is pytest-gated.
     """
     rng = np.random.default_rng(1234567)
-    a = (rng.integers(1, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64) | np.uint64(1))
-    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    a = (rng.integers(1, 2**32, size=k, dtype=np.int64).astype(np.uint32) | np.uint32(1))
+    b = rng.integers(0, 2**32, size=k, dtype=np.int64).astype(np.uint32)
 
-    hashed = docs.select(
+    # a single-file input arrives as ONE partition — which would serialize
+    # the whole signature pass through one Python worker; spread it first
+    # (cheap: rows are (id, text))
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    hashed = docs.repartition(n_parts).select(
         F.col(id_col),
-        F.transform(shingles_col(n, text), lambda s: F.xxhash64(s)).alias("hs"),
+        F.transform(
+            shingles_col(n, text),
+            lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF)),
+        ).alias("hs"),
     )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -150,11 +159,11 @@ def minhash_signatures(
                 yield pd.DataFrame({id_col: batch[id_col], "sig": []})
                 continue
             lengths = np.fromiter((len(h) for h in batch["hs"]), dtype=np.int64)
-            flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in batch["hs"]]).astype(
-                np.uint64
-            ) % np.uint64(_MERSENNE)
-            # (k, total_shingles) permuted values in one shot
-            perm = (a[:, None] * flat[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+            flat = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in batch["hs"]]
+            ).astype(np.uint32)
+            # (k, total_shingles) permuted values in one vectorized shot
+            perm = a[:, None] * flat[None, :] + b[:, None]  # uint32 wraparound
             offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
             mins = np.minimum.reduceat(perm, offsets, axis=1)  # (k, n_rows)
             sigs = list(mins.T.astype(np.int64))
@@ -258,7 +267,10 @@ def simhash(
             T.StructField("simhash", T.LongType(), False),
         ]
     )
-    return docs.select(id_col, text).mapInPandas(compute, schema=schema)
+    # spread a single-file input before the Python stage (see
+    # minhash_signatures: one partition = one worker)
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select(id_col, text).repartition(n_parts).mapInPandas(compute, schema=schema)
 
 
 def simhash_near_pairs(
