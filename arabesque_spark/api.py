@@ -463,6 +463,24 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.events_hourly(spark, sf_dir)
 
 
+SESSION_GAP_MINUTES = 480
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of the stateful streaming
+    operator, streaming/sessions.py)."""
+    from arabesque_spark.streaming.sessions import sessionize_batch
+
+    s = sessionize_batch(load_table(spark, sf_dir, "events"), SESSION_GAP_MINUTES)
+    return s.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_edges": q_graph_edges,
     "graph_degrees": q_graph_degrees,
@@ -495,6 +513,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "top_customers": q_top_customers,
     "events_hourly": q_events_hourly,
+    "user_sessions": q_user_sessions,
 }
 
 
@@ -725,4 +744,21 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        ROUND(SUM(value), 4) AS sum_value
 FROM events
 GROUP BY 1, 2""",
+    "user_sessions": f"""
+WITH m AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts)
+                   > CAST({SESSION_GAP_MINUTES} AS BIGINT) * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sidx
+      FROM m)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM s GROUP BY user_id, sidx""",
 }

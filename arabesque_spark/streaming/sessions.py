@@ -1,0 +1,168 @@
+"""Stateful sessionization: the custom-stateful-operator surface.
+
+The reference has no streaming at all (SURVEY §2.5); this is the
+Spark-native extension the engine exposes for unbounded event input where
+the built-in windowed aggregates genuinely cannot express the semantics —
+session windows whose extent depends on the DATA (gap-based), not the
+clock. Two twins:
+
+* :func:`sessionize_batch` — deterministic batch assignment (lag + gap →
+  cumulative session index → per-session aggregate). Fully
+  SQL-expressible → DuckDB oracle twin in api.py.
+* :func:`sessionize_stream` — the same semantics over a stream via
+  ``applyInPandasWithState``: per-user state = the one OPEN session
+  (start, last_ts, n, sum); arriving micro-batch events merge/extend it,
+  any gap > ``gap_minutes`` closes and EMITS the earlier session; an
+  event-time timeout (watermark passing last_ts + gap) closes idle
+  sessions. State per key is O(1) — bounded regardless of stream length —
+  and keys shard by user across the cluster.
+
+Vectorized throughout: the state function receives Arrow record batches
+and uses numpy for the gap-split; no per-row Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+# open-session state: (start_us, last_us, n, sum)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+    ]
+)
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """(user_id, session_start, session_end, n_events, sum_value) — events
+    of a user belong to one session while consecutive gaps ≤ gap.
+
+    One shuffle on user_id; the window functions run inside each user's
+    partition slice (per-user event counts are the skew bound — salt the
+    user key upstream if a single user can exceed a task's memory).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = gap_minutes * 60 * 1_000_000
+    # integer MICROseconds on both sides of the gap test — second-cast
+    # truncation would disagree with the SQL twin on fractional timestamps
+    # cast handles TIMESTAMP_NTZ inputs (session tz is pinned to UTC, so
+    # the reinterpretation is stable); unix_micros needs TIMESTAMP
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    marked = events.select("user_id", "ts", "value").withColumn(
+        "new_session", (us - F.lag(us).over(w) > F.lit(gap_us)).cast("int")
+    )
+    sessions = marked.withColumn(
+        "session_idx", F.sum(F.coalesce("new_session", F.lit(0))).over(w)
+    )
+    return (
+        sessions.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .drop("session_idx")
+    )
+
+
+def _session_fn(gap_minutes: int):
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(
+        key: tuple[Any], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n, s = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                    "sum_value": [round(s, 4)],
+                }
+            )
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        ts_us = batch["ts"].astype("int64").to_numpy() // 1000  # ns → us
+        vals = batch["value"].to_numpy()
+        if state.exists:
+            start_us, last_us, n, s = state.get
+        else:
+            start_us = last_us = int(ts_us[0])
+            n, s = 0, 0.0
+            # fold the first event below via the generic path: pretend the
+            # open session starts at the first event with nothing in it
+        # split points: events starting a NEW session (gap from predecessor,
+        # where the predecessor of event 0 is the open session's last_us)
+        prev = np.concatenate(([last_us], ts_us[:-1]))
+        new_flags = (ts_us - prev) > gap_us
+        closed: list[tuple[int, int, int, float]] = []
+        for i in range(len(ts_us)):
+            if new_flags[i]:
+                closed.append((start_us, last_us, n, s))
+                start_us, n, s = int(ts_us[i]), 0, 0.0
+            last_us = int(ts_us[i])
+            n += 1
+            s += float(vals[i])
+        closed = [c for c in closed if c[2] > 0]
+        state.update((start_us, last_us, n, s))
+        # close idle sessions once the watermark passes last_ts + gap
+        state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(c[0], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "sum_value": [round(c[3], 4) for c in closed],
+                }
+            )
+
+    return fn
+
+
+def sessionize_stream(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of :func:`sessionize_batch`: emits each session when
+    it CLOSES (a later event opens the next one, or event-time timeout
+    fires after the watermark passes last_event + gap)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn(gap_minutes),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,81 @@
+"""Stateful sessionization: batch twin semantics + applyInPandasWithState
+streaming emission (close-on-next-event and close-on-timeout paths)."""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from arabesque_spark.streaming.sessions import sessionize_batch, sessionize_stream
+
+GAP_MIN = 30
+
+
+def _ts(h, m=0):
+    return datetime(2024, 3, 1, h, m)
+
+
+# (user_id, ts, value) — 3 users; 30-minute gap sessions annotated
+EVENTS = [
+    (1, _ts(10, 0), 1.0), (1, _ts(10, 10), 2.0), (1, _ts(10, 20), 3.0),  # u1 A
+    (2, _ts(10, 5), 5.0),                                                # u2 A
+    (1, _ts(12, 0), 4.0), (1, _ts(12, 5), 5.0),                          # u1 B
+    (2, _ts(13, 0), 6.0), (2, _ts(13, 10), 7.0),                         # u2 B
+    (1, _ts(15, 0), 9.0),                                                # u1 C
+    (99, _ts(23, 0), 0.0),                                               # watermark pushers
+    (99, _ts(23, 30), 0.0),
+]
+EXPECTED_SESSIONS = {
+    (1, _ts(10, 0), _ts(10, 20), 3, 6.0),
+    (1, _ts(12, 0), _ts(12, 5), 2, 9.0),
+    (1, _ts(15, 0), _ts(15, 0), 1, 9.0),
+    (2, _ts(10, 5), _ts(10, 5), 1, 5.0),
+    (2, _ts(13, 0), _ts(13, 10), 2, 13.0),
+    (99, _ts(23, 0), _ts(23, 30), 2, 0.0),  # exactly-30min gap: same session
+}
+
+
+def _rows_to_set(rows):
+    return {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in rows
+    }
+
+
+def test_sessionize_batch_golden(spark):
+    df = spark.createDataFrame(EVENTS, "user_id long, ts timestamp, value double")
+    got = _rows_to_set(sessionize_batch(df, GAP_MIN).collect())
+    assert got == EXPECTED_SESSIONS
+
+
+def test_sessionize_stream_emits_closed_sessions(spark, tmp_path):
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    # time-ordered files → watermark advances batch by batch
+    chunks = [EVENTS[:4], EVENTS[4:8], EVENTS[8:9], EVENTS[9:10], EVENTS[10:]]
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, "user_id long, ts timestamp, value double") \
+            .coalesce(1).write.parquet(str(src / f"chunk_{i}"))
+        time.sleep(1.1)  # distinct modification times = deterministic order
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/chunk_*")
+    )
+    out = sessionize_stream(stream, gap_minutes=GAP_MIN, watermark="1 minute")
+    q = (
+        out.writeStream.format("memory").queryName("sessions_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = _rows_to_set(spark.table("sessions_test").collect())
+    # every emission is a true session of the batch twin (no fabrications)
+    assert got <= EXPECTED_SESSIONS
+    # all sessions CLOSED before the final watermark were emitted:
+    # u1 A/B (closed by later events), u2 A (timeout), u2 B (timeout),
+    # u1 C (timeout once the 23:00 pusher advanced the watermark)
+    must_emit = {s for s in EXPECTED_SESSIONS if s[0] != 99}
+    assert must_emit <= got, got
