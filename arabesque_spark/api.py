@@ -463,6 +463,40 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.events_hourly(spark, sf_dir)
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline end-to-end: synthesize opaque binary media →
+    batch decode (deterministic fake codec; the real-codec switch point
+    raises NotImplementedError in this container) → frame sampling →
+    per-item feature stats. Rows-only: the payload synthesis needs
+    sha2-512, which DuckDB lacks; the fake-decode path and batch shapes
+    are pytest-verified (tests/test_operators.py)."""
+    from arabesque_spark.operators.multimodal import (
+        decode_media,
+        frame_sample,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=256, seed=7)
+    dec = decode_media(media, fake=True)
+    fs = frame_sample(dec, every=8).groupBy("media_id").agg(
+        F.count("*").alias("n_sampled")
+    )
+    return dec.join(fs, "media_id", "left").select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "n_frames",
+        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        F.round(
+            F.aggregate(
+                "features", F.lit(0.0), lambda a, x: a + (x * x).cast("double")
+            ),
+            6,
+        ).alias("feat_sq_norm"),
+    )
+
+
 SESSION_GAP_MINUTES = 480
 
 
@@ -514,6 +548,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_customers": q_top_customers,
     "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
+    "media_features": q_media_features,
 }
 
 
