@@ -82,7 +82,11 @@ def ngram_jaccard_pairs(
     near-dup practice). Pass ``max_shingle_freq=None`` for the exact
     small-scale/oracle mode.
     """
-    sh = docs.select(
+    # spread a single-file input FIRST: shingle generation (split + slice +
+    # join per gram) otherwise runs on one core, and the inverted index is
+    # scanned twice by the self-join
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    sh = docs.repartition(n_parts).select(
         F.col(id_col).alias("doc"), F.explode(shingles_col(n, text)).alias("s")
     )
     if max_shingle_freq is not None:
