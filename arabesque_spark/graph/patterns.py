@@ -229,7 +229,9 @@ def edge_labeled_motif3_census(
     vertex_labels: DataFrame,
 ) -> DataFrame:
     """3-vertex census over a graph with vertex AND edge labels
-    → (pattern, cnt). ``ledges`` is canonical (src, dst, label).
+    → (pattern, cnt). ``ledges`` is canonical (src, dst, label) with ONE
+    edge per vertex pair (a simple labeled graph); use
+    :func:`multigraph_motif3_census` when parallel edges exist.
 
     Same shape as :func:`labeled_motif3_census` — no wedge rows: the
     per-center histogram keys on the (neighbor vertex label, edge label)
@@ -238,10 +240,54 @@ def edge_labeled_motif3_census(
     re-joined with its three edge labels. Quick keys aggregate first, the
     tiny distinct set canonicalizes in pandas (O3 two-level plan).
     """
+    pair_edges = ledges.select("src", "dst", F.col("label").alias("el"))
+    return _edge_labeled_census_core(spark, pair_edges, vertex_labels, int)
+
+
+def multigraph_motif3_census(
+    spark: SparkSession,
+    ledges: DataFrame,
+    vertex_labels: DataFrame,
+) -> DataFrame:
+    """3-vertex census over an edge-labeled MULTIGRAPH → (pattern, cnt).
+
+    The reference's multigraph model keeps parallel edges with distinct
+    labels per vertex pair (graph/MultiVertexNeighbourhood.java:22-27,
+    fixture EdgeLabelledMultiTestGraph.groovy) and a vertex-induced
+    pattern carries the whole label SET of each position pair (the
+    fixture draws them as ``-(0,2)-``). So the census collapses parallel
+    edges into ONE pair edge whose label is the sorted label array —
+    after that the simple-graph machinery applies unchanged, with the
+    array as an orderable edge label (Spark orders arrays
+    lexicographically, so prong structs group/sort correctly).
+
+    One extra map-side-combinable groupBy over E; everything downstream
+    is the same no-wedge-row plan as :func:`edge_labeled_motif3_census`.
+    """
+    pair_edges = (
+        ledges.groupBy("src", "dst")
+        .agg(F.sort_array(F.collect_list("label")).alias("el"))
+    )
+    return _edge_labeled_census_core(
+        spark, pair_edges, vertex_labels, lambda el: tuple(int(x) for x in el)
+    )
+
+
+def _edge_labeled_census_core(
+    spark: SparkSession,
+    pair_edges: DataFrame,
+    vertex_labels: DataFrame,
+    el_to_py,
+) -> DataFrame:
+    """Shared census core over (src, dst, el) with ONE row per vertex
+    pair; ``el`` is any orderable Spark type (int for simple labeled
+    graphs, sorted array<int> for multigraphs) and ``el_to_py`` converts
+    a driver-side el value to a hashable/orderable Python value for the
+    canonical-key search."""
     lab = vertex_labels.select("vid", "label")
 
-    sym = ledges.select("src", "dst", F.col("label").alias("el")).union(
-        ledges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("label"))
+    sym = pair_edges.select("src", "dst", "el").union(
+        pair_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "el")
     )
     # (c, lv, el, n): prong histogram per center
     nl = (
@@ -281,8 +327,8 @@ def edge_labeled_motif3_census(
     )
 
     # triangles with their three edge labels (a<b<c from the oriented list)
-    tris = triangle_list(spark, ledges.select("src", "dst"))
-    el = ledges.select("src", "dst", "label")
+    tris = triangle_list(spark, pair_edges.select("src", "dst"))
+    el = pair_edges.select("src", "dst", F.col("el").alias("label"))
 
     def edge_lab(df, u, v, out):
         return df.join(
@@ -357,7 +403,7 @@ def edge_labeled_motif3_census(
             [
                 quick_canonical_edge_labeled(
                     tuple(int(x) for x in vl),
-                    tuple((int(p["code"]), int(p["el"])) for p in pr),
+                    tuple((int(p["code"]), el_to_py(p["el"])) for p in pr),
                 )
                 for vl, pr in zip(vlabels, pairs)
             ]

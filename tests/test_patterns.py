@@ -157,3 +157,82 @@ def test_canonical_labeled_edges_multigraph(spark):
     assert got == {(0, 1, 7), (0, 1, 8), (0, 2, 5)}  # parallel labels kept, self-loop dropped
     adj = {r["src"]: r["neighbors"] for r in labeled_adjacency(canon).collect()}
     assert [(n["nbr"], n["elabel"]) for n in adj[0]] == [(1, 7), (1, 8), (2, 5)]
+
+
+# --- multigraph census (reference EdgeLabelledMultiTestGraph.groovy) -------
+
+MULTI_GRAPH = [
+    # (src, dst, edge_label) — EdgeLabelledMultiTestGraph.groovy:34-46:
+    # the edge-labelled graph plus 4 PARALLEL edges with second labels
+    (0, 1, 0), (0, 2, 1), (0, 3, 0), (0, 4, 1),
+    (3, 5, 2), (4, 5, 2), (4, 6, 2), (5, 6, 3),
+    (0, 3, 2), (0, 4, 2), (3, 5, 0), (4, 5, 1),
+]
+MULTI_VLABELS = {0: 0, 1: 1, 2: 2, 3: 1, 4: 2, 5: 0, 6: 3}
+
+
+def multigraph_census_bruteforce(ledges, vlabels):
+    """Independent enumeration: connected 3-sets of the underlying simple
+    graph, pattern = (vertex labels, per-pair sorted label TUPLE), canonical
+    via the same exact min-perm search the engine uses (the independence is
+    in the enumeration; the keying function is exact by construction)."""
+    from arabesque_spark.graph.patterns import quick_canonical_edge_labeled
+
+    adj: dict[int, dict[int, list[int]]] = {}
+    for u, v, el in ledges:
+        adj.setdefault(u, {}).setdefault(v, []).append(el)
+        adj.setdefault(v, {}).setdefault(u, []).append(el)
+    out: Counter[str] = Counter()
+    for trip in combinations(sorted(adj), 3):
+        pairs = tuple(
+            (i * 16 + j, tuple(sorted(adj[trip[i]][trip[j]])))
+            for i in range(3)
+            for j in range(i + 1, 3)
+            if trip[j] in adj[trip[i]]
+        )
+        if len(pairs) < 2:
+            continue
+        vl = tuple(vlabels[t] for t in trip)
+        out[quick_canonical_edge_labeled(vl, pairs)] += 1
+    return dict(out)
+
+
+def test_multigraph_census_matches_bruteforce(spark):
+    from arabesque_spark.graph.build import canonical_labeled_edges
+    from arabesque_spark.graph.patterns import multigraph_motif3_census
+
+    ledges = canonical_labeled_edges(
+        spark.createDataFrame(MULTI_GRAPH, "src long, dst long, label int")
+    )
+    vlab = spark.createDataFrame(list(MULTI_VLABELS.items()), "vid long, label int")
+    got = {
+        r["pattern"]: r["cnt"]
+        for r in multigraph_motif3_census(spark, ledges, vlab).collect()
+    }
+    want = multigraph_census_bruteforce(MULTI_GRAPH, MULTI_VLABELS)
+    assert got == want
+    # parallel edges change labels, never topology: still 11 wedges + 1 triangle
+    assert sum(got.values()) == 12
+
+
+def test_multigraph_census_no_parallel_edges_matches_simple(spark):
+    """On a graph with no parallel edges the multigraph census is the
+    edge-labeled census with singleton label arrays."""
+    from arabesque_spark.graph.build import canonical_labeled_edges
+    from arabesque_spark.graph.patterns import multigraph_motif3_census
+
+    ledges = canonical_labeled_edges(
+        spark.createDataFrame(EDGE_LABELED_GRAPH, "src long, dst long, label int")
+    )
+    vlab = spark.createDataFrame(
+        list(EDGE_LABELED_VLABELS.items()), "vid long, label int"
+    )
+    got = {
+        r["pattern"]: r["cnt"]
+        for r in multigraph_motif3_census(spark, ledges, vlab).collect()
+    }
+    want = multigraph_census_bruteforce(
+        [(u, v, el) for u, v, el in EDGE_LABELED_GRAPH], EDGE_LABELED_VLABELS
+    )
+    assert got == want
+    assert sum(got.values()) == 12
