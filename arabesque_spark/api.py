@@ -394,6 +394,17 @@ def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_batch(emb.filter(F.col("vec_id") < 20), emb, k=10, planes=4)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (coarse-quantized) batch k-NN — rows-only; recall vs brute
+    force in tests/test_operators.py. Train-once centroids, one inverted
+    list per index vector, nprobe lists per query."""
+    from arabesque_spark.operators.similarity import ivf_topk_batch, ivf_train_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_train_centroids(emb, n_centroids=8, iterations=3)
+    return ivf_topk_batch(emb.filter(F.col("vec_id") < 20), emb, cents, k=10, nprobe=3)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -535,6 +546,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh,
     "ann_topk": q_ann_topk,
     "ann_topk_batch": q_ann_batch,
+    "ivf_topk": q_ivf_topk,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "token_stats": q_token_stats,
     "quality_score": q_quality,

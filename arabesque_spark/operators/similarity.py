@@ -190,6 +190,154 @@ def ann_topk_batch(
     )
 
 
+def ivf_train_centroids(
+    index: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 5,
+    seed: int = 131,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: k-means centroids over the
+    index collection (L2 Lloyd iterations on unit-normalized vectors ≈
+    spherical k-means, the standard IVF choice for cosine search).
+
+    Scale shape: only the K×D centroid matrix ever reaches the driver.
+    * init — the K rows with the smallest xxhash64(id, seed) (a
+      deterministic uniform sample; one TakeOrdered job);
+    * assign — one Arrow-batched pandas pass per iteration: the batch
+      matrix multiplies the broadcast K×D centroid matrix (vectorized,
+      no per-row Python);
+    * update — JVM-side: posexplode to (cluster, dim, value) and
+      avg per (cluster, dim). The key space is K×D, so map-side partial
+      aggregation collapses each partition to at most K×D rows before
+      the shuffle — the N×D explode never crosses the network.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    spark = index.sparkSession
+    norm_index = index.select(
+        F.col(id_col),
+        F.transform(
+            vec_col, lambda x: (x / F.greatest(_norm(F.col(vec_col)), F.lit(1e-12))).cast("double")
+        ).alias("v"),
+    )
+    init_rows = (
+        norm_index.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_centroids)
+        .orderBy(id_col)
+        .collect()
+    )
+    cents = np.array([list(r["v"]) for r in init_rows], dtype=np.float64)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType(), False),
+            T.StructField("v", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+    for _ in range(iterations):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def assign(batches, bc=bc):
+            for batch in batches:
+                if batch.empty:
+                    continue
+                X = np.vstack(batch["v"].to_numpy())
+                # unit vectors: argmin L2 == argmax dot
+                cl = np.argmax(X @ bc.value.T, axis=1).astype(np.int32)
+                yield pd.DataFrame({"cluster": cl, "v": list(X)})
+
+        assigned = norm_index.select("v").mapInPandas(assign, schema=assign_schema)
+        new_rows = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new_cents = cents.copy()  # empty clusters keep their old centroid
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in new_rows:
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+        for ci, dims in by_cluster.items():
+            vec = np.array([dims[d] for d in sorted(dims)], dtype=np.float64)
+            n = np.linalg.norm(vec)
+            if n > 1e-12:
+                new_cents[ci] = vec / n
+        cents = new_cents
+    return [list(map(float, c)) for c in cents]
+
+
+def _ivf_assign_col(centroids: list[list[float]], vec_col: str, nprobe: int):
+    """Array column of the ``nprobe`` nearest centroid ids for a vector —
+    JVM-side: per-centroid dot-product folds over the (small, literal)
+    centroid arrays, ranked with array_sort on (−score, id) structs."""
+    v = F.col(vec_col)
+    scored = F.array(
+        *[
+            F.struct(
+                (-_dot(v, F.array(*[F.lit(x) for x in c])) / F.greatest(_norm(v), F.lit(1e-12)))
+                .alias("negs"),
+                F.lit(ci).alias("cid"),
+            )
+            for ci, c in enumerate(centroids)
+        ]
+    )
+    return F.slice(F.array_sort(scored).cid, 1, nprobe)
+
+
+def ivf_topk_batch(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch IVF k-NN join → (qid, vec_id, score, rk): index vectors live
+    in exactly ONE inverted list (their nearest centroid); each query
+    probes its ``nprobe`` nearest lists. The list assignment is a pure
+    column expression over the broadcast-as-literal centroid matrix, the
+    probe is an equality join on the list id, exact cosine reranks, and a
+    windowed row_number takes per-query top-k — zero driver actions in
+    the query path (training is the only collect, and it is one-time: at
+    scale the centroid table and the list-partitioned index are written
+    once and reused by every query batch).
+    """
+    from pyspark.sql.window import Window
+
+    il = index.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("inorm"),
+        _ivf_assign_col(centroids, vec_col, 1)[0].alias("list_id"),
+    )
+    qp = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnorm"),
+        F.explode(_ivf_assign_col(centroids, vec_col, nprobe)).alias("list_id"),
+    )
+    cand = qp.join(il, "list_id").filter(F.col("qid") != F.col(id_col))
+    scored = cand.select(
+        "qid",
+        F.col(id_col),
+        F.round(
+            _dot(F.col("qvec"), F.col(vec_col)) / (F.col("qnorm") * F.col("inorm")), 5
+        ).alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", id_col, "score", "rk")
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float,

@@ -41,6 +41,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict = {"cpus": cpus}
 
+    # Warm the executor + the Python worker pool before any timer starts:
+    # the first mapInPandas in a session forks ~cpus Python workers that
+    # each import numpy/pandas (seconds of interpreter startup, reused for
+    # the rest of the session — and in production, for the job's lifetime).
+    # Billing that one-time cost to whichever operator happens to run first
+    # would misattribute it.
+    import pandas as _pd  # noqa: F401
+
+    warm = spark.range(0, cpus * 4, 1, cpus)
+    warm.select(F.sum(F.xxhash64("id").cast("decimal(38,0)"))).collect()
+    warm.mapInPandas(lambda it: it, schema="id long").count()
+
     def timed(name: str, fn):
         t0 = time.time()
         out = fn()
@@ -97,6 +109,22 @@ def main() -> None:
             docs, n=api.JACCARD_N, threshold=api.JACCARD_THRESHOLD
         ).count(),
     )
+
+    # the north-rule pipeline: synthetic source-code corpus → sha256
+    # row-invariant check → shared-commit/content-hash link graph →
+    # component analytics (the end-to-end path the engine exists to serve)
+    from arabesque_spark.sources.code_graph import build_code_graph
+    from arabesque_spark.sources.corpus import synth_corpus, verify_sha256
+
+    def corpus_pipeline():
+        corpus = synth_corpus(spark, num_repos=1000).persist()
+        assert verify_sha256(corpus) == 0
+        g = build_code_graph(corpus)
+        n_comp = connected_components(spark, g.edges).select("component").distinct().count()
+        corpus.unpersist()
+        return n_comp
+
+    extras["code_graph_components"] = timed("code_graph_pipeline", corpus_pipeline)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -240,3 +240,47 @@ def test_bpe_token_stats(docs):
     assert got[0]["n_bpe_tokens"] == 9
     assert got[6]["n_bpe_tokens"] == 1  # "x"
     assert all(r["chars_per_token"] > 0 for r in got.values())
+
+
+def test_ivf_topk_batch_recall_and_determinism(spark):
+    import numpy as np
+
+    from arabesque_spark.operators.similarity import ivf_topk_batch, ivf_train_centroids
+
+    rng = np.random.default_rng(17)
+    # clustered data: 8 gaussian blobs — the regime IVF exists for
+    centers = rng.normal(size=(8, 16)) * 4
+    base = np.vstack(
+        [centers[i % 8] + rng.normal(size=16) for i in range(400)]
+    ).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = ivf_train_centroids(emb, n_centroids=8, iterations=4)
+    assert len(cents) == 8 and all(len(c) == 16 for c in cents)
+    # deterministic: training twice gives identical centroids
+    assert cents == ivf_train_centroids(emb, n_centroids=8, iterations=4)
+
+    queries = emb.filter(F.col("vec_id") < 25)
+    got = ivf_topk_batch(queries, emb, cents, k=5, nprobe=3).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["qid"], set()).add(r["vec_id"])
+    assert set(by_q) == set(range(25))
+    assert all(len(v) == 5 for v in by_q.values())
+
+    norms = np.linalg.norm(base, axis=1)
+    sims = (base @ base.T) / np.outer(norms, norms)
+    np.fill_diagonal(sims, -2)
+    hits = total = 0
+    for q in range(25):
+        brute = set(np.argsort(-np.round(sims[q], 5))[:5])
+        hits += len(by_q[q] & brute)
+        total += 5
+    recall = hits / total
+    # probing 3/8 lists on well-separated blobs should be near-exact
+    assert recall >= 0.85, recall
+
+    rks = sorted(r["rk"] for r in got if r["qid"] == 0)
+    assert rks == [1, 2, 3, 4, 5]
