@@ -1,0 +1,181 @@
+"""Streaming graph ingestion: incremental degrees and triangle counts.
+
+The reference is strictly batch (SURVEY §2.5); this module extends the
+link-graph surface to unbounded edge streams — the shape a production
+corpus actually has (commits land continuously; the co-occurrence edge
+table grows forever). Two operators:
+
+* :func:`degree_stream` — per-vertex degree as a stateful streaming
+  aggregation (update mode): one `explode(array(src,dst))` + count, the
+  same partial+final hash agg as the batch twin (graph.build.degrees).
+* :class:`IncrementalTriangleCounter` — exactly-once incremental triangle
+  counting via ``foreachBatch``. Per micro-batch of landed edges it counts
+  ONLY the triangles the batch closes, against the accumulated edge set;
+  cost is O(|batch| × avg-degree) joins, never a recount of the full
+  graph. The accumulated edge set lives in an append-only parquet
+  directory (restart-safe: the directory IS the state).
+
+Exactly-once rule: a triangle is attributed to its lexicographically
+LARGEST new edge — for a triangle closed in this batch with 1, 2, or 3
+new edges, exactly one new edge satisfies "every other new edge of the
+triangle sorts before me", so concurrent new edges never double-count and
+old-old-new, old-new-new, new-new-new triangles are all covered by the
+single rule. (Same device as the batch engine's orientation trick,
+triangles.py: make the count canonical-by-construction instead of
+dedup-after.)
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from arabesque_spark.graph.build import canonical_edges
+
+EDGE_SCHEMA = T.StructType(
+    [
+        T.StructField("src", T.LongType()),
+        T.StructField("dst", T.LongType()),
+    ]
+)
+
+
+def read_edge_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over a directory of edge parquet files (each
+    landed file is a micro-batch — the ingest pattern for a corpus whose
+    link graph grows as commits arrive)."""
+    return (
+        spark.readStream.schema(EDGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+
+def degree_stream(edges: DataFrame) -> DataFrame:
+    """(vid, deg) as an incrementally-maintained streaming aggregate.
+
+    Degrees are monotone under edge arrival, so no watermark is needed;
+    run in update output mode. Duplicate deliveries should be deduped
+    upstream (or use the counter class, which anti-joins its state).
+    """
+    return (
+        edges.select(F.explode(F.array("src", "dst")).alias("vid"))
+        .groupBy("vid")
+        .agg(F.count("*").cast("int").alias("deg"))
+    )
+
+
+class IncrementalTriangleCounter:
+    """Exactly-once incremental triangle counting over an edge stream.
+
+    ``state_dir`` holds the accumulated canonical edge set as parquet
+    (append-only) plus a ``counts.jsonl`` lineage log (one line per
+    processed batch: new-edge count, triangles closed, running total) —
+    the same manifest discipline as the superstep runner; a restarted
+    query resumes from the directory contents.
+    """
+
+    def __init__(self, spark: SparkSession, state_dir: str | Path) -> None:
+        self.spark = spark
+        self.state_dir = Path(state_dir)
+        self.edges_dir = self.state_dir / "edges"
+        self.log_path = self.state_dir / "counts.jsonl"
+        self.state_dir.mkdir(parents=True, exist_ok=True)
+
+    # ---- state ---------------------------------------------------------
+    def _acc_edges(self) -> DataFrame | None:
+        if not self.edges_dir.exists():
+            return None
+        try:
+            return self.spark.read.parquet(str(self.edges_dir))
+        except Exception:  # empty dir: no batches folded yet
+            return None
+
+    @property
+    def total(self) -> int:
+        if not self.log_path.exists():
+            return 0
+        lines = [l for l in self.log_path.read_text().splitlines() if l.strip()]
+        return json.loads(lines[-1])["total"] if lines else 0
+
+    # ---- the per-batch kernel -----------------------------------------
+    def process_batch(self, batch: DataFrame, batch_id: int = -1) -> int:
+        """Fold one batch of raw (src, dst) rows into the accumulated
+        graph; returns the number of triangles this batch closed.
+
+        Joins only: |new| × degree candidate wedges against the combined
+        edge set; the accumulated side is touched through its adjacency
+        (hash join on the wedge endpoints), never re-enumerated.
+        """
+        new_raw = canonical_edges(batch)
+        acc = self._acc_edges()
+        if acc is not None:
+            newe = new_raw.join(acc.select("src", "dst"), ["src", "dst"], "left_anti")
+        else:
+            newe = new_raw
+        # the batch kernel is reused below; localCheckpoint pins the deduped
+        # new-edge set so the anti-join doesn't recompute per downstream use
+        newe = newe.localCheckpoint(eager=True)
+
+        alle = newe.withColumn("is_new", F.lit(True))
+        if acc is not None:
+            alle = alle.unionByName(
+                acc.select("src", "dst").withColumn("is_new", F.lit(False))
+            )
+        ek = F.struct(F.col("src").alias("u"), F.col("dst").alias("v"))
+        sym = alle.select(
+            F.col("src").alias("a"), F.col("dst").alias("b"), "is_new", ek.alias("k")
+        ).union(
+            alle.select(
+                F.col("dst").alias("a"), F.col("src").alias("b"), "is_new", ek.alias("k")
+            )
+        )
+        n1, n2 = sym.alias("n1"), sym.alias("n2")
+        e = newe.select(
+            "src", "dst", F.struct(F.col("src").alias("u"), F.col("dst").alias("v")).alias("ke")
+        )
+        # common neighbor w: u—w and v—w both present in the combined set
+        tri = (
+            e.join(n1, F.col("src") == F.col("n1.a"))
+            .join(
+                n2,
+                (F.col("dst") == F.col("n2.a")) & (F.col("n1.b") == F.col("n2.b")),
+            )
+            .filter((F.col("n1.b") != F.col("src")) & (F.col("n1.b") != F.col("dst")))
+            # exactly-once: count at the lexicographically LARGEST new edge
+            .filter(~F.col("n1.is_new") | (F.col("n1.k") < F.col("ke")))
+            .filter(~F.col("n2.is_new") | (F.col("n2.k") < F.col("ke")))
+        )
+        closed = tri.count()
+        n_new = newe.count()
+        newe.write.mode("append").parquet(str(self.edges_dir))
+        entry = {
+            "batch_id": batch_id,
+            "new_edges": n_new,
+            "closed": closed,
+            "total": self.total + closed,
+        }
+        with self.log_path.open("a") as fh:
+            fh.write(json.dumps(entry) + "\n")
+        return closed
+
+    # ---- streaming wiring ---------------------------------------------
+    def attach(self, edge_stream: DataFrame, checkpoint_dir: str | Path | None = None):
+        """Wire the kernel into a streaming query via foreachBatch.
+
+        Returns the started StreamingQuery; with availableNow trigger the
+        caller can awaitTermination() for a bounded catch-up run.
+        """
+        ckpt = str(checkpoint_dir or (self.state_dir / "_stream_ckpt"))
+        return (
+            edge_stream.writeStream.foreachBatch(
+                lambda df, bid: self.process_batch(df, bid) and None
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )

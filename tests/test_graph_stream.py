@@ -1,0 +1,132 @@
+"""Streaming graph ingestion: incremental triangle counts + degrees."""
+
+from __future__ import annotations
+
+import json
+import random
+
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.build import canonical_edges
+from arabesque_spark.graph.triangles import triangle_count
+from arabesque_spark.streaming.graph_stream import (
+    IncrementalTriangleCounter,
+    degree_stream,
+    read_edge_stream,
+)
+from tests.conftest import TEST_GRAPH_EDGES
+
+
+def _er_edges(n_vertices: int, n_edges: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    seen = set()
+    while len(seen) < n_edges:
+        u, v = rng.randrange(n_vertices), rng.randrange(n_vertices)
+        if u != v:
+            seen.add((min(u, v), max(u, v)))
+    return sorted(seen)
+
+
+def test_incremental_triangles_match_batch_on_test_graph(spark, tmp_path):
+    ctr = IncrementalTriangleCounter(spark, tmp_path / "state")
+    batches = [TEST_GRAPH_EDGES[:3], TEST_GRAPH_EDGES[3:6], TEST_GRAPH_EDGES[6:]]
+    closed = [
+        ctr.process_batch(
+            spark.createDataFrame(b, "src long, dst long"), batch_id=i
+        )
+        for i, b in enumerate(batches)
+    ]
+    full = canonical_edges(spark.createDataFrame(TEST_GRAPH_EDGES, "src long, dst long"))
+    assert sum(closed) == ctr.total == triangle_count(spark, full) == 1
+
+
+def test_incremental_triangles_exactly_once_random_graph(spark, tmp_path):
+    """Random graph in 4 uneven batches — with duplicate and reversed
+    re-deliveries — must equal the batch count exactly."""
+    edges = _er_edges(60, 220, seed=7)
+    cuts = [0, 50, 90, 180, 220]
+    ctr = IncrementalTriangleCounter(spark, tmp_path / "state")
+    total = 0
+    for i in range(4):
+        chunk = edges[cuts[i] : cuts[i + 1]]
+        rows = [(u, v) for u, v in chunk]
+        # adversarial delivery: re-send some earlier edges, reversed
+        if i > 0:
+            rows += [(v, u) for u, v in edges[: cuts[i] // 2]]
+        total += ctr.process_batch(
+            spark.createDataFrame(rows, "src long, dst long"), batch_id=i
+        )
+    full = canonical_edges(spark.createDataFrame(edges, "src long, dst long"))
+    want = triangle_count(spark, full)
+    assert total == ctr.total == want
+    # lineage log: one line per batch, monotone running total
+    lines = [
+        json.loads(l)
+        for l in (ctr.log_path).read_text().splitlines()
+        if l.strip()
+    ]
+    assert [e["batch_id"] for e in lines] == [0, 1, 2, 3]
+    assert lines[-1]["total"] == want
+
+
+def test_triangle_counter_restart_resumes_from_state_dir(spark, tmp_path):
+    edges = _er_edges(40, 120, seed=11)
+    state = tmp_path / "state"
+    ctr1 = IncrementalTriangleCounter(spark, state)
+    ctr1.process_batch(spark.createDataFrame(edges[:60], "src long, dst long"), 0)
+    # a NEW counter over the same directory picks up where the first left off
+    ctr2 = IncrementalTriangleCounter(spark, state)
+    ctr2.process_batch(spark.createDataFrame(edges[60:], "src long, dst long"), 1)
+    full = canonical_edges(spark.createDataFrame(edges, "src long, dst long"))
+    assert ctr2.total == triangle_count(spark, full)
+
+
+def _land_parquet_file(path, edges):
+    """Write one plain parquet FILE (what a landing zone actually holds;
+    the file-stream source lists leaf files, not nested dataset dirs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "src": pa.array([u for u, _ in edges], type=pa.int64()),
+            "dst": pa.array([v for _, v in edges], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(path))
+
+
+def test_edge_stream_foreachbatch_end_to_end(spark, tmp_path):
+    """Real readStream: land 3 parquet files, run with availableNow."""
+    src_dir = tmp_path / "landing"
+    src_dir.mkdir()
+    edges = _er_edges(30, 80, seed=3)
+    for i, (lo, hi) in enumerate([(0, 30), (30, 55), (55, 80)]):
+        _land_parquet_file(src_dir / f"batch_{i}.parquet", edges[lo:hi])
+    ctr = IncrementalTriangleCounter(spark, tmp_path / "state")
+    q = ctr.attach(read_edge_stream(spark, str(src_dir)))
+    q.awaitTermination()
+    full = canonical_edges(spark.createDataFrame(edges, "src long, dst long"))
+    assert ctr.total == triangle_count(spark, full)
+
+
+def test_degree_stream_matches_batch(spark, tmp_path):
+    src_dir = tmp_path / "landing"
+    src_dir.mkdir()
+    edges = _er_edges(25, 60, seed=5)
+    _land_parquet_file(src_dir / "b0.parquet", edges)
+    stream = degree_stream(read_edge_stream(spark, str(src_dir)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("deg_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["vid"]: r["deg"] for r in spark.table("deg_stream").collect()}
+    from arabesque_spark.graph.build import degrees
+
+    full = canonical_edges(spark.createDataFrame(edges, "src long, dst long"))
+    want = {r["vid"]: r["deg"] for r in degrees(full).collect()}
+    assert got == want
