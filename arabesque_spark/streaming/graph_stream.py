@@ -69,6 +69,42 @@ def degree_stream(edges: DataFrame) -> DataFrame:
     )
 
 
+def closed_triangles(newe: DataFrame, acc: DataFrame | None) -> DataFrame:
+    """Triangles closed by the (deduped, truly-new) edge batch ``newe``
+    against accumulated edges ``acc`` — each exactly once, attributed to
+    its lexicographically largest new edge. Pure plan construction (no
+    actions); one row per closed triangle."""
+    alle = newe.select("src", "dst").withColumn("is_new", F.lit(True))
+    if acc is not None:
+        alle = alle.unionByName(
+            acc.select("src", "dst").withColumn("is_new", F.lit(False))
+        )
+    ek = F.struct(F.col("src").alias("u"), F.col("dst").alias("v"))
+    sym = alle.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), "is_new", ek.alias("k")
+    ).union(
+        alle.select(
+            F.col("dst").alias("a"), F.col("src").alias("b"), "is_new", ek.alias("k")
+        )
+    )
+    n1, n2 = sym.alias("n1"), sym.alias("n2")
+    e = newe.select(
+        "src", "dst", F.struct(F.col("src").alias("u"), F.col("dst").alias("v")).alias("ke")
+    )
+    # common neighbor w: u—w and v—w both present in the combined set
+    return (
+        e.join(n1, F.col("src") == F.col("n1.a"))
+        .join(
+            n2,
+            (F.col("dst") == F.col("n2.a")) & (F.col("n1.b") == F.col("n2.b")),
+        )
+        .filter((F.col("n1.b") != F.col("src")) & (F.col("n1.b") != F.col("dst")))
+        # exactly-once: count at the lexicographically LARGEST new edge
+        .filter(~F.col("n1.is_new") | (F.col("n1.k") < F.col("ke")))
+        .filter(~F.col("n2.is_new") | (F.col("n2.k") < F.col("ke")))
+    )
+
+
 class IncrementalTriangleCounter:
     """Exactly-once incremental triangle counting over an edge stream.
 
@@ -121,36 +157,7 @@ class IncrementalTriangleCounter:
         # new-edge set so the anti-join doesn't recompute per downstream use
         newe = newe.localCheckpoint(eager=True)
 
-        alle = newe.withColumn("is_new", F.lit(True))
-        if acc is not None:
-            alle = alle.unionByName(
-                acc.select("src", "dst").withColumn("is_new", F.lit(False))
-            )
-        ek = F.struct(F.col("src").alias("u"), F.col("dst").alias("v"))
-        sym = alle.select(
-            F.col("src").alias("a"), F.col("dst").alias("b"), "is_new", ek.alias("k")
-        ).union(
-            alle.select(
-                F.col("dst").alias("a"), F.col("src").alias("b"), "is_new", ek.alias("k")
-            )
-        )
-        n1, n2 = sym.alias("n1"), sym.alias("n2")
-        e = newe.select(
-            "src", "dst", F.struct(F.col("src").alias("u"), F.col("dst").alias("v")).alias("ke")
-        )
-        # common neighbor w: u—w and v—w both present in the combined set
-        tri = (
-            e.join(n1, F.col("src") == F.col("n1.a"))
-            .join(
-                n2,
-                (F.col("dst") == F.col("n2.a")) & (F.col("n1.b") == F.col("n2.b")),
-            )
-            .filter((F.col("n1.b") != F.col("src")) & (F.col("n1.b") != F.col("dst")))
-            # exactly-once: count at the lexicographically LARGEST new edge
-            .filter(~F.col("n1.is_new") | (F.col("n1.k") < F.col("ke")))
-            .filter(~F.col("n2.is_new") | (F.col("n2.k") < F.col("ke")))
-        )
-        closed = tri.count()
+        closed = closed_triangles(newe, acc).count()
         n_new = newe.count()
         newe.write.mode("append").parquet(str(self.edges_dir))
         entry = {
