@@ -305,9 +305,11 @@ def q_frequent_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_labeled_motif3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Labeled 3-motif census (two-level quick→canonical aggregation).
 
-    No SQL oracle: the canonicalization step is a pandas UDF (the
-    reference's bliss-equivalent) — driver records a rows-only check;
-    exactness is covered by tests/test_patterns.py against brute force.
+    Oracle-checked: for k=3 the pandas min-perm canonicalization (the
+    reference's bliss-equivalent) is enumerable in SQL — the oracle
+    reproduces the canonical key from the six explicit permutation
+    candidates per wedge class. Brute-force parity in
+    tests/test_patterns.py as well.
     """
     from arabesque_spark.graph.patterns import labeled_motif3_census
 
@@ -581,6 +583,71 @@ ORACLES: dict[str, str] = {
 UNION ALL
 SELECT 'wedge' AS pattern,
        CAST((SELECT SUM(deg*(deg-1)//2) FROM deg) - 3*(SELECT COUNT(*) FROM tri) AS BIGINT) AS cnt""",
+    # The pandas canonicalization is a min over 3! permutations of
+    # (labels, adjacency bits); for k=3 the images of all six
+    # permutations are enumerable in SQL: a wedge class (center label,
+    # sorted end labels) yields the six candidates below (bits 3/5/6 =
+    # center at position 0/1/2), a triangle is permutation-invariant
+    # (sorted labels, bits 7). The min-pick reproduces the engine's
+    # canonical key exactly.
+    "labeled_motif3": _GRAPH_PRELUDE
+    + """,
+lab AS (SELECT p_partkey AS vid, CAST(p_size % 4 AS INTEGER) AS label FROM part),
+wed AS (
+  SELECT s1.src AS c, s1.dst AS e1, s2.dst AS e2
+  FROM sym s1 JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges e
+    WHERE e.src = LEAST(s1.dst, s2.dst) AND e.dst = GREATEST(s1.dst, s2.dst)
+  )
+),
+wclass AS (
+  SELECT lc.label AS lc, LEAST(l1.label, l2.label) AS le1,
+         GREATEST(l1.label, l2.label) AS le2, COUNT(*) AS cnt
+  FROM wed
+  JOIN lab lc ON lc.vid = wed.c
+  JOIN lab l1 ON l1.vid = wed.e1
+  JOIN lab l2 ON l2.vid = wed.e2
+  GROUP BY 1, 2, 3
+),
+wcand AS (
+  SELECT lc, le1, le2, cnt, u.l0 AS l0, u.l1 AS l1, u.l2 AS l2, u.bits AS bits
+  FROM wclass, UNNEST([
+    struct_pack(l0 := lc,  l1 := le1, l2 := le2, bits := 3),
+    struct_pack(l0 := lc,  l1 := le2, l2 := le1, bits := 3),
+    struct_pack(l0 := le1, l1 := lc,  l2 := le2, bits := 5),
+    struct_pack(l0 := le2, l1 := lc,  l2 := le1, bits := 5),
+    struct_pack(l0 := le1, l1 := le2, l2 := lc,  bits := 6),
+    struct_pack(l0 := le2, l1 := le1, l2 := lc,  bits := 6)
+  ]) AS t(u)
+),
+wcanon AS (
+  SELECT cnt, l0, l1, l2, bits,
+         ROW_NUMBER() OVER (PARTITION BY lc, le1, le2
+                            ORDER BY l0, l1, l2, bits) AS rn
+  FROM wcand
+),
+wpat AS (
+  SELECT l0 || ',' || l1 || ',' || l2 || '|' || bits AS pattern, cnt
+  FROM wcanon WHERE rn = 1
+),
+tclass AS (
+  SELECT la.label AS x, lb.label AS y, lc2.label AS z, COUNT(*) AS cnt
+  FROM tri
+  JOIN lab la ON la.vid = tri.a
+  JOIN lab lb ON lb.vid = tri.b
+  JOIN lab lc2 ON lc2.vid = tri.c
+  GROUP BY 1, 2, 3
+),
+tpat AS (
+  SELECT LEAST(x, y, z) || ',' ||
+         (x + y + z - LEAST(x, y, z) - GREATEST(x, y, z)) || ',' ||
+         GREATEST(x, y, z) || '|7' AS pattern, cnt
+  FROM tclass
+)
+SELECT pattern, CAST(SUM(cnt) AS BIGINT) AS cnt
+FROM (SELECT * FROM wpat UNION ALL SELECT * FROM tpat)
+GROUP BY pattern""",
     "pagerank_fixed8": _pagerank_oracle(PAGERANK_ITERS),
     "connected_components": _GRAPH_PRELUDE
     + """,
