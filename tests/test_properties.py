@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis): random graphs vs reference impls.
+
+Fixed-fixture tests pin known answers; these hammer the same operators
+with arbitrary small graphs — including degenerate shapes (empty edge
+lists, self-loops, duplicate/reversed deliveries, disconnected blobs)
+that curated fixtures under-sample. Spark actions are expensive, so
+example counts are small and derandomized (the value is the shrunk
+counterexample, not the volume).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.build import canonical_edges, degrees
+from arabesque_spark.graph.components import connected_components
+from arabesque_spark.graph.triangles import triangle_count, triangle_counts_per_vertex
+from tests.reference_impls import (
+    connected_components_unionfind,
+    triangles_bruteforce,
+)
+
+SETTINGS = dict(max_examples=8, deadline=None, derandomize=True)
+
+# raw edge lists: may contain self-loops, duplicates, both directions —
+# canonical_edges must normalize all of it
+raw_edges = st.lists(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)), min_size=0, max_size=40
+)
+
+
+def _canon_py(edges):
+    return sorted({(min(u, v), max(u, v)) for u, v in edges if u != v})
+
+
+@given(raw_edges)
+@settings(**SETTINGS)
+def test_canonical_edges_matches_python_set_semantics(spark, edges):
+
+    df = spark.createDataFrame(edges, "src long, dst long") if edges else (
+        spark.createDataFrame([], "src long, dst long")
+    )
+    got = sorted((r["src"], r["dst"]) for r in canonical_edges(df).collect())
+    assert got == _canon_py(edges)
+
+
+@given(raw_edges)
+@settings(**SETTINGS)
+def test_triangle_counts_match_bruteforce(spark, edges):
+
+    ce = _canon_py(edges)
+    if not ce:
+        return
+    df = canonical_edges(spark.createDataFrame(edges, "src long, dst long"))
+    want_total, want_per_vertex = triangles_bruteforce(ce)
+    assert triangle_count(spark, df, method="intersect") == want_total
+    assert triangle_count(spark, df, method="wedges") == want_total
+    got_pv = {
+        r["vid"]: r["triangles"] for r in triangle_counts_per_vertex(spark, df).collect()
+    }
+    assert got_pv == {v: c for v, c in want_per_vertex.items() if c > 0}
+
+
+@given(raw_edges)
+@settings(**SETTINGS)
+def test_connected_components_match_unionfind(spark, edges):
+
+    ce = _canon_py(edges)
+    if not ce:
+        return
+    df = canonical_edges(spark.createDataFrame(edges, "src long, dst long"))
+    got = {
+        r["vid"]: r["component"] for r in connected_components(spark, df).collect()
+    }
+    want = connected_components_unionfind(ce)
+    assert got == want
+
+
+@given(raw_edges)
+@settings(**SETTINGS)
+def test_degree_sum_is_twice_edge_count(spark, edges):
+
+    ce = _canon_py(edges)
+    if not ce:
+        return
+    df = canonical_edges(spark.createDataFrame(edges, "src long, dst long"))
+    total = degrees(df).agg(F.sum("deg")).collect()[0][0]
+    assert total == 2 * len(ce)
+
+
+@given(raw_edges, st.integers(1, 3))
+@settings(**SETTINGS)
+def test_incremental_triangles_any_batch_split(spark, tmp_path_factory, edges, n_batches):
+    """Exactly-once invariant holds for EVERY way the stream slices the
+    edge list (including re-deliveries produced by overlapping slices)."""
+    from arabesque_spark.streaming.graph_stream import IncrementalTriangleCounter
+
+
+    ce = _canon_py(edges)
+    if not ce:
+        return
+    ctr = IncrementalTriangleCounter(
+        spark, tmp_path_factory.mktemp("tri_state")
+    )
+    total = 0
+    size = max(1, len(edges) // n_batches)
+    for i in range(0, len(edges), size):
+        # overlap the slices: every batch re-sends the previous tail
+        chunk = edges[max(0, i - 2) : i + size]
+        total += ctr.process_batch(
+            spark.createDataFrame(chunk, "src long, dst long"), batch_id=i
+        )
+    want, _ = triangles_bruteforce(ce)
+    assert total == want
