@@ -407,6 +407,18 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_batch(emb.filter(F.col("vec_id") < 20), emb, cents, k=10, nprobe=3)
 
 
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style training-corpus generation — rows-only (the
+    neighbor choice is a Spark xxhash64 chain DuckDB cannot replicate);
+    path validity/determinism/coverage are pytest-gated
+    (tests/test_walks.py)."""
+    from arabesque_spark.graph.walks import random_walks
+
+    return random_walks(
+        spark, lineitem_graph(spark, sf_dir), walks_per_vertex=1, walk_length=3
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -549,6 +561,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_topk_batch": q_ann_batch,
     "ivf_topk": q_ivf_topk,
+    "random_walks": q_random_walks,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "token_stats": q_token_stats,
     "quality_score": q_quality,

@@ -1,0 +1,56 @@
+"""Random-walk corpus generation: validity, determinism, coverage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.walks import indexed_adjacency, random_walks
+from tests.conftest import TEST_GRAPH_EDGES, TEST_GRAPH_V
+
+
+def test_walks_are_valid_paths(spark, test_graph):
+    edge_set = set()
+    for u, v in TEST_GRAPH_EDGES:
+        edge_set.add((u, v))
+        edge_set.add((v, u))
+    rows = random_walks(spark, test_graph, walks_per_vertex=3, walk_length=5).collect()
+    # every vertex launches exactly walks_per_vertex walks of full length
+    assert len(rows) == TEST_GRAPH_V * 3
+    for r in rows:
+        path = list(r["path"])
+        assert len(path) == 6 and path[0] == r["start"]
+        for a, b in zip(path, path[1:]):
+            assert (a, b) in edge_set, (r["walk_id"], path)
+
+
+def test_walks_deterministic_across_parallelism(spark, test_graph):
+    def run(parts):
+        df = random_walks(
+            spark, test_graph.repartition(parts), walks_per_vertex=2, walk_length=4
+        )
+        return sorted((r["walk_id"], tuple(r["path"])) for r in df.collect())
+
+    assert run(1) == run(7)
+
+
+def test_walks_visit_neighbors_uniformly_enough(spark, test_graph):
+    """Hash-chain choice over many walks from the star center must touch
+    every neighbor (a catastrophic bias/off-by-one would miss one)."""
+    walks = random_walks(spark, test_graph, walks_per_vertex=32, walk_length=1)
+    first_hops = {
+        r["path"][1] for r in walks.filter(F.col("start") == 0).collect()
+    }
+    assert first_hops == {1, 2, 3, 4}  # all of vertex 0's neighbors
+
+
+def test_indexed_adjacency_positions(spark, test_graph):
+    ia = indexed_adjacency(test_graph)
+    rows = sorted(
+        (r["src"], r["pos"], r["nbr"], r["deg"]) for r in ia.collect()
+    )
+    # vertex 0: neighbors 1,2,3,4 at positions 0..3, deg 4
+    assert [t for t in rows if t[0] == 0] == [
+        (0, 0, 1, 4), (0, 1, 2, 4), (0, 2, 3, 4), (0, 3, 4, 4)
+    ]
+    # degree sum = 2|E|
+    assert len(rows) == 2 * len(TEST_GRAPH_EDGES)
