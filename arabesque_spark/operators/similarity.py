@@ -107,22 +107,22 @@ def ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(vec_id, score) — approximate top-k: exact rerank restricted to the
-    query's LSH bucket. At scale the bucket table is written once and
-    bucket-partitioned; a query touches ~N/2^planes vectors."""
-    buckets = lsh_buckets(embeddings, planes=planes, seed=seed, id_col=id_col, vec_col=vec_col)
-    with_b = embeddings.join(buckets, id_col)
-    qrow = with_b.filter(F.col(id_col) == query_id).select(vec_col, "bucket").collect()
-    if not qrow:
-        raise ValueError(f"ann_topk: query id {query_id} not found")
-    qvec, qbucket = list(qrow[0][0]), qrow[0][1]
-    cands = with_b.filter((F.col("bucket") == qbucket) & (F.col(id_col) != query_id))
-    # thin-bucket fallback: when the query's bucket cannot fill top-k
-    # (over-partitioned space for the collection size), rerank everything —
-    # approximate fast path, exact safety net
-    if cands.limit(k).count() < k:
-        cands = embeddings.filter(F.col(id_col) != query_id)
-    return cosine_topk(cands, qvec, k=k, id_col=id_col, vec_col=vec_col)
+    """(vec_id, score) — approximate top-k for one query: the 1-row
+    special case of :func:`ann_topk_batch` (same bucketed multi-probe
+    join + exact rerank). ZERO driver actions: the query vector is never
+    collected, the bucket is never count-gated — the multi-probe set
+    (own bucket + ``planes`` Hamming-1 flips) replaces the old
+    thin-bucket full-scan fallback with bounded extra probes."""
+    queries = embeddings.filter(F.col(id_col) == query_id)
+    return ann_topk_batch(
+        queries,
+        embeddings,
+        k=k,
+        planes=planes,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select(id_col, "score")
 
 
 def ann_topk_batch(
