@@ -230,6 +230,94 @@ UNION ALL
 SELECT pattern, CAST(2 AS INTEGER) AS n_edges, embeddings, support FROM freq2"""
 
 
+FSM_N_ELABELS = 3
+FSM_EL_MIN_SUPPORT = 70  # label-split patterns carry ~1/3 the support mass
+
+
+def _fsm_el_oracle() -> str:
+    """DuckDB twin of the edge-labeled FSM query (levels 1-2).
+
+    Same structure as :func:`_fsm_oracle`; the decode tables additionally
+    key on the edge label(s) — level 1 on (l0, l1, el), level 2 on
+    (l0, l1, l2, center-rank, el(c,x), el(c,y)) — generated with the
+    engine's ``quick_canonical_el``. Edge labels are (src + dst) mod
+    FSM_N_ELABELS, derivable on both sides.
+    """
+    from arabesque_spark.graph.fsm import quick_canonical_el
+
+    rows2 = []
+    for l0 in range(FSM_N_LABELS):
+        for l1 in range(FSM_N_LABELS):
+            for el in range(FSM_N_ELABELS):
+                p, pm = quick_canonical_el((l0, l1), ((0x01 << 8) | el,))
+                rows2.append(f"({l0},{l1},{el},'{p}',{pm[0]},{pm[1]})")
+    # stored-position codes of the wedge's two edges by the center's
+    # vid-rank r (v0<v1<v2): (c,x) and (c,y) with x < y
+    codes_by_rank = {0: (0x01, 0x02), 1: (0x01, 0x12), 2: (0x02, 0x12)}
+    rows3 = []
+    for l0 in range(FSM_N_LABELS):
+        for l1 in range(FSM_N_LABELS):
+            for l2 in range(FSM_N_LABELS):
+                for r, (cx, cy) in codes_by_rank.items():
+                    for ea in range(FSM_N_ELABELS):
+                        for eb in range(FSM_N_ELABELS):
+                            p, pm = quick_canonical_el(
+                                (l0, l1, l2), ((cx << 8) | ea, (cy << 8) | eb)
+                            )
+                            rows3.append(
+                                f"({l0},{l1},{l2},{r},{ea},{eb},'{p}',{pm[0]},{pm[1]},{pm[2]})"
+                            )
+    s = FSM_EL_MIN_SUPPORT
+    return f"""
+WITH {_support_graph_sql(FSM_EDGE_SUPPORT)},
+el AS (SELECT fe.src AS u, fe.dst AS v, la.lab AS lu, lb.lab AS lv,
+              CAST((fe.src + fe.dst) % {FSM_N_ELABELS} AS INTEGER) AS elab
+       FROM fe JOIN vlab la ON la.vid = fe.src JOIN vlab lb ON lb.vid = fe.dst),
+d2(l0, l1, e, pattern, c0, c1) AS (VALUES {", ".join(rows2)}),
+d3(l0, l1, l2, r, ea, eb, pattern, c0, c1, c2) AS (VALUES {", ".join(rows3)}),
+e1 AS (SELECT el.*, d2.pattern, d2.c0, d2.c1 FROM el
+       JOIN d2 ON d2.l0 = el.lu AND d2.l1 = el.lv AND d2.e = el.elab),
+dom1 AS (SELECT pattern, c0 AS cpos, u AS vid FROM e1
+         UNION ALL SELECT pattern, c1, v FROM e1),
+supp1 AS (SELECT pattern, MIN(d) AS support FROM
+          (SELECT pattern, cpos, COUNT(DISTINCT vid) AS d FROM dom1 GROUP BY 1, 2)
+          GROUP BY pattern),
+lvl1 AS (SELECT e.pattern, COUNT(*) AS embeddings, ANY_VALUE(s.support) AS support
+         FROM e1 e JOIN supp1 s USING (pattern) GROUP BY e.pattern),
+freq1 AS (SELECT * FROM lvl1 WHERE support >= {s}),
+es AS (SELECT e1.*, pattern IN (SELECT pattern FROM freq1) AS surv FROM e1),
+sym AS (SELECT u AS c, v AS e, lu AS lc, lv AS le, elab, surv FROM es
+        UNION ALL SELECT v, u, lv, lu, elab, surv FROM es),
+w AS (SELECT a.c, a.e AS x, b.e AS y, a.lc, a.le AS lx, b.le AS ly,
+             a.elab AS ecx, b.elab AS ecy
+      FROM sym a JOIN sym b ON a.c = b.c AND a.e < b.e
+      WHERE a.surv OR b.surv),
+wk AS (SELECT
+         CASE WHEN r = 0 THEN lc ELSE lx END AS l0,
+         CASE WHEN r = 0 THEN lx WHEN r = 1 THEN lc ELSE ly END AS l1,
+         CASE WHEN r = 2 THEN lc ELSE ly END AS l2,
+         CASE WHEN r = 0 THEN c ELSE x END AS v0,
+         CASE WHEN r = 0 THEN x WHEN r = 1 THEN c ELSE y END AS v1,
+         CASE WHEN r = 2 THEN c ELSE y END AS v2,
+         ecx, ecy, r
+       FROM (SELECT *, CASE WHEN c < x THEN 0 WHEN c < y THEN 1 ELSE 2 END AS r FROM w)),
+e2 AS (SELECT wk.*, d3.pattern, d3.c0, d3.c1, d3.c2 FROM wk
+       JOIN d3 ON d3.l0 = wk.l0 AND d3.l1 = wk.l1 AND d3.l2 = wk.l2
+              AND d3.r = wk.r AND d3.ea = wk.ecx AND d3.eb = wk.ecy),
+dom2 AS (SELECT pattern, c0 AS cpos, v0 AS vid FROM e2
+         UNION ALL SELECT pattern, c1, v1 FROM e2
+         UNION ALL SELECT pattern, c2, v2 FROM e2),
+supp2 AS (SELECT pattern, MIN(d) AS support FROM
+          (SELECT pattern, cpos, COUNT(DISTINCT vid) AS d FROM dom2 GROUP BY 1, 2)
+          GROUP BY pattern),
+lvl2 AS (SELECT e.pattern, COUNT(*) AS embeddings, ANY_VALUE(s.support) AS support
+         FROM e2 e JOIN supp2 s USING (pattern) GROUP BY e.pattern),
+freq2 AS (SELECT * FROM lvl2 WHERE support >= {s})
+SELECT pattern, CAST(1 AS INTEGER) AS n_edges, embeddings, support FROM freq1
+UNION ALL
+SELECT pattern, CAST(2 AS INTEGER) AS n_edges, embeddings, support FROM freq2"""
+
+
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
 
@@ -347,6 +435,22 @@ def q_fsm_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = _part_labels(spark, sf_dir)
     return fsm(
         spark, edges, labels, min_support=FSM_MIN_SUPPORT, max_edges=2
+    ).to_df(spark)
+
+
+def q_fsm_edge_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-labeled FSM (A4 on a LabelledEdge graph, VICPattern keys):
+    patterns distinguish edge labels (el = (src+dst) mod FSM_N_ELABELS,
+    derivable on the oracle side)."""
+    from arabesque_spark.graph.fsm import fsm
+
+    edges = _support_graph(spark, sf_dir, FSM_EDGE_SUPPORT).withColumn(
+        "label", F.pmod(F.col("src") + F.col("dst"), F.lit(FSM_N_ELABELS)).cast("int")
+    )
+    labels = _part_labels(spark, sf_dir)
+    return fsm(
+        spark, edges, labels, min_support=FSM_EL_MIN_SUPPORT, max_edges=2,
+        edge_labelled=True,
     ).to_df(spark)
 
 
@@ -553,6 +657,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "degree_relabel": q_degree_relabel,
     "frequent_edges": q_frequent_edges,
     "fsm_frequent": q_fsm_frequent,
+    "fsm_edge_labeled": q_fsm_edge_labeled,
     "clique4_count": q_clique4_count,
     "motif4": q_motif4,
     "labeled_motif3": q_labeled_motif3,
@@ -689,6 +794,7 @@ WITH ev AS (
 SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS support
 FROM ev GROUP BY src, dst HAVING COUNT(*) >= 3""",
     "fsm_frequent": _fsm_oracle(),
+    "fsm_edge_labeled": _fsm_el_oracle(),
     "clique4_count": f"""
 WITH {_support_graph_sql(CLIQUE_EDGE_SUPPORT)}
 SELECT CAST(COUNT(*) AS BIGINT) AS n_cliques FROM fe e1

@@ -36,7 +36,8 @@ Dataflow differences from the reference (Spark-first, not a port):
   size; the canonicality filter saves that constant factor but needs
   per-embedding connectivity tests that don't vectorize.
 * Embeddings are rows: ``vs array<struct<vid,lab>>`` (vid-sorted) +
-  ``edges array<struct<u,v>>`` (u<v, lexicographically sorted). Everything
+  ``edges array<struct<u,v,el>>`` (u<v, lexicographically sorted; el = edge
+  label, 0 when unlabelled). Everything
   on the embedding scale is Column exprs / joins; Python only touches the
   distinct quick-key table.
 
@@ -118,18 +119,64 @@ def quick_canonical(labels: tuple[int, ...], adjcode: tuple[int, ...]) -> tuple[
     return ",".join(map(str, plabels)) + "|" + format(bits, "x"), pos_map
 
 
-def canonicalize_quick(quick: DataFrame) -> DataFrame:
+def quick_canonical_el(
+    labels: tuple[int, ...], codes: tuple[int, ...]
+) -> tuple[str, list[int]]:
+    """Edge-labeled canonical form → (pattern string, pos_map).
+
+    ``codes`` encode each edge as ``((i*16 + j) << 8) | edge_label`` over
+    stored positions i < j. Same min-over-k!-permutations search as
+    :func:`quick_canonical` — the permutation moves the position part,
+    the edge label rides along (the reference's VICPattern search for
+    labeled edges, pattern/VICPattern.java:22-66, selected at
+    conf/Configuration.java:178-180 because bliss only handles vertex
+    labels). Pattern string: ``l0,l1,..|pq:el;pq:el;..`` with pq the
+    canonical position pair in hex.
+    """
+    k = len(labels)
+    triples = [((c >> 12) & 15, (c >> 8) & 15, c & 255) for c in codes]
+    best = None
+    best_perm = None
+    for perm in _perms(k):
+        plabels = tuple(labels[perm[i]] for i in range(k))
+        inv = [0] * k
+        for ci, qi in enumerate(perm):
+            inv[qi] = ci
+        pcodes = tuple(
+            sorted(
+                (((min(inv[i], inv[j]) << 4) | max(inv[i], inv[j])) << 8) | el
+                for (i, j, el) in triples
+            )
+        )
+        cand = (plabels, pcodes)
+        if best is None or cand < best:
+            best = cand
+            best_perm = perm
+    plabels, pcodes = best
+    pos_map = [0] * k
+    for ci, qi in enumerate(best_perm):
+        pos_map[qi] = ci
+    return (
+        ",".join(map(str, plabels))
+        + "|"
+        + ";".join(f"{c >> 8:x}:{c & 255}" for c in pcodes),
+        pos_map,
+    )
+
+
+def canonicalize_quick(quick: DataFrame, edge_labelled: bool = False) -> DataFrame:
     """Add (pattern, pos_map) to a distinct-quick-key table.
 
     Input columns: labels array<int>, adjcode array<int>, cnt. The pandas
     UDF runs only over |distinct quick keys| rows — the O3 two-level plan.
     """
+    canon_fn = quick_canonical_el if edge_labelled else quick_canonical
 
     @F.pandas_udf("pattern string, pos_map array<int>")
     def canon(labels: pd.Series, adjcode: pd.Series) -> pd.DataFrame:
         pats, maps = [], []
         for l, a in zip(labels, adjcode):
-            p, m = quick_canonical(tuple(int(x) for x in l), tuple(int(x) for x in a))
+            p, m = canon_fn(tuple(int(x) for x in l), tuple(int(x) for x in a))
             pats.append(p)
             maps.append(m)
         return pd.DataFrame({"pattern": pats, "pos_map": maps})
@@ -151,24 +198,26 @@ def _labels():
     return F.transform("vs", lambda x: x["lab"])
 
 
-def _adjcode_col():
+def _adjcode_col(edge_labelled: bool = False):
     # vs is vid-sorted and each edge has u < v, so pos(u) < pos(v):
-    # code = pos(u)*16 + pos(v) (array_position is 1-based)
+    # code = pos(u)*16 + pos(v) (array_position is 1-based); the
+    # edge-labelled variant appends the label in the low byte
     vids = _vids()
-    return F.sort_array(
-        F.transform(
-            "edges",
-            lambda e: (
-                (F.array_position(vids, e["u"]) - 1) * 16
-                + (F.array_position(vids, e["v"]) - 1)
-            ).cast("int"),
+
+    def code(e):
+        c = (F.array_position(vids, e["u"]) - 1) * 16 + (
+            F.array_position(vids, e["v"]) - 1
         )
-    )
+        if edge_labelled:
+            c = c * 256 + e["el"]
+        return c.cast("int")
+
+    return F.sort_array(F.transform("edges", code))
 
 
-def _with_quick(frontier: DataFrame) -> DataFrame:
+def _with_quick(frontier: DataFrame, edge_labelled: bool = False) -> DataFrame:
     return frontier.withColumn("labels", _labels().cast("array<int>")).withColumn(
-        "adjcode", _adjcode_col()
+        "adjcode", _adjcode_col(edge_labelled)
     )
 
 
@@ -190,25 +239,30 @@ class FSMResult:
 
 
 def _labeled_edge_table(edges: DataFrame, vertex_labels: DataFrame) -> DataFrame:
+    """(src, dst, lsrc, ldst, el) — vertex labels joined on; ``el`` is the
+    edge's own label when the edge table carries a ``label`` column
+    (LabelledEdge.java semantics), else 0."""
     lab = vertex_labels.select("vid", F.col("label").alias("lab"))
+    el = F.col("label").cast("int") if "label" in edges.columns else F.lit(0)
     return (
-        edges.select("src", "dst")
+        edges.select("src", "dst", el.alias("el"))
         .join(lab.withColumnRenamed("vid", "src").withColumnRenamed("lab", "lsrc"), "src")
         .join(lab.withColumnRenamed("vid", "dst").withColumnRenamed("lab", "ldst"), "dst")
     )
 
 
 def _level_stats(
-    frontier: DataFrame, n_edges: int, min_support: int
+    frontier: DataFrame, n_edges: int, min_support: int,
+    edge_labelled: bool = False,
 ) -> tuple[list[dict], DataFrame]:
     """(frequent patterns at this level, surviving frontier).
 
     One quick aggregation + tiny canonicalization + one distinct-count
     aggregation; the survivors semi-join is the C8 aggregation-filter.
     """
-    fr = _with_quick(frontier)
+    fr = _with_quick(frontier, edge_labelled)
     quick = fr.groupBy("labels", "adjcode").agg(F.count("*").alias("cnt"))
-    canon = canonicalize_quick(quick).localCheckpoint(eager=True)
+    canon = canonicalize_quick(quick, edge_labelled).localCheckpoint(eager=True)
 
     # domains: every embedding contributes its vertex at each canonical
     # position (DomainSupport.convertFromEmbeddingToNormal:130-154)
@@ -254,15 +308,16 @@ def _level_stats(
 def _expand(frontier: DataFrame, ledges_sym: DataFrame) -> DataFrame:
     """Grow every embedding by one incident edge; dedup on the edge set.
 
-    ``ledges_sym`` is (u, v, lv): both directions of the labeled edge
-    table. The C2 expand-join: member vertices probe the adjacency; the
-    new edge must not already be in the embedding; the result set is
-    deduplicated on the sorted edge array (exactly-once enumeration).
+    ``ledges_sym`` is (u, v, lv, el): both directions of the labeled edge
+    table (``el`` = edge label, 0 when unlabelled). The C2 expand-join:
+    member vertices probe the adjacency; the new edge must not already be
+    in the embedding; the result set is deduplicated on the sorted edge
+    array (exactly-once enumeration).
     """
     members = frontier.select("vs", "edges", F.explode(_vids()).alias("m"))
     cand = members.join(ledges_sym, members["m"] == ledges_sym["u"])
     new_edge = F.struct(
-        F.least("m", "v").alias("u"), F.greatest("m", "v").alias("v")
+        F.least("m", "v").alias("u"), F.greatest("m", "v").alias("v"), F.col("el").alias("el")
     )
     grown = (
         cand.filter(~F.array_contains("edges", new_edge))
@@ -285,6 +340,7 @@ def fsm(
     max_edges: int = 3,
     checkpoint_dir: str | Path | None = None,
     resume: bool = False,
+    edge_labelled: bool = False,
 ) -> FSMResult:
     """Mine all frequent connected subgraphs of ≤ ``max_edges`` edges.
 
@@ -292,12 +348,20 @@ def fsm(
     label int). Returns every pattern whose MNI support ≥ ``min_support``,
     with its embedding count and support. Mirrors the reference FSM job:
     scripts/fsm.yaml (support 300, citeseer) drives the same loop.
+
+    ``edge_labelled=True`` mines over the edge labels too (``edges``
+    must then carry a ``label`` column; LabelledEdge.java +
+    VICPattern.java semantics): patterns distinguish edge labels, and
+    two embeddings on the same vertices through differently-labeled
+    edges are distinct.
     """
     led = _labeled_edge_table(edges, vertex_labels)
     ledges_sym = (
-        led.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("ldst").alias("lv"))
+        led.select(F.col("src").alias("u"), F.col("dst").alias("v"),
+                   F.col("ldst").alias("lv"), "el")
         .union(
-            led.select(F.col("dst").alias("u"), F.col("src").alias("v"), F.col("lsrc").alias("lv"))
+            led.select(F.col("dst").alias("u"), F.col("src").alias("v"),
+                       F.col("lsrc").alias("lv"), "el")
         )
         .persist()
     )
@@ -310,9 +374,11 @@ def fsm(
                 F.struct(F.col("dst").alias("vid"), F.col("ldst").alias("lab")),
             )
         ).alias("vs"),
-        F.array(F.struct(F.col("src").alias("u"), F.col("dst").alias("v"))).alias("edges"),
+        F.array(
+            F.struct(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("el").alias("el"))
+        ).alias("edges"),
     )
-    found, survivors = _level_stats(frontier1, 1, min_support)
+    found, survivors = _level_stats(frontier1, 1, min_support, edge_labelled)
     all_patterns: list[dict] = list(found)
 
     if max_edges > 1 and found:
@@ -320,7 +386,7 @@ def fsm(
         def step(state: DataFrame, i: int):
             k = i + 2  # state holds size-(k-1) survivors
             grown = _expand(state, ledges_sym).localCheckpoint(eager=True)
-            freq, surv = _level_stats(grown, k, min_support)
+            freq, surv = _level_stats(grown, k, min_support, edge_labelled)
             all_patterns.extend(freq)
             return surv, {
                 "level": k,

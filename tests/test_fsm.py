@@ -135,3 +135,97 @@ def test_fsm_checkpoint_resume(spark, tmp_path):
 def test_fsm_empty_when_nothing_frequent(spark):
     got = _run_engine(spark, TEST_GRAPH_EDGES, LABELS, 100, 3)
     assert got == {}
+
+
+# --- edge-labeled FSM (LabelledEdge + VICPattern semantics) ----------------
+
+EL_EDGES = [
+    # (src, dst, edge_label) — reference EdgeLabelledTestGraph.groovy:34-41
+    (0, 1, 0), (0, 2, 1), (0, 3, 0), (0, 4, 1),
+    (3, 5, 2), (4, 5, 2), (4, 6, 2), (5, 6, 3),
+]
+EL_VLABELS = {0: 0, 1: 1, 2: 2, 3: 1, 4: 2, 5: 0, 6: 3}
+
+
+def bruteforce_fsm_el(ledges, vlabels, min_support, max_edges):
+    """Brute-force edge-labeled miner mirroring bruteforce_fsm but with
+    the engine's edge-labeled canonical key."""
+    from arabesque_spark.graph.fsm import quick_canonical_el
+
+    elab = {tuple(sorted((u, v))): el for u, v, el in ledges}
+    all_edges = sorted(elab)
+    results = {}
+    frontier = {frozenset([e]) for e in all_edges}
+    for k in range(1, max_edges + 1):
+        stats: dict = {}
+        pattern_of: dict = {}
+        for es in frontier:
+            vs = sorted({x for e in es for x in e})
+            idx = {v: i for i, v in enumerate(vs)}
+            labs = tuple(vlabels[v] for v in vs)
+            codes = tuple(
+                sorted(((idx[u] * 16 + idx[v]) << 8) | elab[(u, v)] for u, v in es)
+            )
+            pat, pos_map = quick_canonical_el(labs, codes)
+            pattern_of[es] = pat
+            d = stats.setdefault(pat, {"emb": 0, "dom": {}})
+            d["emb"] += 1
+            for i, v in enumerate(vs):
+                d["dom"].setdefault(pos_map[i], set()).add(v)
+        freq = set()
+        for pat, d in stats.items():
+            support = min(len(s) for s in d["dom"].values())
+            if support >= min_support:
+                freq.add(pat)
+                results[pat] = (k, d["emb"], support)
+        survivors = {es for es in frontier if pattern_of[es] in freq}
+        nxt = set()
+        for es in survivors:
+            vs = {x for e in es for x in e}
+            for e in all_edges:
+                if e not in es and (e[0] in vs or e[1] in vs):
+                    nxt.add(frozenset(es | {e}))
+        frontier = nxt
+        if not frontier:
+            break
+    return results
+
+
+def test_fsm_edge_labelled_matches_bruteforce(spark):
+    ledges = spark.createDataFrame(EL_EDGES, "src long, dst long, label int")
+    vlab = spark.createDataFrame(list(EL_VLABELS.items()), "vid long, label int")
+    res = fsm(
+        spark, ledges, vlab, min_support=1, max_edges=3, edge_labelled=True
+    )
+    got = {p["pattern"]: (p["n_edges"], p["embeddings"], p["support"]) for p in res.patterns}
+    want = bruteforce_fsm_el(EL_EDGES, EL_VLABELS, min_support=1, max_edges=3)
+    assert got == want
+
+
+def test_fsm_edge_labelled_distinguishes_labels(spark):
+    """Two wedges on identical vertex labels but different edge labels
+    must be DIFFERENT patterns when edge_labelled=True."""
+    # path a-b-c twice: labels (0,0) and (0,1) around equal vertex labels
+    rows = [(0, 1, 0), (1, 2, 0), (3, 4, 0), (4, 5, 1)]
+    ledges = spark.createDataFrame(rows, "src long, dst long, label int")
+    vlab = spark.createDataFrame([(v, 7) for v in range(6)], "vid long, label int")
+    res = fsm(spark, ledges, vlab, min_support=1, max_edges=2, edge_labelled=True)
+    two_edge = [p for p in res.patterns if p["n_edges"] == 2]
+    # (0,0)-labeled wedge and (0,1)-labeled wedge are distinct classes
+    assert len(two_edge) == 2
+    assert {p["embeddings"] for p in two_edge} == {1}
+
+
+def test_fsm_uniform_edge_labels_reduce_to_vertex_only(spark):
+    """With every edge label equal, the labeled miner finds the same
+    (n_edges, embeddings, support) multiset as the vertex-only miner."""
+    ledges = spark.createDataFrame(
+        [(u, v, 0) for u, v, _ in EL_EDGES], "src long, dst long, label int"
+    )
+    vlab = spark.createDataFrame(list(EL_VLABELS.items()), "vid long, label int")
+    labeled = fsm(spark, ledges, vlab, min_support=2, max_edges=2, edge_labelled=True)
+    plain = fsm(
+        spark, ledges.select("src", "dst"), vlab, min_support=2, max_edges=2
+    )
+    key = lambda r: sorted((p["n_edges"], p["embeddings"], p["support"]) for p in r.patterns)
+    assert key(labeled) == key(plain)
