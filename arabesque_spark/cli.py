@@ -40,7 +40,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--pairwise-limit", type=int, default=16)
 
-    for name in ("pagerank", "cc", "lpa", "triangles", "motifs", "fsm"):
+    for name in ("pagerank", "cc", "lpa", "triangles", "motifs", "fsm", "walks"):
         p = sub.add_parser(name)
         p.add_argument("--edges", required=True, help="parquet dir with (src,dst)")
         p.add_argument("--out", default=None, help="result parquet dir")
@@ -58,6 +58,12 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--labels", required=True, help="parquet dir with (vid,label)")
             p.add_argument("--support", type=int, required=True, help="MNI min support")
             p.add_argument("--max-edges", type=int, default=3)
+            p.add_argument("--edge-labelled", action="store_true",
+                           help="mine edge labels too (edges need a label column)")
+        if name == "walks":
+            p.add_argument("--walks-per-vertex", type=int, default=2)
+            p.add_argument("--walk-length", type=int, default=4)
+            p.add_argument("--seed", type=int, default=61)
 
     args = parser.parse_args(argv)
 
@@ -143,9 +149,21 @@ def main(argv: list[str] | None = None) -> int:
             max_edges=args.max_edges,
             checkpoint_dir=args.checkpoint,
             resume=args.resume,
+            edge_labelled=args.edge_labelled,
         )
         out_df = res.to_df(spark)
         info = {"frequent_patterns": len(res.patterns)}
+    elif args.cmd == "walks":
+        from arabesque_spark.graph.walks import random_walks
+
+        out_df = random_walks(
+            spark,
+            edges,
+            walks_per_vertex=args.walks_per_vertex,
+            walk_length=args.walk_length,
+            seed=args.seed,
+        )
+        info = {"walks_per_vertex": args.walks_per_vertex, "walk_length": args.walk_length}
     else:  # triangles
         from arabesque_spark.graph.triangles import triangle_counts_per_vertex
 

@@ -57,3 +57,21 @@ def test_cli_full_pipeline(spark, tmp_path, capsys):
     ranks = spark.read.parquet(str(tmp_path / "ranks"))
     assert ranks.columns == ["vid", "rank"]
     assert ranks.count() == out["vertices"] or ranks.count() > 0
+
+    # walk corpus generation over the same edges
+    assert (
+        cli.main(
+            [
+                "walks",
+                "--edges",
+                str(tmp_path / "graph" / "edges"),
+                "--walks-per-vertex",
+                "1",
+                "--walk-length",
+                "2",
+            ]
+        )
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] > 0 and out["walk_length"] == 2
