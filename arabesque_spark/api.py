@@ -454,6 +454,16 @@ def q_fsm_edge_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).to_df(spark)
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction features (common neighbors, Jaccard, Adamic-Adar)
+    on the support-filtered graph — the feature-generation step of a
+    link-prediction training pipeline."""
+    from arabesque_spark.graph.linkpred import link_prediction_features
+
+    edges = _support_graph(spark, sf_dir, FSM_EDGE_SUPPORT)
+    return link_prediction_features(spark, edges, min_common=2)
+
+
 def q_clique4_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-clique count (A2, CliqueComputation maxsize=4) on the sparser
     support-filtered graph — the count stays SQL-oracle-sized there."""
@@ -521,6 +531,17 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(
         spark, lineitem_graph(spark, sf_dir), walks_per_vertex=1, walk_length=3
     )
+
+
+def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNN minibatch neighborhood sampling (2 layers, fanout 3/2) —
+    rows-only (hash-chain sampling); block validity/determinism
+    pytest-gated (tests/test_walks.py)."""
+    from arabesque_spark.graph.walks import sample_neighborhood
+
+    edges = lineitem_graph(spark, sf_dir)
+    seeds = degrees(edges).select("vid").orderBy("vid").limit(50)
+    return sample_neighborhood(spark, edges, seeds, fanouts=[3, 2])
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -658,6 +679,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frequent_edges": q_frequent_edges,
     "fsm_frequent": q_fsm_frequent,
     "fsm_edge_labeled": q_fsm_edge_labeled,
+    "link_prediction": q_link_prediction,
     "clique4_count": q_clique4_count,
     "motif4": q_motif4,
     "labeled_motif3": q_labeled_motif3,
@@ -667,6 +689,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_batch": q_ann_batch,
     "ivf_topk": q_ivf_topk,
     "random_walks": q_random_walks,
+    "neighbor_sample": q_neighbor_sample,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "token_stats": q_token_stats,
     "quality_score": q_quality,
@@ -795,6 +818,23 @@ SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS support
 FROM ev GROUP BY src, dst HAVING COUNT(*) >= 3""",
     "fsm_frequent": _fsm_oracle(),
     "fsm_edge_labeled": _fsm_el_oracle(),
+    "link_prediction": f"""
+WITH {{_SUPPORT}}
+sym AS (SELECT src, dst FROM fe UNION ALL SELECT dst, src FROM fe),
+deg AS (SELECT src AS vid, CAST(COUNT(*) AS INTEGER) AS deg FROM sym GROUP BY src),
+cen AS (SELECT s.src, s.dst, d.deg AS wdeg FROM sym s JOIN deg d ON d.vid = s.src),
+p AS (
+  SELECT x.dst AS a, y.dst AS b, CAST(COUNT(*) AS BIGINT) AS common,
+         SUM(1.0 / LN(x.wdeg)) AS aa_raw
+  FROM cen x JOIN cen y ON x.src = y.src AND x.dst < y.dst
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT p.a, p.b, p.common,
+       ROUND(p.common / (da.deg + db.deg - p.common), 6) AS jaccard,
+       ROUND(aa_raw, 6) AS adamic_adar
+FROM p JOIN deg da ON da.vid = p.a JOIN deg db ON db.vid = p.b""".replace(
+        "{_SUPPORT}", _support_graph_sql(FSM_EDGE_SUPPORT) + ","
+    ),
     "clique4_count": f"""
 WITH {_support_graph_sql(CLIQUE_EDGE_SUPPORT)}
 SELECT CAST(COUNT(*) AS BIGINT) AS n_cliques FROM fe e1

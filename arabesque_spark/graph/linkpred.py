@@ -1,0 +1,83 @@
+"""Link-prediction features over the link graph.
+
+Classic neighborhood-overlap features for every wedge-connected vertex
+pair — the label/feature generation step of a link-prediction training
+pipeline (the training-data shape a 10^12-file corpus engine feeds to a
+model): common-neighbor count, Jaccard coefficient, Adamic-Adar.
+
+Plan: one symmetric self-join on the shared center enumerates
+co-neighbor pairs (each unordered pair once via ``a < b``), then a
+single hash aggregation per pair accumulates count and the
+Adamic-Adar sum — map-side combinable, nothing wider than
+(a, b, partials) shuffles. Degrees broadcast-join in afterwards for the
+Jaccard denominator (V-scale, tiny next to the pair table).
+
+Scale note: pair volume is O(Σ deg(w)²) over centers w — the same
+wedge bound as triangle counting, and the same hub hazard. A 10M-degree
+hub contributes 5·10¹³ pairs of its neighbors; those pairs are also the
+least informative (co-occurring at a mega-hub says nothing). The
+``max_center_degree`` cap drops super-hub centers before the self-join
+(standard practice for neighborhood features); ``None`` keeps the exact
+semantics for oracle runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.build import degrees, symmetric_edges
+
+
+def link_prediction_features(
+    spark: SparkSession,
+    edges: DataFrame,
+    min_common: int = 1,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """(a, b, common, jaccard, adamic_adar) for every unordered pair with
+    ≥ ``min_common`` common neighbors; a < b; floats rounded to 6
+    decimals (deterministic, portable). Pairs may or may not already be
+    edges — the caller labels them (existing edge = positive example).
+    """
+    deg = degrees(edges)
+    sym = symmetric_edges(edges)
+    if max_center_degree is not None:
+        ok = deg.filter(F.col("deg") <= max_center_degree).select(
+            F.col("vid").alias("src")
+        )
+        sym = sym.join(ok, "src", "left_semi")
+    # attach the CENTER's degree for the Adamic-Adar term
+    centered = sym.join(
+        deg.withColumnRenamed("vid", "src").withColumnRenamed("deg", "wdeg"), "src"
+    )
+    x, y = centered.alias("x"), centered.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.src") == F.col("y.src")) & (F.col("x.dst") < F.col("y.dst")),
+        )
+        .groupBy(F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
+        .agg(
+            F.count("*").alias("common"),
+            F.sum(1.0 / F.log(F.col("x.wdeg"))).alias("aa_raw"),
+        )
+        .filter(F.col("common") >= min_common)
+    )
+    da = deg.select(F.col("vid").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("vid").alias("b"), F.col("deg").alias("degb"))
+    return (
+        pairs.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("dega") + F.col("degb") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+            F.round("aa_raw", 6).alias("adamic_adar"),
+        )
+    )

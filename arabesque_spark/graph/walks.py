@@ -96,3 +96,63 @@ def random_walks(
             F.col("nbr").alias("cur"),
         )
     return walks.select("walk_id", "start", "path")
+
+
+def sample_neighborhood(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame,
+    fanouts: list[int],
+    seed: int = 71,
+    indexed: DataFrame | None = None,
+) -> DataFrame:
+    """GNN minibatch sampling: (root, layer, src, dst) — the sampled
+    bipartite blocks for ``len(fanouts)`` message-passing layers.
+
+    ``seeds`` is (vid) — the minibatch roots. Layer l keeps at most
+    ``fanouts[l]`` deterministically-chosen neighbors per frontier
+    vertex (all of them when deg ≤ fanout): sample slot s of vertex v
+    picks neighbor index ``pmod(xxhash64(root, v, l, s, seed), deg)``
+    (with-replacement, the GraphSAGE default). One composite-key
+    equality join per layer against the shared position-indexed
+    adjacency; frontier growth is bounded by Π fanouts per root —
+    independent of hub degrees.
+    """
+    ia = indexed if indexed is not None else indexed_adjacency(edges)
+    dg = ia.groupBy("src").agg(F.first("deg").alias("deg")).withColumnRenamed("src", "cur")
+    frontier = seeds.select(
+        F.col("vid").alias("root"), F.col("vid").alias("cur")
+    ).dropDuplicates(["root", "cur"])
+    out = None
+    for layer, fanout in enumerate(fanouts):
+        slots = frontier.join(dg, "cur").select(
+            "root",
+            "cur",
+            "deg",
+            F.explode(F.sequence(F.lit(0), F.lit(fanout - 1))).alias("s"),
+        )
+        picked = slots.withColumn(
+            "idx",
+            F.pmod(
+                F.xxhash64("root", "cur", F.lit(layer), F.col("s"), F.lit(seed)),
+                F.col("deg"),
+            ).cast("int"),
+        )
+        block = (
+            picked.join(
+                ia.select("src", "pos", "nbr"),
+                (picked["cur"] == ia["src"]) & (picked["idx"] == ia["pos"]),
+            )
+            .select(
+                "root",
+                F.lit(layer).alias("layer"),
+                F.col("cur").alias("src"),
+                F.col("nbr").alias("dst"),
+            )
+            .dropDuplicates(["root", "layer", "src", "dst"])
+        )
+        out = block if out is None else out.unionByName(block)
+        frontier = block.select("root", F.col("dst").alias("cur")).dropDuplicates(
+            ["root", "cur"]
+        )
+    return out

@@ -54,3 +54,89 @@ def test_indexed_adjacency_positions(spark, test_graph):
     ]
     # degree sum = 2|E|
     assert len(rows) == 2 * len(TEST_GRAPH_EDGES)
+
+
+# --- link-prediction features ----------------------------------------------
+
+def test_link_prediction_matches_bruteforce(spark, test_graph):
+    import math
+
+    from arabesque_spark.graph.linkpred import link_prediction_features
+
+    adj: dict[int, set[int]] = {}
+    for u, v in TEST_GRAPH_EDGES:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = {}
+    vs = sorted(adj)
+    for i, a in enumerate(vs):
+        for b in vs[i + 1 :]:
+            cn = adj[a] & adj[b]
+            if not cn:
+                continue
+            want[(a, b)] = (
+                len(cn),
+                round(len(cn) / len(adj[a] | adj[b]), 6),
+                round(sum(1.0 / math.log(len(adj[w])) for w in cn), 6),
+            )
+    got = {
+        (r["a"], r["b"]): (r["common"], r["jaccard"], r["adamic_adar"])
+        for r in link_prediction_features(spark, test_graph).collect()
+    }
+    assert got == want
+
+
+def test_link_prediction_center_degree_cap(spark, test_graph):
+    from arabesque_spark.graph.linkpred import link_prediction_features
+
+    capped = link_prediction_features(spark, test_graph, max_center_degree=3)
+    # centers above the cap contribute no pairs; what remains is a subset
+    # of the exact feature set (never new or altered pairs)
+    rows = {(r["a"], r["b"]) for r in capped.collect()}
+    full = {
+        (r["a"], r["b"])
+        for r in link_prediction_features(spark, test_graph).collect()
+    }
+    assert rows <= full
+
+
+# --- GNN neighborhood sampling ---------------------------------------------
+
+def test_sample_neighborhood_blocks(spark, test_graph):
+    from arabesque_spark.graph.walks import sample_neighborhood
+
+    edge_set = set()
+    for u, v in TEST_GRAPH_EDGES:
+        edge_set.add((u, v))
+        edge_set.add((v, u))
+    seeds = spark.createDataFrame([(0,), (6,)], "vid long")
+    rows = sample_neighborhood(spark, test_graph, seeds, fanouts=[2, 2]).collect()
+    assert {r["root"] for r in rows} == {0, 6}
+    assert {r["layer"] for r in rows} <= {0, 1}
+    for r in rows:
+        assert (r["src"], r["dst"]) in edge_set
+    # layer-0 sources are exactly the roots
+    assert {r["src"] for r in rows if r["layer"] == 0} == {0, 6}
+    # per (root, layer, src): at most fanout distinct sampled neighbors
+    from collections import Counter
+    cnt = Counter((r["root"], r["layer"], r["src"]) for r in rows)
+    assert max(cnt.values()) <= 2
+    # layer-1 sources are layer-0 destinations of the same root
+    dst0 = {(r["root"], r["dst"]) for r in rows if r["layer"] == 0}
+    for r in rows:
+        if r["layer"] == 1:
+            assert (r["root"], r["src"]) in dst0
+
+
+def test_sample_neighborhood_deterministic(spark, test_graph):
+    from arabesque_spark.graph.walks import sample_neighborhood
+
+    seeds = spark.createDataFrame([(4,)], "vid long")
+
+    def run(parts):
+        df = sample_neighborhood(
+            spark, test_graph.repartition(parts), seeds, fanouts=[3]
+        )
+        return sorted((r["root"], r["layer"], r["src"], r["dst"]) for r in df.collect())
+
+    assert run(1) == run(5)
