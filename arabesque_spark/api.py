@@ -454,6 +454,50 @@ def q_fsm_edge_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).to_df(spark)
 
 
+KCORE_K = 3
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the support-filtered graph (iterative peeling to
+    fixpoint; oracle = the same peel unrolled 16 rounds — extra rounds
+    past the fixpoint are no-ops, so a generous unroll is exact)."""
+    from arabesque_spark.graph.kcore import k_core_vertices
+
+    edges = _support_graph(spark, sf_dir, FSM_EDGE_SUPPORT)
+    return k_core_vertices(spark, edges, KCORE_K)
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    ctes = []
+    for t in range(1, rounds + 1):
+        prev = "fe" if t == 1 else f"c{t-1}"
+        # MATERIALIZED: each round references its predecessor multiple
+        # times; inlined CTEs would re-expand exponentially across 16 rounds
+        ctes.append(
+            f"""b{t} AS MATERIALIZED (
+  SELECT vid FROM (
+    SELECT src AS vid FROM {prev} UNION ALL SELECT dst FROM {prev}
+  ) GROUP BY vid HAVING COUNT(*) < {k}
+),
+c{t} AS MATERIALIZED (
+  SELECT src, dst FROM {prev}
+  WHERE src NOT IN (SELECT vid FROM b{t}) AND dst NOT IN (SELECT vid FROM b{t})
+)"""
+        )
+    return (
+        "WITH "
+        + _support_graph_sql(FSM_EDGE_SUPPORT).replace(
+            "fe AS (", "fe AS MATERIALIZED ("
+        )
+        + ","
+        + ",\n".join(ctes)
+        + f"""
+SELECT DISTINCT vid FROM (
+  SELECT src AS vid FROM c{rounds} UNION ALL SELECT dst FROM c{rounds}
+)"""
+    )
+
+
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-prediction features (common neighbors, Jaccard, Adamic-Adar)
     on the support-filtered graph — the feature-generation step of a
@@ -680,6 +724,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fsm_frequent": q_fsm_frequent,
     "fsm_edge_labeled": q_fsm_edge_labeled,
     "link_prediction": q_link_prediction,
+    "kcore3": q_kcore,
     "clique4_count": q_clique4_count,
     "motif4": q_motif4,
     "labeled_motif3": q_labeled_motif3,
@@ -818,6 +863,7 @@ SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS support
 FROM ev GROUP BY src, dst HAVING COUNT(*) >= 3""",
     "fsm_frequent": _fsm_oracle(),
     "fsm_edge_labeled": _fsm_el_oracle(),
+    "kcore3": _kcore_oracle(KCORE_K, rounds=16),
     "link_prediction": f"""
 WITH {{_SUPPORT}}
 sym AS (SELECT src, dst FROM fe UNION ALL SELECT dst, src FROM fe),

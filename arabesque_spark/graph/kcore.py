@@ -1,0 +1,71 @@
+"""k-core decomposition by iterative peeling.
+
+The standard link-graph density analytic (community cores, spam/bot
+filtering, graph sparsification before expensive mining): repeatedly
+delete vertices of degree < k until none remain; what survives is the
+k-core.
+
+Superstep shape: state = the surviving canonical edge table. One peel
+round = one degree aggregation + two left-anti joins (drop edges with a
+deleted endpoint) — all hash-partitioned on vertex id, map-side
+combinable, nothing but (vid) lists beyond the edge table itself ever
+shuffles. The runner materializes each round (lineage control) and the
+halt rides the materialization job's observed row count: the fixpoint
+is "no edge was dropped this round". Peeling converges in at most
+O(max coreness) effective rounds; every round strictly shrinks the
+state or halts.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arabesque_spark.engine.superstep import RunResult, SuperstepRunner
+from arabesque_spark.graph.build import degrees
+
+
+def k_core(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int,
+    checkpoint_dir: str | Path | None = None,
+    resume: bool = False,
+    max_iterations: int = 100,
+) -> RunResult:
+    """Peel to the k-core; result state is the surviving edge table
+    (canonical src < dst). An empty result means the graph has no
+    k-core."""
+
+    prev_rows: list[int | None] = [None]
+
+    def step(state: DataFrame, i: int):
+        deg = degrees(state)
+        bad = deg.filter(F.col("deg") < k).select("vid")
+        kept = state.join(
+            bad.withColumnRenamed("vid", "src"), "src", "left_anti"
+        ).join(bad.withColumnRenamed("vid", "dst"), "dst", "left_anti")
+        return kept.select("src", "dst"), {"k": k}
+
+    def halt_decide(m: dict, i: int) -> bool:
+        rows = m["rows"]
+        done = rows == 0 or rows == prev_rows[0]
+        prev_rows[0] = rows
+        return done
+
+    runner = SuperstepRunner(
+        spark, checkpoint_dir=checkpoint_dir, max_iterations=max_iterations
+    )
+    return runner.run(edges.select("src", "dst"), step, resume=resume,
+                      halt_exprs={}, halt_decide=halt_decide)
+
+
+def k_core_vertices(spark: SparkSession, edges: DataFrame, k: int) -> DataFrame:
+    """(vid) — the distinct vertices of the k-core."""
+    res = k_core(spark, edges, k)
+    return (
+        res.state.select(F.explode(F.array("src", "dst")).alias("vid"))
+        .dropDuplicates(["vid"])
+    )

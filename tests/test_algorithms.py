@@ -132,3 +132,45 @@ def test_motif3_counts(spark, test_graph):
     got = {r["pattern"]: r["cnt"] for r in motif3_counts(spark, test_graph).collect()}
     # degrees: 4,1,1,2,3,3,2 → Σ C(d,2) = 6+0+0+1+3+3+1 = 14; wedges = 14-3·1
     assert got == {"triangle": 1, "wedge": 11}
+
+
+# --- k-core decomposition --------------------------------------------------
+
+def _kcore_py(edges, k):
+    import collections
+
+    es = {tuple(sorted(e)) for e in edges}
+    while True:
+        deg = collections.Counter()
+        for u, v in es:
+            deg[u] += 1
+            deg[v] += 1
+        bad = {x for x, d in deg.items() if d < k}
+        if not bad:
+            return es
+        es = {(u, v) for u, v in es if u not in bad and v not in bad}
+        if not es:
+            return es
+
+
+def test_kcore_matches_python_peel(spark):
+    from arabesque_spark.graph.kcore import k_core
+    from tests.reference_impls import er_graph
+
+    edges = er_graph(40, 4.0, seed=13)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (2, 3, 4):
+        got = {
+            (r["src"], r["dst"]) for r in k_core(spark, df, k).state.collect()
+        }
+        assert got == _kcore_py(edges, k), k
+
+
+def test_kcore_of_test_graph(spark, test_graph):
+    from arabesque_spark.graph.kcore import k_core_vertices
+
+    # 2-core: the star prongs 1,2 peel off; square+triangle survive
+    vids = {r["vid"] for r in k_core_vertices(spark, test_graph, 2).collect()}
+    assert vids == {0, 3, 4, 5, 6}
+    # 3-core: empty (max coreness of TestGraph is 2)
+    assert k_core_vertices(spark, test_graph, 3).count() == 0
