@@ -355,6 +355,23 @@ def fsm(
     two embeddings on the same vertices through differently-labeled
     edges are distinct.
     """
+    if edge_labelled:
+        if "label" not in edges.columns:
+            raise ValueError(
+                "fsm: edge_labelled=True requires a `label` column on the "
+                "edge table (got columns %s)" % (edges.columns,)
+            )
+        # the quick key packs the label into the low 8 bits of the edge
+        # code — out-of-range labels would silently corrupt pattern keys
+        bounds = edges.agg(
+            F.min("label").alias("lo"), F.max("label").alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is not None and (bounds["lo"] < 0 or bounds["hi"] > 255):
+            raise ValueError(
+                f"fsm: edge labels must be in [0, 255] for the packed quick "
+                f"key (got min={bounds['lo']}, max={bounds['hi']}); relabel "
+                f"via graph.dataprep tools first"
+            )
     led = _labeled_edge_table(edges, vertex_labels)
     ledges_sym = (
         led.select(F.col("src").alias("u"), F.col("dst").alias("v"),

@@ -117,8 +117,13 @@ def triangle_count(
     Measured ~20% faster than the wedge path at sf0.1 (interleaved
     medians 13.9 s vs 17.3 s, local[32]). ``method="wedges"`` counts the
     enumerated triangle list instead (cross-check, and the path that
-    honors ``broadcast_closing``).
+    honors ``broadcast_closing``). A caller that sets
+    ``broadcast_closing`` explicitly is tuning the wedge path's physical
+    join, so that setting routes to it rather than being silently
+    ignored.
     """
+    if broadcast_closing is not None and method == "intersect":
+        method = "wedges"
     if method == "wedges":
         return triangle_list(
             spark, edges, degree_oriented, broadcast_closing=broadcast_closing

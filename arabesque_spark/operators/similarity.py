@@ -112,8 +112,13 @@ def ann_topk(
     join + exact rerank). ZERO driver actions: the query vector is never
     collected, the bucket is never count-gated — the multi-probe set
     (own bucket + ``planes`` Hamming-1 flips) replaces the old
-    thin-bucket full-scan fallback with bounded extra probes."""
+    thin-bucket full-scan fallback with bounded extra probes. The only
+    driver action is the existence check on the query id (this is the
+    interactive single-query path; pipelines use the batch join) —
+    without it a typo'd id would silently return an empty frame."""
     queries = embeddings.filter(F.col(id_col) == query_id)
+    if queries.limit(1).count() == 0:
+        raise ValueError(f"ann_topk: query id {query_id} not found")
     return ann_topk_batch(
         queries,
         embeddings,
@@ -219,11 +224,16 @@ def ivf_train_centroids(
     from pyspark.sql import types as T
 
     spark = index.sparkSession
+    # norm computed ONCE per row in its own column: referencing the
+    # aggregate fold inside the per-element transform lambda would
+    # re-evaluate the O(D) fold per element (O(D²) per row)
     norm_index = index.select(
         F.col(id_col),
-        F.transform(
-            vec_col, lambda x: (x / F.greatest(_norm(F.col(vec_col)), F.lit(1e-12))).cast("double")
-        ).alias("v"),
+        F.col(vec_col),
+        F.greatest(_norm(F.col(vec_col)), F.lit(1e-12)).alias("_n"),
+    ).select(
+        F.col(id_col),
+        F.transform(vec_col, lambda x: (x / F.col("_n")).cast("double")).alias("v"),
     )
     init_rows = (
         norm_index.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))

@@ -121,32 +121,60 @@ class IncrementalTriangleCounter:
         self.edges_dir = self.state_dir / "edges"
         self.log_path = self.state_dir / "counts.jsonl"
         self.state_dir.mkdir(parents=True, exist_ok=True)
+        # one full log read at construction; afterwards the entry map and
+        # running total are maintained in memory (O(1) per batch, not a
+        # re-parse of the whole JSONL each time)
+        self._entries: dict[int, dict] = {}
+        self._total = 0
+        if self.log_path.exists():
+            for line in self.log_path.read_text().splitlines():
+                if line.strip():
+                    e = json.loads(line)
+                    self._entries[e["batch_id"]] = e
+                    self._total = e["total"]
 
     # ---- state ---------------------------------------------------------
+    def _completed_batch_dirs(self) -> list[str]:
+        """Edge dirs of LOGGED batches only: a crash can leave a written
+        but unlogged batch dir behind, and it must stay invisible so the
+        replay recomputes against the same accumulated state."""
+        out = []
+        for bid in self._entries:
+            d = self.edges_dir / f"batch_{bid}"
+            if d.exists():
+                out.append(str(d))
+        return out
+
     def _acc_edges(self) -> DataFrame | None:
-        if not self.edges_dir.exists():
+        dirs = self._completed_batch_dirs()
+        if not dirs:
             return None
-        try:
-            return self.spark.read.parquet(str(self.edges_dir))
-        except Exception:  # empty dir: no batches folded yet
-            return None
+        return self.spark.read.parquet(*dirs)
 
     @property
     def total(self) -> int:
-        if not self.log_path.exists():
-            return 0
-        lines = [l for l in self.log_path.read_text().splitlines() if l.strip()]
-        return json.loads(lines[-1])["total"] if lines else 0
+        return self._total
 
     # ---- the per-batch kernel -----------------------------------------
-    def process_batch(self, batch: DataFrame, batch_id: int = -1) -> int:
+    def process_batch(self, batch: DataFrame, batch_id: int) -> int:
         """Fold one batch of raw (src, dst) rows into the accumulated
         graph; returns the number of triangles this batch closed.
 
         Joins only: |new| × degree candidate wedges against the combined
         edge set; the accumulated side is touched through its adjacency
         (hash join on the wedge endpoints), never re-enumerated.
+
+        Crash-safe exactly-once: each batch's new edges land in their own
+        ``edges/batch_<id>`` directory, which only becomes part of the
+        accumulated graph once the batch's log line is written (the log
+        commit IS the commit point). A crash between the edge write and
+        the log append leaves an orphan dir that the replay overwrites —
+        recomputed against the unchanged accumulated state, it yields the
+        identical count. A replay of an already-logged batch (streaming
+        at-least-once redelivery) is a no-op returning the logged count.
         """
+        if batch_id in self._entries:
+            return self._entries[batch_id]["closed"]
         new_raw = canonical_edges(batch)
         acc = self._acc_edges()
         if acc is not None:
@@ -159,15 +187,17 @@ class IncrementalTriangleCounter:
 
         closed = closed_triangles(newe, acc).count()
         n_new = newe.count()
-        newe.write.mode("append").parquet(str(self.edges_dir))
+        newe.write.mode("overwrite").parquet(str(self.edges_dir / f"batch_{batch_id}"))
         entry = {
             "batch_id": batch_id,
             "new_edges": n_new,
             "closed": closed,
-            "total": self.total + closed,
+            "total": self._total + closed,
         }
         with self.log_path.open("a") as fh:
             fh.write(json.dumps(entry) + "\n")
+        self._entries[batch_id] = entry
+        self._total = entry["total"]
         return closed
 
     # ---- streaming wiring ---------------------------------------------

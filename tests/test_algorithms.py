@@ -174,3 +174,34 @@ def test_kcore_of_test_graph(spark, test_graph):
     assert vids == {0, 3, 4, 5, 6}
     # 3-core: empty (max coreness of TestGraph is 2)
     assert k_core_vertices(spark, test_graph, 3).count() == 0
+
+
+def test_kcore_oracle_unroll_covers_fixpoint(spark):
+    """The kcore3 driver oracle unrolls the peel a FIXED 16 rounds; it is
+    exact only while the sf0.01 support graph reaches its fixpoint within
+    that. Guard with margin so data drift fails loudly here instead of as
+    a confusing oracle mismatch."""
+    import collections
+
+    from arabesque_spark import api
+
+    edges = [
+        (r["src"], r["dst"])
+        for r in api._support_graph(spark, "/root/testdata/sf0.01", api.FSM_EDGE_SUPPORT).collect()
+    ]
+    es = {tuple(e) for e in edges}
+    rounds = 0
+    while True:
+        deg = collections.Counter()
+        for u, v in es:
+            deg[u] += 1
+            deg[v] += 1
+        bad = {x for x, d in deg.items() if d < api.KCORE_K}
+        if not bad or not es:
+            break
+        es = {(u, v) for u, v in es if u not in bad and v not in bad}
+        rounds += 1
+    assert rounds <= 12, (
+        f"peel needs {rounds} rounds; the kcore3 oracle unrolls 16 — "
+        f"raise the unroll in api._kcore_oracle before this margin erodes"
+    )

@@ -130,3 +130,29 @@ def test_degree_stream_matches_batch(spark, tmp_path):
     full = canonical_edges(spark.createDataFrame(edges, "src long, dst long"))
     want = {r["vid"]: r["deg"] for r in degrees(full).collect()}
     assert got == want
+
+
+def test_triangle_counter_crash_replay_and_redelivery(spark, tmp_path):
+    """Exactly-once across the two failure windows: (a) crash AFTER the
+    batch's edge dir was written but BEFORE its log line (orphan dir must
+    stay invisible and the replay must recompute the same count); (b)
+    redelivery of an already-committed batch_id (must be a no-op)."""
+    edges = _er_edges(40, 140, seed=21)
+    state = tmp_path / "state"
+    ctr = IncrementalTriangleCounter(spark, state)
+    c0 = ctr.process_batch(spark.createDataFrame(edges[:70], "src long, dst long"), 0)
+
+    # (a) simulate the crash window: write batch 1's edges WITHOUT logging
+    orphan = spark.createDataFrame(edges[70:], "src long, dst long")
+    from arabesque_spark.graph.build import canonical_edges as ce
+
+    ce(orphan).write.mode("overwrite").parquet(str(state / "edges" / "batch_1"))
+    ctr2 = IncrementalTriangleCounter(spark, state)  # fresh process
+    assert ctr2.total == c0  # orphan dir invisible
+    c1 = ctr2.process_batch(orphan, 1)  # replay completes the batch
+    full = canonical_edges(spark.createDataFrame(edges, "src long, dst long"))
+    assert ctr2.total == c0 + c1 == triangle_count(spark, full)
+
+    # (b) redelivery of batch 1: no-op, same count, total unchanged
+    assert ctr2.process_batch(orphan, 1) == c1
+    assert ctr2.total == c0 + c1
