@@ -505,7 +505,11 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arabesque_spark.graph.linkpred import link_prediction_features
 
     edges = _support_graph(spark, sf_dir, FSM_EDGE_SUPPORT)
-    return link_prediction_features(spark, edges, min_common=2)
+    # max_center_degree=None: the oracle computes EXACT features; the
+    # pipeline default (capped at 10k) is the scale path.
+    return link_prediction_features(
+        spark, edges, min_common=2, max_center_degree=None
+    )
 
 
 def q_clique4_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -533,6 +537,19 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), k=64, bands=16, threshold=0.3
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3, the pigeonhole-complete
+    radius for 4×16-bit chunk blocking) — rows-only (xxhash64 token
+    hashing not portable to SQL); blocking soundness covered by
+    tests/test_operators.py::test_simhash_blocking. Fully JVM-side: the
+    fingerprint is a 64-vote hash aggregation."""
+    from arabesque_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=3
     )
 
 
@@ -569,11 +586,19 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DeepWalk-style training-corpus generation — rows-only (the
     neighbor choice is a Spark xxhash64 chain DuckDB cannot replicate);
     path validity/determinism/coverage are pytest-gated
-    (tests/test_walks.py)."""
+    (tests/test_walks.py).
+
+    The library emits ``path array<long>``; the driver projection joins
+    it to a CSV string because the harness's order-insensitive
+    value-hash cannot canonicalize array cells (same device as
+    adjacency_list's neighbors_csv)."""
     from arabesque_spark.graph.walks import random_walks
 
-    return random_walks(
+    walks = random_walks(
         spark, lineitem_graph(spark, sf_dir), walks_per_vertex=1, walk_length=3
+    )
+    return walks.select(
+        "walk_id", "start", F.array_join("path", ",").alias("path_csv")
     )
 
 
@@ -730,6 +755,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "labeled_motif3": q_labeled_motif3,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh_pairs": q_minhash_lsh,
+    "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
     "ann_topk_batch": q_ann_batch,
     "ivf_topk": q_ivf_topk,

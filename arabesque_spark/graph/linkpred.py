@@ -17,8 +17,16 @@ wedge bound as triangle counting, and the same hub hazard. A 10M-degree
 hub contributes 5·10¹³ pairs of its neighbors; those pairs are also the
 least informative (co-occurring at a mega-hub says nothing). The
 ``max_center_degree`` cap drops super-hub centers before the self-join
-(standard practice for neighborhood features); ``None`` keeps the exact
-semantics for oracle runs.
+(standard practice for neighborhood features) and DEFAULTS ON (10_000 —
+caps the worst center at 5·10⁷ pairs, a single task's worth, while real
+link graphs rarely have informative centers anywhere near it); pass
+``None`` explicitly for exact semantics (oracle runs, small graphs).
+
+Cap semantics: dropping a center w removes w's wedges, so (1) pairs
+whose ONLY common neighbors are capped hubs disappear, and (2) a
+SURVIVING pair loses the capped hub's contribution to its
+``common``/``jaccard``/``adamic_adar`` values — surviving keys keep
+their identity, not their exact feature values.
 """
 
 from __future__ import annotations
@@ -33,12 +41,15 @@ def link_prediction_features(
     spark: SparkSession,
     edges: DataFrame,
     min_common: int = 1,
-    max_center_degree: int | None = None,
+    max_center_degree: int | None = 10_000,
 ) -> DataFrame:
     """(a, b, common, jaccard, adamic_adar) for every unordered pair with
     ≥ ``min_common`` common neighbors; a < b; floats rounded to 6
     decimals (deterministic, portable). Pairs may or may not already be
     edges — the caller labels them (existing edge = positive example).
+
+    ``max_center_degree`` defaults ON (see module docstring for the
+    exact cap semantics); pass ``None`` for exact features.
     """
     deg = degrees(edges)
     sym = symmetric_edges(edges)

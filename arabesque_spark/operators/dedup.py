@@ -13,9 +13,10 @@ Scale design, per operator:
   signatures in one Arrow batch pass; banding turns all-pairs into an
   equality join on (band, band_hash) — only same-bucket candidates are
   compared, which is what makes near-dup feasible at 10^12 docs.
-* **SimHash** — 64-bit weighted-projection fingerprint via the same
-  vectorized path; candidate pairs by identical 16-bit chunk (Hamming ≤ 3
-  guarantee via pigeonhole on 4 chunks).
+* **SimHash** — 64-bit fingerprint computed entirely JVM-side (explode
+  token hashes + one 64-bit-vote hash aggregation, map-side combined);
+  candidate pairs by identical 16-bit chunk (Hamming ≤ 3 guarantee via
+  pigeonhole on 4 chunks).
 
 Deterministic throughout: permutations are fixed-parameter universal
 hashes, not RNG state.
@@ -243,38 +244,47 @@ def minhash_lsh_pairs(
 def simhash(
     docs: DataFrame, id_col: str = "doc_id", text: str = "text"
 ) -> DataFrame:
-    """(doc_id, simhash long) — 64-bit SimHash over token hashes, vectorized."""
+    """(doc_id, simhash long) — 64-bit SimHash over token hashes.
 
-    def fnv1a(s: str) -> int:
-        h = 0xCBF29CE484222325
-        for byte in s.encode("utf-8"):
-            h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h
+    100% JVM-side (no Python anywhere, vectorized or not): tokens explode
+    to (doc_id, xxhash64(token)) rows, then ONE hash aggregation per doc
+    computes the 64 per-bit majority votes as 64 conditional sums
+    (``sum(getbit(h, i))`` vs token count) — map-side combinable, so the
+    shuffle carries one 65-column row per (doc, input-partition), never
+    the tokens. Bit i of the fingerprint is set iff ≥ half the token
+    hashes have bit i set (ties round up, matching the historical
+    ``2·ones ≥ n`` rule). Token-less docs keep a row with simhash 0.
 
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bitcols = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
-        for batch in batches:
-            out = np.zeros(len(batch), dtype=np.int64)
-            for row_i, txt in enumerate(batch[text]):
-                toks = str(txt).split()
-                if not toks:
-                    continue
-                hs = np.array([fnv1a(t) for t in toks], dtype=np.uint64)
-                bits = ((hs[:, None] & bitcols) != 0).astype(np.int32)
-                acc = np.where(bits.sum(axis=0) * 2 >= len(toks), 1, 0).astype(np.uint64)
-                out[row_i] = (acc << np.arange(64, dtype=np.uint64)).sum().astype(np.int64)
-            yield pd.DataFrame({id_col: batch[id_col], "simhash": out})
-
-    schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType(), False),
-            T.StructField("simhash", T.LongType(), False),
-        ]
+    Replaces the round-2 mapInPandas implementation whose per-token FNV
+    loop was the engine's last interpreter-bound hot path.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.filter(tokens_col(text), lambda t: F.length(t) > 0)).alias("tok"),
     )
-    # spread a single-file input before the Python stage (see
-    # minhash_signatures: one partition = one worker)
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    return docs.select(id_col, text).repartition(n_parts).mapInPandas(compute, schema=schema)
+    hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.getbit("h", F.lit(i))).alias(f"b{i}") for i in range(64)
+    ]
+    votes = hashed.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp.bitwiseOR(
+            F.when(
+                F.col(f"b{i}") * 2 >= F.col("n"),
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    fps = votes.select(F.col(id_col), fp.alias("simhash"))
+    # keep a row for docs with zero tokens (V-scale left join, tiny)
+    return (
+        docs.select(id_col)
+        .join(fps, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"),
+        )
+    )
 
 
 def simhash_near_pairs(

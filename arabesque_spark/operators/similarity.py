@@ -157,6 +157,14 @@ def ann_topk_batch(
     ``probes`` caps the probe list (1 = exact-bucket only). Scores are
     rounded to 5 decimals before ranking, ties broken by ascending id —
     deterministic across partitionings.
+
+    Cardinality contract (changed from the pre-multi-probe version): a
+    query returns AT MOST k rows, and FEWER when its probed buckets hold
+    fewer than k candidates — there is no full-scan fallback (a scan per
+    thin query is exactly the non-scalable path this operator exists to
+    avoid). Callers needing guaranteed-k on a small index should use
+    :func:`cosine_topk` (exact) instead; tests pin the fewer-than-k
+    behavior (tests/test_operators.py::test_ann_fewer_than_k).
     """
     from pyspark.sql.window import Window
 

@@ -204,6 +204,30 @@ def test_ann_topk_batch_recall(spark):
     assert rks == [1, 2, 3, 4, 5]
 
 
+def test_ann_fewer_than_k(spark):
+    """Pins the multi-probe cardinality contract: no full-scan fallback —
+    a query whose probed buckets hold < k candidates returns < k rows
+    (similarity.py ann_topk_batch docstring)."""
+    import numpy as np
+
+    from arabesque_spark.operators.similarity import ann_topk_batch
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(24, 16)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(24)],
+        "vec_id long, embedding array<float>",
+    )
+    # 10 planes → 1024 buckets over 24 vectors: probes (1+10 buckets) hold
+    # far fewer than k=15 candidates for essentially every query
+    got = ann_topk_batch(emb.filter(F.col("vec_id") < 8), emb, k=15, planes=10).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["qid"], set()).add(r["vec_id"])
+    assert all(len(v) <= 15 for v in by_q.values())
+    assert any(len(v) < 15 for v in by_q.values())
+
+
 def test_cosine_near_dup_lsh_recall(spark):
     import numpy as np
 
