@@ -12,8 +12,7 @@ table grows forever). Two operators:
   counting via ``foreachBatch``. Per micro-batch of landed edges it counts
   ONLY the triangles the batch closes, against the accumulated edge set;
   cost is O(|batch| × avg-degree) joins, never a recount of the full
-  graph. The accumulated edge set lives in an append-only parquet
-  directory (restart-safe: the directory IS the state).
+  graph.
 
 Exactly-once rule: a triangle is attributed to its lexicographically
 LARGEST new edge — for a triangle closed in this batch with 1, 2, or 3
@@ -23,11 +22,42 @@ old-old-new, old-new-new, new-new-new triangles are all covered by the
 single rule. (Same device as the batch engine's orientation trick,
 triangles.py: make the count canonical-by-construction instead of
 dedup-after.)
+
+State management at stream length (the round-2 design re-read EVERY
+per-batch parquet dir in full, each batch — after 10⁴ batches that is
+10⁴ directory listings and a whole-graph scan per micro-batch):
+
+* Every ``compact_every`` logged batches, the accumulated graph is
+  COMPACTED into one generation directory holding the SYMMETRIC
+  adjacency (both directions of every edge), hash-partitioned into
+  ``n_buckets`` by ``pmod(xxhash64(a), n_buckets)`` and written with
+  ``partitionBy`` — so the bucket is a physical parquet partition
+  column.
+* Per batch, the accumulated side is then read as
+  ``compacted generation (PRUNED to the buckets the batch touches)
+  ∪ the ≤ compact_every un-compacted delta dirs``. The batch's touched
+  buckets are the hash buckets of its edge endpoints — at most
+  ``2·|batch|`` of them — so partition pruning skips every parquet file
+  of an untouched bucket: per-batch cost scales with the batch's
+  neighborhood, not the graph.
+* The probe side of the wedge join (the batch's new edges) is
+  ``broadcast()`` — the E-scale accumulated side is never shuffled for
+  the closing join.
+* Crash-safety of compaction mirrors the per-batch rule: the new
+  generation dir is fully written, THEN ``compaction.json`` is
+  atomically replaced (tmp + rename = the commit point), THEN the
+  superseded generation and covered delta dirs are best-effort deleted.
+  A crash at any point leaves either the old manifest (orphan new gen,
+  overwritten next compaction) or the new one (leftover covered dirs,
+  ignored and re-deleted later).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import shutil
+import warnings
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -69,27 +99,38 @@ def degree_stream(edges: DataFrame) -> DataFrame:
     )
 
 
-def closed_triangles(newe: DataFrame, acc: DataFrame | None) -> DataFrame:
+def closed_triangles(newe: DataFrame, acc_sym: DataFrame | None) -> DataFrame:
     """Triangles closed by the (deduped, truly-new) edge batch ``newe``
-    against accumulated edges ``acc`` — each exactly once, attributed to
-    its lexicographically largest new edge. Pure plan construction (no
-    actions); one row per closed triangle."""
-    alle = newe.select("src", "dst").withColumn("is_new", F.lit(True))
-    if acc is not None:
-        alle = alle.unionByName(
-            acc.select("src", "dst").withColumn("is_new", F.lit(False))
-        )
+    against the accumulated graph, given as ``acc_sym`` = (a, b) rows in
+    BOTH directions (None for empty state) — each triangle exactly once,
+    attributed to its lexicographically largest new edge. Pure plan
+    construction (no actions); one row per closed triangle. The new-edge
+    probe side is broadcast — the accumulated side is never shuffled.
+    """
     ek = F.struct(F.col("src").alias("u"), F.col("dst").alias("v"))
-    sym = alle.select(
-        F.col("src").alias("a"), F.col("dst").alias("b"), "is_new", ek.alias("k")
-    ).union(
-        alle.select(
-            F.col("dst").alias("a"), F.col("src").alias("b"), "is_new", ek.alias("k")
+    new_half = newe.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.lit(True).alias("is_new"),
+        ek.alias("k"),
+    )
+    sym = new_half.union(
+        newe.select(
+            F.col("dst").alias("a"), F.col("src").alias("b"),
+            F.lit(True).alias("is_new"), ek.alias("k"),
         )
     )
+    if acc_sym is not None:
+        sym = sym.union(
+            acc_sym.select(
+                "a", "b", F.lit(False).alias("is_new"),
+                F.lit(None).cast("struct<u:bigint,v:bigint>").alias("k"),
+            )
+        )
     n1, n2 = sym.alias("n1"), sym.alias("n2")
-    e = newe.select(
-        "src", "dst", F.struct(F.col("src").alias("u"), F.col("dst").alias("v")).alias("ke")
+    e = F.broadcast(
+        newe.select(
+            "src", "dst",
+            F.struct(F.col("src").alias("u"), F.col("dst").alias("v")).alias("ke"),
+        )
     )
     # common neighbor w: u—w and v—w both present in the combined set
     return (
@@ -100,6 +141,7 @@ def closed_triangles(newe: DataFrame, acc: DataFrame | None) -> DataFrame:
         )
         .filter((F.col("n1.b") != F.col("src")) & (F.col("n1.b") != F.col("dst")))
         # exactly-once: count at the lexicographically LARGEST new edge
+        # (acc rows have is_new=false, so their null k never evaluates)
         .filter(~F.col("n1.is_new") | (F.col("n1.k") < F.col("ke")))
         .filter(~F.col("n2.is_new") | (F.col("n2.k") < F.col("ke")))
     )
@@ -108,18 +150,36 @@ def closed_triangles(newe: DataFrame, acc: DataFrame | None) -> DataFrame:
 class IncrementalTriangleCounter:
     """Exactly-once incremental triangle counting over an edge stream.
 
-    ``state_dir`` holds the accumulated canonical edge set as parquet
-    (append-only) plus a ``counts.jsonl`` lineage log (one line per
-    processed batch: new-edge count, triangles closed, running total) —
-    the same manifest discipline as the superstep runner; a restarted
-    query resumes from the directory contents.
+    ``state_dir`` layout:
+
+    * ``edges/batch_<id>/`` — each batch's truly-new canonical edges
+      (append-only; becomes visible only once its log line commits).
+    * ``compacted/gen_<g>/`` — the symmetric adjacency of all batches
+      covered by ``compaction.json``, parquet-partitioned by hash bucket
+      (see module docstring).
+    * ``counts.jsonl`` — lineage log, one line per processed batch:
+      new-edge count, triangles closed, running total.
+    * ``compaction.json`` — {"gen": g, "covered": [batch ids]}; its
+      atomic replacement is the compaction commit point.
+
+    A restarted counter resumes from the directory contents alone.
     """
 
-    def __init__(self, spark: SparkSession, state_dir: str | Path) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str | Path,
+        compact_every: int = 16,
+        n_buckets: int = 64,
+    ) -> None:
         self.spark = spark
         self.state_dir = Path(state_dir)
         self.edges_dir = self.state_dir / "edges"
+        self.compact_dir = self.state_dir / "compacted"
         self.log_path = self.state_dir / "counts.jsonl"
+        self.manifest_path = self.state_dir / "compaction.json"
+        self.compact_every = compact_every
+        self.n_buckets = n_buckets
         self.state_dir.mkdir(parents=True, exist_ok=True)
         # one full log read at construction; afterwards the entry map and
         # running total are maintained in memory (O(1) per batch, not a
@@ -132,24 +192,95 @@ class IncrementalTriangleCounter:
                     e = json.loads(line)
                     self._entries[e["batch_id"]] = e
                     self._total = e["total"]
+        self._gen = -1
+        self._covered: set[int] = set()
+        if self.manifest_path.exists():
+            m = json.loads(self.manifest_path.read_text())
+            self._gen = m["gen"]
+            self._covered = set(m["covered"])
+            if not (self.compact_dir / f"gen_{self._gen}").exists():
+                raise RuntimeError(
+                    f"compaction.json references missing generation dir "
+                    f"gen_{self._gen} under {self.compact_dir} — state is "
+                    "corrupt; refusing to count against a partial graph"
+                )
 
     # ---- state ---------------------------------------------------------
-    def _completed_batch_dirs(self) -> list[str]:
-        """Edge dirs of LOGGED batches only: a crash can leave a written
-        but unlogged batch dir behind, and it must stay invisible so the
-        replay recomputes against the same accumulated state."""
+    def _delta_batch_dirs(self) -> list[str]:
+        """Edge dirs of LOGGED batches not yet folded into a compacted
+        generation. A crash can leave a written-but-unlogged batch dir
+        behind — it must stay invisible so the replay recomputes against
+        the same accumulated state. A LOGGED-but-missing dir, conversely,
+        means lost state: raise rather than silently undercount."""
         out = []
         for bid in self._entries:
+            if bid in self._covered:
+                continue
             d = self.edges_dir / f"batch_{bid}"
-            if d.exists():
-                out.append(str(d))
+            if not d.exists():
+                raise RuntimeError(
+                    f"logged batch {bid} has no edge dir at {d} — state is "
+                    "corrupt; refusing to count against a partial graph"
+                )
+            out.append(str(d))
         return out
 
-    def _acc_edges(self) -> DataFrame | None:
-        dirs = self._completed_batch_dirs()
+    def _bucket(self, col):
+        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets))
+
+    def _compacted_sym(self, buckets: list[int] | None) -> DataFrame | None:
+        """The compacted symmetric adjacency, partition-pruned to
+        ``buckets`` (None = no pruning)."""
+        if self._gen < 0:
+            return None
+        df = self.spark.read.parquet(str(self.compact_dir / f"gen_{self._gen}"))
+        if buckets is not None:
+            df = df.filter(F.col("bkt").isin(buckets))
+        return df.select("a", "b")
+
+    def _delta_canonical(self) -> DataFrame | None:
+        dirs = self._delta_batch_dirs()
         if not dirs:
             return None
         return self.spark.read.parquet(*dirs)
+
+    @staticmethod
+    def _symmetrize(canon: DataFrame) -> DataFrame:
+        return canon.select(
+            F.col("src").alias("a"), F.col("dst").alias("b")
+        ).union(canon.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+
+    def _acc_canonical(self, src_buckets: list[int]) -> DataFrame | None:
+        """Accumulated CANONICAL edges whose src falls in ``src_buckets``
+        (a superset is fine — this feeds an anti-join): compacted rows
+        with a < b are exactly the canonical set, pruned by bkt(a)."""
+        comp = self._compacted_sym(src_buckets)
+        parts = []
+        if comp is not None:
+            parts.append(
+                comp.filter(F.col("a") < F.col("b")).select(
+                    F.col("a").alias("src"), F.col("b").alias("dst")
+                )
+            )
+        delta = self._delta_canonical()
+        if delta is not None:
+            parts.append(delta.select("src", "dst"))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
+
+    def _acc_sym(self, buckets: list[int]) -> DataFrame | None:
+        comp = self._compacted_sym(buckets)
+        delta = self._delta_canonical()
+        if comp is None and delta is None:
+            return None
+        if delta is not None:
+            dsym = self._symmetrize(delta)
+            return dsym if comp is None else comp.union(dsym)
+        return comp
 
     @property
     def total(self) -> int:
@@ -161,8 +292,9 @@ class IncrementalTriangleCounter:
         graph; returns the number of triangles this batch closed.
 
         Joins only: |new| × degree candidate wedges against the combined
-        edge set; the accumulated side is touched through its adjacency
-        (hash join on the wedge endpoints), never re-enumerated.
+        edge set; the accumulated side is touched through its bucketed
+        adjacency (partition-pruned to the batch's endpoint buckets,
+        probed by a broadcast of the new edges), never re-enumerated.
 
         Crash-safe exactly-once: each batch's new edges land in their own
         ``edges/batch_<id>`` directory, which only becomes part of the
@@ -175,17 +307,24 @@ class IncrementalTriangleCounter:
         """
         if batch_id in self._entries:
             return self._entries[batch_id]["closed"]
-        new_raw = canonical_edges(batch)
-        acc = self._acc_edges()
-        if acc is not None:
-            newe = new_raw.join(acc.select("src", "dst"), ["src", "dst"], "left_anti")
+        # pin the deduped batch once; everything below reuses it
+        new_raw = canonical_edges(batch).localCheckpoint(eager=True)
+        # the batch's touched buckets (≤ 2·|batch| values, one tiny job):
+        # drives parquet partition pruning on the compacted generation
+        bks = new_raw.select(
+            self._bucket(F.col("src")).alias("sb"), self._bucket(F.col("dst")).alias("db")
+        )
+        brows = bks.distinct().collect()
+        src_buckets = sorted({r["sb"] for r in brows})
+        end_buckets = sorted({x for r in brows for x in (r["sb"], r["db"])})
+        acc_canon = self._acc_canonical(src_buckets)
+        if acc_canon is not None:
+            newe = new_raw.join(acc_canon, ["src", "dst"], "left_anti")
         else:
             newe = new_raw
-        # the batch kernel is reused below; localCheckpoint pins the deduped
-        # new-edge set so the anti-join doesn't recompute per downstream use
         newe = newe.localCheckpoint(eager=True)
 
-        closed = closed_triangles(newe, acc).count()
+        closed = closed_triangles(newe, self._acc_sym(end_buckets)).count()
         n_new = newe.count()
         newe.write.mode("overwrite").parquet(str(self.edges_dir / f"batch_{batch_id}"))
         entry = {
@@ -198,7 +337,49 @@ class IncrementalTriangleCounter:
             fh.write(json.dumps(entry) + "\n")
         self._entries[batch_id] = entry
         self._total = entry["total"]
+        if len(self._entries) - len(self._covered) >= self.compact_every:
+            self._compact()
         return closed
+
+    # ---- compaction ----------------------------------------------------
+    def _compact(self) -> None:
+        """Fold every un-compacted delta dir (plus the current generation)
+        into a new bucket-partitioned generation. See module docstring for
+        the crash-safety argument."""
+        delta = self._delta_canonical()
+        if delta is None:
+            return
+        covered = self._covered | {
+            bid for bid in self._entries if bid not in self._covered
+        }
+        sym = self._symmetrize(delta)
+        comp = self._compacted_sym(None)
+        if comp is not None:
+            sym = comp.union(sym)
+        new_gen = self._gen + 1
+        gen_dir = self.compact_dir / f"gen_{new_gen}"
+        (
+            sym.withColumn("bkt", self._bucket(F.col("a")))
+            .repartition("bkt")
+            .write.mode("overwrite")
+            .partitionBy("bkt")
+            .parquet(str(gen_dir))
+        )
+        # commit point: atomic manifest replace
+        tmp = self.manifest_path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps({"gen": new_gen, "covered": sorted(covered)}))
+        os.replace(tmp, self.manifest_path)
+        old_gen, old_covered = self._gen, self._covered
+        self._gen, self._covered = new_gen, covered
+        # best-effort cleanup AFTER the commit; leftovers are re-deleted on
+        # the next compaction pass
+        try:
+            if old_gen >= 0:
+                shutil.rmtree(self.compact_dir / f"gen_{old_gen}", ignore_errors=True)
+            for bid in covered - old_covered:
+                shutil.rmtree(self.edges_dir / f"batch_{bid}", ignore_errors=True)
+        except OSError as exc:  # pragma: no cover - cleanup only
+            warnings.warn(f"compaction cleanup failed (non-fatal): {exc}")
 
     # ---- streaming wiring ---------------------------------------------
     def attach(self, edge_stream: DataFrame, checkpoint_dir: str | Path | None = None):

@@ -81,6 +81,62 @@ def test_triangle_counter_restart_resumes_from_state_dir(spark, tmp_path):
     assert ctr2.total == triangle_count(spark, full)
 
 
+def test_compaction_preserves_counts_and_prunes_state(spark, tmp_path):
+    """compact_every=2 forces a compaction after every other batch; counts
+    must equal the batch recompute, the covered per-batch dirs must be
+    gone, and the compacted generation must be bucket-partitioned."""
+    edges = _er_edges(50, 200, seed=13)
+    state = tmp_path / "state"
+    ctr = IncrementalTriangleCounter(spark, state, compact_every=2, n_buckets=8)
+    cuts = [0, 40, 80, 120, 160, 200]
+    total = 0
+    for i in range(5):
+        total += ctr.process_batch(
+            spark.createDataFrame(edges[cuts[i] : cuts[i + 1]], "src long, dst long"), i
+        )
+    full = canonical_edges(spark.createDataFrame(edges, "src long, dst long"))
+    assert total == ctr.total == triangle_count(spark, full)
+    # two compactions ran (after batches 1 and 3): gen_1 is current,
+    # gen_0 deleted, covered batch dirs deleted, batch 4 still a delta
+    m = json.loads((state / "compaction.json").read_text())
+    assert m["gen"] == 1 and m["covered"] == [0, 1, 2, 3]
+    assert not (state / "compacted" / "gen_0").exists()
+    gen1 = state / "compacted" / "gen_1"
+    assert sorted(p.name for p in gen1.iterdir() if p.name.startswith("bkt="))
+    for bid in range(4):
+        assert not (state / "edges" / f"batch_{bid}").exists()
+    assert (state / "edges" / "batch_4").exists()
+
+    # a FRESH counter over the compacted state keeps counting correctly
+    more = _er_edges(50, 260, seed=13)[200:]  # superset seed → 60 new edges
+    ctr2 = IncrementalTriangleCounter(spark, state, compact_every=2, n_buckets=8)
+    assert ctr2.total == total
+    t5 = ctr2.process_batch(spark.createDataFrame(more, "src long, dst long"), 5)
+    full2 = canonical_edges(
+        spark.createDataFrame(edges + more, "src long, dst long")
+    )
+    assert ctr2.total == total + t5 == triangle_count(spark, full2)
+
+
+def test_missing_logged_batch_dir_raises(spark, tmp_path):
+    """ADVICE r2: a logged batch whose edge dir vanished must raise, not
+    silently count against an undercounted graph."""
+    import shutil
+
+    import pytest
+
+    edges = _er_edges(30, 80, seed=17)
+    state = tmp_path / "state"
+    ctr = IncrementalTriangleCounter(spark, state)
+    ctr.process_batch(spark.createDataFrame(edges[:40], "src long, dst long"), 0)
+    shutil.rmtree(state / "edges" / "batch_0")
+    ctr2 = IncrementalTriangleCounter(spark, state)
+    with pytest.raises(RuntimeError, match="no edge dir"):
+        ctr2.process_batch(
+            spark.createDataFrame(edges[40:], "src long, dst long"), 1
+        )
+
+
 def _land_parquet_file(path, edges):
     """Write one plain parquet FILE (what a landing zone actually holds;
     the file-stream source lists leaf files, not nested dataset dirs)."""
