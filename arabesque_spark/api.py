@@ -234,6 +234,157 @@ FSM_N_ELABELS = 3
 FSM_EL_MIN_SUPPORT = 70  # label-split patterns carry ~1/3 the support mass
 
 
+FSM3_N_LABELS = 3  # 3 labels keep the level-3 decode table at ~1.3k rows
+FSM3_MIN_SUPPORT = 60
+
+
+def _fsm3_oracle() -> str:
+    """DuckDB twin of the depth-3 FSM query (levels 1-2-3, MNI support,
+    C8 filter at every level) — closes the round-2 gap where the oracle
+    stopped at 2 edges while ``fsm()`` itself mines to 3 (the reference's
+    flagship run mines until nothing is frequent,
+    examples/fsm/FSMMasterComputation.java:22-25).
+
+    Levels 1-2 are the :func:`_fsm_oracle` structure at 3 labels. Level 3
+    mirrors the engine's own generation semantics in pure SQL: expand
+    every SURVIVING wedge embedding by one incident edge (C8: only
+    frequent-pattern wedges expand), dedup by sorted edge set, then
+    decode (sorted-vid labels, position-pair adjcodes) → canonical
+    pattern + position map through a literal table enumerating all
+    3-label × {triangle, 16 four-vertex 3-edge shapes} combinations with
+    the engine's own ``quick_canonical`` (the canonicalization is
+    brute-force-verified separately in tests/test_fsm.py; the oracle
+    independently checks the DISTRIBUTED machinery — expansion, dedup,
+    domain counting, the per-level support drops).
+    """
+    from itertools import combinations, product
+
+    from arabesque_spark.graph.fsm import quick_canonical
+
+    L, s = FSM3_N_LABELS, FSM3_MIN_SUPPORT
+    rows2 = []
+    for l0 in range(L):
+        for l1 in range(L):
+            p, pm = quick_canonical((l0, l1), (1,))
+            rows2.append(f"({l0},{l1},'{p}',{pm[0]},{pm[1]})")
+    adj_by_rank = {0: (1, 2), 1: (1, 18), 2: (2, 18)}
+    rows3 = []
+    for l0 in range(L):
+        for l1 in range(L):
+            for l2 in range(L):
+                for r, code in adj_by_rank.items():
+                    p, pm = quick_canonical((l0, l1, l2), code)
+                    rows3.append(f"({l0},{l1},{l2},{r},'{p}',{pm[0]},{pm[1]},{pm[2]})")
+    rowsx = []
+    tri = (1, 2, 18)
+    for labs in product(range(L), repeat=3):
+        p, pm = quick_canonical(labs, tri)
+        key = ",".join(map(str, labs)) + "|" + ",".join(map(str, tri))
+        rowsx.append(f"('{key}','{p}',{pm[0]},{pm[1]},{pm[2]},0)")
+    pairs = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    for combo in combinations(pairs, 3):
+        if len({x for pr in combo for x in pr}) != 4:
+            continue  # 3 edges on 4 covered vertices are always connected
+        codes = tuple(sorted(i * 16 + j for i, j in combo))
+        for labs in product(range(L), repeat=4):
+            p, pm = quick_canonical(labs, codes)
+            key = ",".join(map(str, labs)) + "|" + ",".join(map(str, codes))
+            rowsx.append(f"('{key}','{p}',{pm[0]},{pm[1]},{pm[2]},{pm[3]})")
+    return f"""
+WITH {_support_graph_sql(FSM_EDGE_SUPPORT)},
+vlab3 AS (SELECT p_partkey AS vid, CAST(p_size % {L} AS INTEGER) AS lab FROM part),
+el AS (SELECT fe.src AS u, fe.dst AS v, la.lab AS lu, lb.lab AS lv
+       FROM fe JOIN vlab3 la ON la.vid = fe.src JOIN vlab3 lb ON lb.vid = fe.dst),
+d2(l0, l1, pattern, c0, c1) AS (VALUES {", ".join(rows2)}),
+d3(l0, l1, l2, r, pattern, c0, c1, c2) AS (VALUES {", ".join(rows3)}),
+dx(key, pattern, m0, m1, m2, m3) AS (VALUES {", ".join(rowsx)}),
+e1 AS MATERIALIZED (SELECT el.*, d2.pattern, d2.c0, d2.c1 FROM el
+       JOIN d2 ON d2.l0 = el.lu AND d2.l1 = el.lv),
+dom1 AS (SELECT pattern, c0 AS cpos, u AS vid FROM e1
+         UNION ALL SELECT pattern, c1, v FROM e1),
+supp1 AS (SELECT pattern, MIN(d) AS support FROM
+          (SELECT pattern, cpos, COUNT(DISTINCT vid) AS d FROM dom1 GROUP BY 1, 2)
+          GROUP BY pattern),
+lvl1 AS (SELECT e.pattern, COUNT(*) AS embeddings, ANY_VALUE(s.support) AS support
+         FROM e1 e JOIN supp1 s USING (pattern) GROUP BY e.pattern),
+freq1 AS (SELECT * FROM lvl1 WHERE support >= {s}),
+es AS MATERIALIZED (SELECT e1.*, pattern IN (SELECT pattern FROM freq1) AS surv FROM e1),
+sym AS (SELECT u AS c, v AS e, lu AS lc, lv AS le, surv FROM es
+        UNION ALL SELECT v, u, lv, lu, surv FROM es),
+w AS (SELECT a.c, a.e AS x, b.e AS y, a.lc, a.le AS lx, b.le AS ly
+      FROM sym a JOIN sym b ON a.c = b.c AND a.e < b.e
+      WHERE a.surv OR b.surv),
+wk AS (SELECT
+         CASE WHEN r = 0 THEN lc ELSE lx END AS l0,
+         CASE WHEN r = 0 THEN lx WHEN r = 1 THEN lc ELSE ly END AS l1,
+         CASE WHEN r = 2 THEN lc ELSE ly END AS l2,
+         CASE WHEN r = 0 THEN c ELSE x END AS v0,
+         CASE WHEN r = 0 THEN x WHEN r = 1 THEN c ELSE y END AS v1,
+         CASE WHEN r = 2 THEN c ELSE y END AS v2,
+         r
+       FROM (SELECT *, CASE WHEN c < x THEN 0 WHEN c < y THEN 1 ELSE 2 END AS r FROM w)),
+e2 AS MATERIALIZED (SELECT wk.*, d3.pattern, d3.c0, d3.c1, d3.c2 FROM wk
+       JOIN d3 ON d3.l0 = wk.l0 AND d3.l1 = wk.l1 AND d3.l2 = wk.l2 AND d3.r = wk.r),
+dom2 AS (SELECT pattern, c0 AS cpos, v0 AS vid FROM e2
+         UNION ALL SELECT pattern, c1, v1 FROM e2
+         UNION ALL SELECT pattern, c2, v2 FROM e2),
+supp2 AS (SELECT pattern, MIN(d) AS support FROM
+          (SELECT pattern, cpos, COUNT(DISTINCT vid) AS d FROM dom2 GROUP BY 1, 2)
+          GROUP BY pattern),
+lvl2 AS (SELECT e.pattern, COUNT(*) AS embeddings, ANY_VALUE(s.support) AS support
+         FROM e2 e JOIN supp2 s USING (pattern) GROUP BY e.pattern),
+freq2 AS (SELECT * FROM lvl2 WHERE support >= {s}),
+sw AS MATERIALIZED (SELECT
+         CASE r WHEN 0 THEN v0 WHEN 1 THEN v1 ELSE v2 END AS c,
+         CASE r WHEN 0 THEN v1 ELSE v0 END AS p,
+         CASE r WHEN 2 THEN v1 ELSE v2 END AS q,
+         v0, v1, v2
+       FROM e2 WHERE pattern IN (SELECT pattern FROM freq2)),
+se AS (SELECT u, v FROM el UNION ALL SELECT v, u FROM el),
+gx AS (
+  SELECT LEAST(sw.c, sw.p) AS e1u, GREATEST(sw.c, sw.p) AS e1v,
+         LEAST(sw.c, sw.q) AS e2u, GREATEST(sw.c, sw.q) AS e2v,
+         LEAST(se.u, se.v) AS e3u, GREATEST(se.u, se.v) AS e3v
+  FROM sw JOIN se ON se.u IN (sw.v0, sw.v1, sw.v2)
+  WHERE NOT ((LEAST(se.u,se.v) = LEAST(sw.c,sw.p) AND GREATEST(se.u,se.v) = GREATEST(sw.c,sw.p))
+          OR (LEAST(se.u,se.v) = LEAST(sw.c,sw.q) AND GREATEST(se.u,se.v) = GREATEST(sw.c,sw.q)))
+),
+g3 AS MATERIALIZED (SELECT DISTINCT list_sort([[e1u, e1v], [e2u, e2v], [e3u, e3v]]) AS es FROM gx),
+g3v AS (SELECT es,
+         list_sort(list_distinct([es[1][1], es[1][2], es[2][1], es[2][2], es[3][1], es[3][2]])) AS vs
+        FROM g3),
+g3k AS MATERIALIZED (SELECT es, vs,
+         CASE WHEN length(vs) = 3 THEN [la.lab, lb.lab, lc.lab]
+              ELSE [la.lab, lb.lab, lc.lab, ld.lab] END AS labs,
+         list_sort([
+           (list_position(vs, es[1][1]) - 1) * 16 + (list_position(vs, es[1][2]) - 1),
+           (list_position(vs, es[2][1]) - 1) * 16 + (list_position(vs, es[2][2]) - 1),
+           (list_position(vs, es[3][1]) - 1) * 16 + (list_position(vs, es[3][2]) - 1)
+         ]) AS code
+        FROM g3v
+        JOIN vlab3 la ON la.vid = vs[1]
+        JOIN vlab3 lb ON lb.vid = vs[2]
+        JOIN vlab3 lc ON lc.vid = vs[3]
+        LEFT JOIN vlab3 ld ON length(vs) = 4 AND ld.vid = vs[4]),
+e3 AS MATERIALIZED (SELECT g3k.vs, dx.pattern, dx.m0, dx.m1, dx.m2, dx.m3 FROM g3k
+       JOIN dx ON dx.key = array_to_string(g3k.labs, ',') || '|' || array_to_string(g3k.code, ',')),
+dom3 AS (
+  SELECT pattern, m0 AS cpos, vs[1] AS vid FROM e3
+  UNION ALL SELECT pattern, m1, vs[2] FROM e3
+  UNION ALL SELECT pattern, m2, vs[3] FROM e3
+  UNION ALL SELECT pattern, m3, vs[4] FROM e3 WHERE length(vs) = 4
+),
+supp3 AS (SELECT pattern, MIN(d) AS support FROM
+          (SELECT pattern, cpos, COUNT(DISTINCT vid) AS d FROM dom3 GROUP BY 1, 2)
+          GROUP BY pattern),
+lvl3 AS (SELECT e.pattern, COUNT(*) AS embeddings, ANY_VALUE(s.support) AS support
+         FROM e3 e JOIN supp3 s USING (pattern) GROUP BY e.pattern),
+freq3 AS (SELECT * FROM lvl3 WHERE support >= {s})
+SELECT pattern, CAST(1 AS INTEGER) AS n_edges, embeddings, support FROM freq1
+UNION ALL SELECT pattern, CAST(2 AS INTEGER) AS n_edges, embeddings, support FROM freq2
+UNION ALL SELECT pattern, CAST(3 AS INTEGER) AS n_edges, embeddings, support FROM freq3"""
+
+
 def _fsm_el_oracle() -> str:
     """DuckDB twin of the edge-labeled FSM query (levels 1-2).
 
@@ -435,6 +586,24 @@ def q_fsm_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = _part_labels(spark, sf_dir)
     return fsm(
         spark, edges, labels, min_support=FSM_MIN_SUPPORT, max_edges=2
+    ).to_df(spark)
+
+
+def q_fsm_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FSM (A4) mined to 3 edges — the reference's mine-until-nothing-
+    frequent loop truncated at the depth the oracle decodes (triangle +
+    all 16 four-vertex 3-edge shapes); 3 labels keep the decode table
+    small. Exercises TWO C8 rounds (level-1 survivors gate wedges,
+    level-2 survivors gate 3-edge expansion)."""
+    from arabesque_spark.graph.fsm import fsm
+
+    edges = _support_graph(spark, sf_dir, FSM_EDGE_SUPPORT)
+    labels = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("vid"),
+        (F.col("p_size") % FSM3_N_LABELS).cast("int").alias("label"),
+    )
+    return fsm(
+        spark, edges, labels, min_support=FSM3_MIN_SUPPORT, max_edges=3
     ).to_df(spark)
 
 
@@ -747,6 +916,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "degree_relabel": q_degree_relabel,
     "frequent_edges": q_frequent_edges,
     "fsm_frequent": q_fsm_frequent,
+    "fsm_depth3": q_fsm_depth3,
     "fsm_edge_labeled": q_fsm_edge_labeled,
     "link_prediction": q_link_prediction,
     "kcore3": q_kcore,
@@ -888,6 +1058,7 @@ WITH ev AS (
 SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS support
 FROM ev GROUP BY src, dst HAVING COUNT(*) >= 3""",
     "fsm_frequent": _fsm_oracle(),
+    "fsm_depth3": _fsm3_oracle(),
     "fsm_edge_labeled": _fsm_el_oracle(),
     "kcore3": _kcore_oracle(KCORE_K, rounds=16),
     "link_prediction": f"""
