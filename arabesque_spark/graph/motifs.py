@@ -57,17 +57,28 @@ def motif4_counts(spark: SparkSession, edges: DataFrame) -> DataFrame:
     * paw      = Σ_triangles Σ_{v∈t} (deg(v) − 2);
     * p4       = Σ_e (d_u−1)(d_v−1) − 3·triangles;
     * claw     = Σ_v C(deg(v), 3);
-    * c4       = ½ Σ_{u<v} C(codeg(u,v), 2) — each 4-cycle seen once per
-      diagonal pair.
+    * c4       = Σ_{pairs} C(N_em(u,w), 2) over ORIENTED wedge counts —
+      the Chiba-Nishizeki device (also ESCAPE §4): a wedge u-x-w is
+      enumerated only when center x AND the lower endpoint both precede
+      the higher endpoint in the (deg, vid) order. Every 4-cycle then
+      contributes a wedge pair at exactly ONE diagonal — the one whose
+      endpoint set contains the cycle's (deg,vid)-max vertex (the max is
+      a CENTER of the other diagonal, and a wedge whose center is its
+      max vertex is never enumerated) — so the sum counts each cycle
+      once, no halving.
 
-    Scale note: every term except c4 aggregates the degree table, the
-    triangle list (O(E^1.5) via compact-forward orientation), or the
-    clique frontier. The codeg table for c4 enumerates wedges grouped by
-    endpoints — O(Σ C(deg,2)) worst case; hubs are bounded per-task by the
-    chunked-adjacency layout but the TOTAL is inherent to exact 4-cycle
-    counting (ESCAPE-style orientation splits would trade exactness
-    bookkeeping for a E^1.5 bound; out of scope until a workload needs it).
-    All arithmetic decimal(38,0) — ANSI-safe for hub degrees.
+    Scale note: every term now respects the orientation bound. The c4
+    wedge enumeration materializes Σ_x outdeg(x)·deg(x) = O(E·α) rows
+    (arboricity α): a degree-D hub is never a wedge CENTER (outdeg 0
+    under the order), so the power-law D²/2 blowup of the naive
+    codeg-from-all-wedges table (the round-2 plan) cannot happen; hub
+    wedges enter only through their leaf-side edges at deg(leaf) cost
+    each. The remaining terms aggregate the degree table, the triangle
+    list (O(E^1.5) compact-forward), or the clique frontier. All
+    arithmetic decimal(38,0) — ANSI-safe for hub degrees. Driver
+    round-trips: ONE action materializes the triangle list, ONE fused
+    union-of-aggregates job collects all seven census terms (round 2
+    issued 7 scalar collects).
     """
     from arabesque_spark.graph.cliques import k_cliques
     from arabesque_spark.graph.triangles import _oriented
@@ -77,6 +88,8 @@ def motif4_counts(spark: SparkSession, edges: DataFrame) -> DataFrame:
     # orient once (two E-scale degree joins), reuse for the triangle list
     ori = _oriented(edges, True).persist()
     tris = triangle_list(spark, edges, oriented=ori).persist()
+    # action 1: materialize the shared triangle list (populates the cache
+    # so the fused job below reads it, not recomputes it per branch)
     n_tri = tris.count()
 
     # per-edge triangle participation t_e
@@ -93,47 +106,51 @@ def motif4_counts(spark: SparkSession, edges: DataFrame) -> DataFrame:
         .groupBy("e.u", "e.v")
         .agg(F.count("*").alias("t"))
     )
-    diamond_ni = int(
-        te.agg(F.sum(dec("t") * (F.col("t") - 1) / 2).alias("s")).collect()[0]["s"] or 0
-    )
-    paw_ni = int(
-        tris.select(F.explode(F.array("a", "b", "c")).alias("vid"))
-        .join(deg, "vid")
-        .agg(F.sum(dec("deg") - 2).alias("s"))
-        .collect()[0]["s"]
-        or 0
-    )
     d_u = deg.select(F.col("vid").alias("src"), F.col("deg").alias("du"))
     d_v = deg.select(F.col("vid").alias("dst"), F.col("deg").alias("dv"))
-    p4_walks = int(
-        edges.join(d_u, "src")
-        .join(d_v, "dst")
-        .agg(F.sum((dec("du") - 1) * (F.col("dv") - 1)).alias("s"))
-        .collect()[0]["s"]
-        or 0
+    # oriented wedge table for c4 (docstring: Chiba-Nishizeki bound).
+    # ori rows are (u=lo, v=hi) under (deg, vid); the LO endpoint is the
+    # wedge CENTER x, the HI endpoint one wedge end; the other end w
+    # ranges over x's neighbors strictly below the hi end in the order.
+    hi_e = ori.select(F.col("u").alias("x"), F.col("v").alias("hu")).join(
+        deg.select(F.col("vid").alias("hu"), F.col("deg").alias("dhu")), "hu"
     )
-    p4_ni = p4_walks - 3 * n_tri
-    claw_ni = int(
-        deg.agg(
-            F.sum(dec("deg") * (F.col("deg") - 1) * (F.col("deg") - 2) / 6).alias("s")
-        ).collect()[0]["s"]
-        or 0
+    symw = symmetric_edges(edges).select(
+        F.col("src").alias("x"), F.col("dst").alias("w")
+    ).join(deg.select(F.col("vid").alias("w"), F.col("deg").alias("dw")), "w")
+    em_wedges = hi_e.join(symw, "x").filter(
+        (F.col("dw") < F.col("dhu"))
+        | ((F.col("dw") == F.col("dhu")) & (F.col("w") < F.col("hu")))
     )
-    # codeg(u<v) from center-exploded wedges
-    sym = symmetric_edges(edges)
-    x, y = sym.alias("x"), sym.alias("y")
-    codeg = (
-        x.join(y, (F.col("x.src") == F.col("y.src")) & (F.col("x.dst") < F.col("y.dst")))
-        .groupBy(F.col("x.dst").alias("u"), F.col("y.dst").alias("v"))
-        .agg(F.count("*").alias("cd"))
+    nem = em_wedges.groupBy("hu", "w").agg(F.count("*").alias("ne"))
+
+    def term(name, df):
+        return df.select(F.lit(name).alias("m"), F.col("s").cast("decimal(38,0)").alias("s"))
+
+    # action 2: ONE fused job — every census term is a single-row
+    # aggregate; union them and collect once
+    metrics = (
+        term("diamond", te.agg(F.sum(dec("t") * (F.col("t") - 1) / 2).alias("s")))
+        .unionByName(term("paw",
+            tris.select(F.explode(F.array("a", "b", "c")).alias("vid"))
+            .join(deg, "vid")
+            .agg(F.sum(dec("deg") - 2).alias("s"))))
+        .unionByName(term("p4_walks",
+            edges.join(d_u, "src").join(d_v, "dst")
+            .agg(F.sum((dec("du") - 1) * (F.col("dv") - 1)).alias("s"))))
+        .unionByName(term("claw",
+            deg.agg(F.sum(dec("deg") * (F.col("deg") - 1) * (F.col("deg") - 2) / 6).alias("s"))))
+        .unionByName(term("c4",
+            nem.agg(F.sum(dec("ne") * (F.col("ne") - 1) / 2).alias("s"))))
+        .unionByName(term("k4", k_cliques(spark, edges, 4).agg(F.count("*").alias("s"))))
     )
-    c4_ni2 = int(
-        codeg.agg(F.sum(dec("cd") * (F.col("cd") - 1) / 2).alias("s")).collect()[0]["s"]
-        or 0
-    )
-    assert c4_ni2 % 2 == 0
-    c4_ni = c4_ni2 // 2
-    k4 = k_cliques(spark, edges, 4).count()
+    vals = {r["m"]: int(r["s"] or 0) for r in metrics.collect()}
+    diamond_ni = vals["diamond"]
+    paw_ni = vals["paw"]
+    p4_ni = vals["p4_walks"] - 3 * n_tri
+    claw_ni = vals["claw"]
+    c4_ni = vals["c4"]  # counted once per cycle by construction
+    k4 = vals["k4"]
     tris.unpersist()
     ori.unpersist()
 
