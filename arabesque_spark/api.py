@@ -589,6 +589,15 @@ def q_fsm_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).to_df(spark)
 
 
+def q_rename_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RenameGraphLabels.java fidelity (S8): labels → dense 1..L by
+    ascending per-label max degree over the support graph."""
+    from arabesque_spark.graph.dataprep import rename_labels_by_degree
+
+    edges = _support_graph(spark, sf_dir, FSM_EDGE_SUPPORT)
+    return rename_labels_by_degree(_part_labels(spark, sf_dir), edges)
+
+
 def q_fsm_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FSM (A4) mined to 3 edges — the reference's mine-until-nothing-
     frequent loop truncated at the depth the oracle decodes (triangle +
@@ -914,6 +923,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lpa_fixed5": q_lpa,
     "adjacency_list": q_adjacency_list,
     "degree_relabel": q_degree_relabel,
+    "rename_labels": q_rename_labels,
     "frequent_edges": q_frequent_edges,
     "fsm_frequent": q_fsm_frequent,
     "fsm_depth3": q_fsm_depth3,
@@ -1057,6 +1067,14 @@ WITH ev AS (
 )
 SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS support
 FROM ev GROUP BY src, dst HAVING COUNT(*) >= 3""",
+    "rename_labels": f"""
+WITH {_support_graph_sql(FSM_EDGE_SUPPORT)},
+deg AS (SELECT vid, CAST(COUNT(*) AS INTEGER) AS deg FROM
+        (SELECT src AS vid FROM fe UNION ALL SELECT dst FROM fe) GROUP BY vid),
+vl AS (SELECT d.vid, v.lab AS label, d.deg FROM deg d JOIN vlab v ON v.vid = d.vid),
+lmax AS (SELECT label, MAX(deg) AS md FROM vl GROUP BY label),
+ren AS (SELECT label, CAST(ROW_NUMBER() OVER (ORDER BY md, label) AS INTEGER) AS new_label FROM lmax)
+SELECT vl.vid, vl.label, ren.new_label FROM vl JOIN ren USING (label)""",
     "fsm_frequent": _fsm_oracle(),
     "fsm_depth3": _fsm3_oracle(),
     "fsm_edge_labeled": _fsm_el_oracle(),

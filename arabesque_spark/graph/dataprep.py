@@ -85,6 +85,30 @@ def relabel_edges(edges: DataFrame, mapping: DataFrame) -> DataFrame:
     )
 
 
+def rename_labels_by_degree(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """Rename vertex LABELS to a dense 1..L dictionary ordered by the
+    label's highest vertex degree, ascending → (vid, label, new_label).
+
+    This is RenameGraphLabels.java's actual semantics (the tool renames
+    labels, not ids: data/RenameGraphLabels.java:82-90 ranks labels by
+    ``labelHighestDegree`` ascending and assigns ``++newLabel`` from 1;
+    ties, which the reference leaves to insertion order, are broken here
+    deterministically by ascending old label). Complements
+    :func:`relabel_edges`, which covers the id-remap use of the same
+    dictionary-apply shape.
+
+    Scale: per-label max degree is one degree-table aggregation; the
+    label dictionary is L rows (tiny) and broadcast for the apply join.
+    """
+    from arabesque_spark.graph.build import dense_vertex_ids
+
+    vl = degrees(edges).join(vertices.select("vid", "label"), "vid")
+    lmax = vl.groupBy("label").agg(F.max("deg").alias("max_deg"))
+    ranked = dense_vertex_ids(lmax, key_cols=["max_deg", "label"], id_col="r")
+    label_dict = ranked.select("label", (F.col("r") + 1).cast("int").alias("new_label"))
+    return vl.join(F.broadcast(label_dict), "label").select("vid", "label", "new_label")
+
+
 def frequent_edges(pair_events: DataFrame, min_support: int) -> DataFrame:
     """Keep co-occurrence edges with support ≥ min_support →
     (src, dst, support).

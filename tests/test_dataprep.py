@@ -35,6 +35,40 @@ def test_degree_relabel_is_bijection_and_degree_sorted(spark, test_graph):
     assert by_new[0]["vid"] == 0  # deg 4, smallest id among ties
 
 
+def test_rename_labels_by_degree(spark, test_graph):
+    """RenameGraphLabels.java semantics: dense 1..L by ascending
+    per-label max degree, ties by ascending old label."""
+    from arabesque_spark.graph.dataprep import rename_labels_by_degree
+
+    # labels: vid % 3 → label 0 carries vid 0 (deg 4), label 1 vid 1/4,
+    # label 2 vid 2/5; max degrees decide the ranking
+    verts = spark.createDataFrame(
+        [(v, v % 3) for v in range(7)], "vid long, label int"
+    )
+    out = {r["vid"]: r for r in rename_labels_by_degree(verts, test_graph).collect()}
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for u, v in TEST_GRAPH_EDGES:
+        deg[u] += 1
+        deg[v] += 1
+    lmax = defaultdict(int)
+    for v, d in deg.items():
+        lmax[v % 3] = max(lmax[v % 3], d)
+    want = {
+        lab: rank + 1
+        for rank, lab in enumerate(sorted(lmax, key=lambda l: (lmax[l], l)))
+    }
+    assert len(out) == len(deg)
+    for v in deg:
+        assert out[v]["label"] == v % 3
+        assert out[v]["new_label"] == want[v % 3]
+    # dictionary is dense 1..L
+    assert sorted(set(r["new_label"] for r in out.values())) == list(
+        range(1, len(lmax) + 1)
+    )
+
+
 def test_relabel_preserves_structure(spark, test_graph):
     mapping = degree_sorted_relabel(test_graph).select("vid", "new_vid")
     relabeled = relabel_edges(test_graph, mapping)
