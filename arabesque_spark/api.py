@@ -708,6 +708,18 @@ def q_motif4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return motif4_counts(spark, edges).filter(F.col("cnt") != 0)
 
 
+def q_motif5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-5 census via the generic enumeration path (A3 at arbitrary
+    maxsize, the bliss-analog canonicalization) — rows-only (a SQL twin
+    would need a 21-class connected-5-subset enumeration); brute-force
+    verified at k=5 in tests/test_motif_census_k.py. Patterns are
+    canonical `labels|adjbits` keys."""
+    from arabesque_spark.graph.motifs import motif_census_k
+
+    edges = _support_graph(spark, sf_dir, FSM_EDGE_SUPPORT)
+    return motif_census_k(spark, edges, k=5)
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs — rows-only (hash family not portable
     to SQL); estimator accuracy covered by tests/test_operators.py."""
@@ -932,6 +944,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kcore3": q_kcore,
     "clique4_count": q_clique4_count,
     "motif4": q_motif4,
+    "motif5": q_motif5,
     "labeled_motif3": q_labeled_motif3,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh_pairs": q_minhash_lsh,

@@ -24,6 +24,103 @@ from arabesque_spark.graph.build import degrees, symmetric_edges
 from arabesque_spark.graph.triangles import triangle_count, triangle_list
 
 
+def motif_census_k(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int,
+    vertex_labels: DataFrame | None = None,
+) -> DataFrame:
+    """Exact connected induced k-vertex subgraph census for ARBITRARY k
+    → (pattern, cnt); pattern is the canonical ``labels|adjbits-hex`` key.
+
+    The reference canonicalizes any size through bliss
+    (pattern/JBlissPattern.java:55-76) and enumerates vertex-induced
+    embeddings by BSP expansion (MotifComputation.java:9-45); this is the
+    same path Spark-first: grow vertex sets one neighbor per round
+    (frontier ⋈ symmetric adjacency, C2), dedup each round on the sorted
+    vertex set (exactly-once per connected k-subset, the C3 analog),
+    decode the induced adjacency bitmask with ONE edge join over the
+    C(k,2) position pairs, aggregate quick keys, and canonicalize only
+    the distinct-key table (min over k! permutations — the O3 two-level
+    plan; k! is 120 at k=5, trivial on thousands of distinct keys).
+
+    Use the closed-form censuses (:func:`motif3_counts`,
+    :func:`motif4_counts`) below k=5 — they never materialize
+    embeddings. This path exists for k ≥ 5 fidelity (and labeled census
+    at any k): cost is Θ(#connected k-subsets · k·avg-deg) rows, which is
+    inherent to enumeration-exact counting on any engine (the reference
+    materializes the same embeddings in ODAGs). ``vertex_labels`` is
+    (vid, label int); omitted ⇒ unlabeled (all labels 0).
+    """
+    if k < 2:
+        raise ValueError("motif_census_k needs k >= 2")
+    from arabesque_spark.graph.build import canonical_edges
+    from arabesque_spark.graph.patterns import canonicalize_patterns
+
+    ce = canonical_edges(edges)
+    sym = symmetric_edges(ce).select(F.col("src").alias("m"), F.col("dst").alias("w"))
+    frontier = sym.select(F.col("m").alias("vid")).distinct().select(
+        F.array("vid").alias("vs")
+    )
+    for _ in range(k - 1):
+        frontier = (
+            frontier.select("vs", F.explode("vs").alias("m"))
+            .join(sym, "m")
+            .filter(~F.array_contains("vs", F.col("w")))
+            .select(F.array_sort(F.array_union("vs", F.array("w"))).alias("vs"))
+            .dropDuplicates(["vs"])
+        )
+    # induced adjacency bitmask: one LEFT join of the C(k,2) position
+    # pairs against the canonical edge set (vs sorted ⇒ u < v)
+    pair_lits = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(j).alias("j"),
+                F.lit(1 << b).cast("long").alias("bitval"),
+            )
+            for b, (i, j) in enumerate(
+                (i, j) for i in range(k) for j in range(i + 1, k)
+            )
+        ]
+    )
+    pairs = frontier.select(
+        "vs", F.explode(pair_lits).alias("p")
+    ).select(
+        "vs",
+        F.get("vs", F.col("p.i")).alias("src"),
+        F.get("vs", F.col("p.j")).alias("dst"),
+        F.col("p.bitval").alias("bitval"),
+    )
+    present = pairs.join(ce.withColumn("hit", F.lit(1)), ["src", "dst"], "left")
+    embs = present.groupBy("vs").agg(
+        F.sum(
+            F.when(F.col("hit").isNotNull(), F.col("bitval")).otherwise(F.lit(0))
+        ).alias("adjbits")
+    )
+    if vertex_labels is not None:
+        lab = vertex_labels.select("vid", "label")
+        labeled = (
+            embs.select("vs", "adjbits", F.posexplode("vs").alias("pos", "vid"))
+            .join(lab, "vid")
+            .groupBy("vs", "adjbits")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("label")))
+                    ),
+                    lambda s: s["label"],
+                ).alias("labels")
+            )
+        )
+    else:
+        labeled = embs.withColumn(
+            "labels", F.transform("vs", lambda _: F.lit(0))
+        )
+    quick = labeled.groupBy("labels", "adjbits").agg(F.count("*").alias("cnt"))
+    return canonicalize_patterns(quick, size=k)
+
+
 def motif3_counts(spark: SparkSession, edges: DataFrame) -> DataFrame:
     """→ (pattern, cnt): {'wedge': open 2-paths, 'triangle': triangles}."""
     tri = triangle_count(spark, edges)

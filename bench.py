@@ -70,13 +70,27 @@ def main() -> None:
 
     calib_probe()
 
+    # Two-pass timing: every query runs in TWO full suite passes and
+    # reports the per-query MIN. Rationale (round-2 verdict): the sandbox
+    # host shows 4× CPU swings WITHIN a run, so a single-shot wall
+    # confounds code changes with hypervisor weather; min-of-2 spaced
+    # passes is robust to transient collapse while staying cheap. Inputs
+    # are identically warm in both passes (the graph is persisted by
+    # design — steady-state production shape), so the min measures the
+    # algorithm, not cache luck. Both raw passes are reported too.
+    pass_timings: list[dict[str, float]] = [{}, {}]
+    _current_pass = [0]
+
     def timed(name: str, fn):
         t0 = time.time()
         out = fn()
-        timings[name] = round(time.time() - t0, 3)
+        w = round(time.time() - t0, 3)
+        pass_timings[_current_pass[0]][name] = w
+        timings[name] = min(timings.get(name, w), w)
         return out
 
-    # graph build (persisted for reuse by the algorithms)
+    # graph build (persisted for reuse by the algorithms; built ONCE —
+    # rebuilding it per pass would cache a second identical copy)
     edges = timed(
         "graph_build",
         lambda: api.lineitem_graph(spark, sf_dir).persist(),
@@ -84,53 +98,8 @@ def main() -> None:
     n_edges = edges.count()
     n_vertices = degrees(edges).count()
     extras["graph"] = {"vertices": n_vertices, "edges": n_edges}
-
-    # PageRank to convergence — the headline metric
-    t0 = time.time()
-    pr = pagerank(spark, edges, tol=1e-6, max_iterations=60)
-    pr_wall = time.time() - t0
-    timings["pagerank_converge"] = round(pr_wall, 3)
-    iters = pr.num_iterations
-    directed_edges = 2 * n_edges
-    # per-superstep throughput from the iteration walls alone (excludes
-    # adjacency build / vertex count setup)
-    iter_wall = sum(r.wall_s for r in pr.iterations) or pr_wall
-    extras["pagerank"] = {
-        "iterations": iters,
-        "converged": pr.converged,
-        "edges_per_sec_per_superstep": round(directed_edges * iters / iter_wall, 1),
-        "sec_per_superstep": round(iter_wall / max(iters, 1), 3),
-    }
-
-    timed("triangle_count", lambda: triangle_count(spark, edges))
-    timed(
-        "connected_components",
-        lambda: connected_components(spark, edges).count(),
-    )
-    timed(
-        "lpa_5iter",
-        lambda: label_propagation(spark, edges, max_iterations=5).state.count(),
-    )
-    calib_probe()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    timed(
-        "minhash_lsh",
-        lambda: minhash_lsh_pairs(docs, k=64, bands=16, threshold=0.3).count(),
-    )
-    timed("cosine_topk", lambda: api.q_cosine_topk(spark, sf_dir).collect())
-    timed("pricing_summary", lambda: api.q_pricing_summary(spark, sf_dir).collect())
-    # pipeline mode: document-frequency cap ON (the scale path); the
-    # exact/uncapped twin is what the oracle gate checks
-    timed(
-        "ngram_jaccard",
-        lambda: ngram_jaccard_pairs(
-            docs, n=api.JACCARD_N, threshold=api.JACCARD_THRESHOLD
-        ).count(),
-    )
 
-    # the north-rule pipeline: synthetic source-code corpus → sha256
-    # row-invariant check → shared-commit/content-hash link graph →
-    # component analytics (the end-to-end path the engine exists to serve)
     from arabesque_spark.sources.code_graph import build_code_graph
     from arabesque_spark.sources.corpus import synth_corpus, verify_sha256
 
@@ -142,9 +111,67 @@ def main() -> None:
         corpus.unpersist()
         return n_comp
 
-    extras["code_graph_components"] = timed("code_graph_pipeline", corpus_pipeline)
+    for pass_i in range(2):
+        _current_pass[0] = pass_i
+
+        # PageRank to convergence — the headline metric
+        t0 = time.time()
+        pr = pagerank(spark, edges, tol=1e-6, max_iterations=60)
+        pr_wall = time.time() - t0
+        pass_timings[pass_i]["pagerank_converge"] = round(pr_wall, 3)
+        timings["pagerank_converge"] = min(
+            timings.get("pagerank_converge", pr_wall), round(pr_wall, 3)
+        )
+        iters = pr.num_iterations
+        directed_edges = 2 * n_edges
+        # per-superstep throughput from the iteration walls alone
+        # (excludes adjacency build / vertex count setup); keep the best
+        # pass — same robustness argument as the per-query min
+        iter_wall = sum(r.wall_s for r in pr.iterations) or pr_wall
+        pr_stats = {
+            "iterations": iters,
+            "converged": pr.converged,
+            "edges_per_sec_per_superstep": round(directed_edges * iters / iter_wall, 1),
+            "sec_per_superstep": round(iter_wall / max(iters, 1), 3),
+        }
+        if (
+            "pagerank" not in extras
+            or pr_stats["edges_per_sec_per_superstep"]
+            > extras["pagerank"]["edges_per_sec_per_superstep"]
+        ):
+            extras["pagerank"] = pr_stats
+
+        timed("triangle_count", lambda: triangle_count(spark, edges))
+        timed(
+            "connected_components",
+            lambda: connected_components(spark, edges).count(),
+        )
+        timed(
+            "lpa_5iter",
+            lambda: label_propagation(spark, edges, max_iterations=5).state.count(),
+        )
+        calib_probe()
+        timed(
+            "minhash_lsh",
+            lambda: minhash_lsh_pairs(docs, k=64, bands=16, threshold=0.3).count(),
+        )
+        timed("cosine_topk", lambda: api.q_cosine_topk(spark, sf_dir).collect())
+        timed("pricing_summary", lambda: api.q_pricing_summary(spark, sf_dir).collect())
+        # pipeline mode: document-frequency cap ON (the scale path); the
+        # exact/uncapped twin is what the oracle gate checks
+        timed(
+            "ngram_jaccard",
+            lambda: ngram_jaccard_pairs(
+                docs, n=api.JACCARD_N, threshold=api.JACCARD_THRESHOLD
+            ).count(),
+        )
+        # the north-rule pipeline: synthetic source-code corpus → sha256
+        # row-invariant check → shared-commit/content-hash link graph →
+        # component analytics (the end-to-end path the engine serves)
+        extras["code_graph_components"] = timed("code_graph_pipeline", corpus_pipeline)
 
     calib_probe()
+    extras["passes"] = pass_timings
     extras["calib_sec"] = {
         "walls": calib_walls,
         "median": sorted(calib_walls)[len(calib_walls) // 2],
@@ -154,8 +181,9 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline suite wall (graph build + PageRank-to-convergence "
-                "+ triangles + CC + LPA + dedup + ANN + relational)",
+                "metric": "headline suite wall, per-query min of 2 passes "
+                "(graph build + PageRank-to-convergence + triangles + CC "
+                "+ LPA + dedup + ANN + relational)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

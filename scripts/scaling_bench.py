@@ -20,9 +20,19 @@ JVMs. Methodology (round 2, see BENCH/BASELINE.md for the full write-up):
   of this shape can attain here (2.67x). Engine efficiency is meaningful
   only relative to the latter.
 
+Round 3 addition: the driver's north rule names local[8] -> local[32] as
+the example pair, so that pair is now runnable too
+(`SPARK_GRAFT_SCALE_PLAN=8,32,8,32`), reported ALONGSIDE the calibrated
+4 -> 16 pair — with the compute-only ceiling for 8 -> 32 measured by the
+same probe (the 32 vCPUs are SMT threads over ~16 physical cores, so the
+8 -> 32 hardware ceiling is ~2x, not 4x; report efficiency against both
+the nominal 4x and the measured attainable).
+
 Usage:
   python scripts/scaling_bench.py             # interleaved runs -> BENCH/scaling_run.json
   python scripts/scaling_bench.py worker N    # one timed run at local[N] (prints JSON)
+  SPARK_GRAFT_SCALE_PLAN=8,32,8,32 python scripts/scaling_bench.py
+                                              # -> BENCH/scaling_run_8_32.json
 """
 
 from __future__ import annotations
@@ -39,7 +49,9 @@ EDGE_ROWS = 96_000_000
 VERTICES = 8_000_000
 ITERATIONS = 8
 SEED = 42
-SESSION_PLAN = (4, 16, 4, 16)
+SESSION_PLAN = tuple(
+    int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_PLAN", "4,16,4,16").split(",")
+)
 TMPFS = "/dev/shm/spark_local"
 
 
@@ -138,7 +150,11 @@ def orchestrate() -> None:
     }
     print(json.dumps(summary))
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
-    with open(f"{REPO}/BENCH/scaling_run.json", "w") as fh:
+    # the historical default pair keeps its round-2 filename
+    out = (
+        "scaling_run.json" if (lo, hi) == (4, 16) else f"scaling_run_{lo}_{hi}.json"
+    )
+    with open(f"{REPO}/BENCH/{out}", "w") as fh:
         fh.write(json.dumps(summary, indent=1))
 
 

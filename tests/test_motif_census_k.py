@@ -1,0 +1,113 @@
+"""Generic size-k census (motif_census_k) vs brute force and the
+closed-form censuses — the arbitrary-size (bliss-analog) path."""
+
+from __future__ import annotations
+
+import itertools
+import random
+from collections import defaultdict
+from itertools import permutations
+
+from arabesque_spark.graph.motifs import motif3_counts, motif4_counts, motif_census_k
+from arabesque_spark.graph.patterns import _canonical_key
+from tests.conftest import TEST_GRAPH_EDGES
+
+
+def _canon(labels, bits, k):
+    perms = list(permutations(range(k)))
+    ei = [(i, j) for i in range(k) for j in range(i + 1, k)]
+    return _canonical_key(tuple(labels), bits, perms, ei)
+
+
+def _census_bruteforce(edges, k, labels=None):
+    es = {tuple(sorted(e)) for e in edges}
+    verts = sorted({v for e in es for v in e})
+    adj = defaultdict(set)
+    for u, v in es:
+        adj[u].add(v)
+        adj[v].add(u)
+    ei = [(i, j) for i in range(k) for j in range(i + 1, k)]
+    counts: dict[str, int] = defaultdict(int)
+    for sub in itertools.combinations(verts, k):
+        s = set(sub)
+        seen, stack = {sub[0]}, [sub[0]]
+        while stack:
+            x = stack.pop()
+            for y in adj[x] & s:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        if len(seen) != k:
+            continue
+        bits = 0
+        for b, (i, j) in enumerate(ei):
+            if (sub[i], sub[j]) in es:
+                bits |= 1 << b
+        labs = tuple(labels[v] for v in sub) if labels else (0,) * k
+        counts[_canon(labs, bits, k)] += 1
+    return dict(counts)
+
+
+def _er(n, m, seed):
+    rng = random.Random(seed)
+    seen = set()
+    while len(seen) < m:
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v:
+            seen.add((min(u, v), max(u, v)))
+    return sorted(seen)
+
+
+def _run(spark, edges, k, labels=None):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ldf = (
+        spark.createDataFrame(list(labels.items()), "vid long, label int")
+        if labels
+        else None
+    )
+    return {
+        r["pattern"]: r["cnt"]
+        for r in motif_census_k(spark, df, k, vertex_labels=ldf).collect()
+    }
+
+
+def test_census_k_matches_bruteforce_k5(spark):
+    edges = _er(18, 40, seed=5)
+    assert _run(spark, edges, 5) == _census_bruteforce(edges, 5)
+
+
+def test_census_k_matches_bruteforce_k3_k4_labeled(spark):
+    edges = _er(14, 28, seed=9)
+    labels = {v: v % 3 for e in edges for v in e}
+    for k in (3, 4):
+        assert _run(spark, edges, k, labels) == _census_bruteforce(
+            edges, k, labels
+        )
+
+
+def test_census_k_agrees_with_closed_form(spark):
+    """The enumeration census and the formula censuses must agree on the
+    canonical test graph (class representatives → canonical keys)."""
+    df = spark.createDataFrame(TEST_GRAPH_EDGES, "src long, dst long")
+    got3 = _run(spark, TEST_GRAPH_EDGES, 3)
+    m3 = {r["pattern"]: r["cnt"] for r in motif3_counts(spark, df).collect()}
+    key_wedge = _canon((0, 0, 0), 0b011, 3)
+    key_tri = _canon((0, 0, 0), 0b111, 3)
+    assert got3.get(key_wedge, 0) == m3["wedge"]
+    assert got3.get(key_tri, 0) == m3["triangle"]
+
+    got4 = _run(spark, TEST_GRAPH_EDGES, 4)
+    m4 = {r["pattern"]: r["cnt"] for r in motif4_counts(spark, df).collect()}
+    ei = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    bit = {p: 1 << b for b, p in enumerate(ei)}
+    reps = {
+        "p4": [(0, 1), (1, 2), (2, 3)],
+        "claw": [(0, 1), (0, 2), (0, 3)],
+        "c4": [(0, 1), (1, 2), (2, 3), (0, 3)],
+        "paw": [(0, 1), (1, 2), (0, 2), (2, 3)],
+        "diamond": [(0, 1), (1, 2), (0, 2), (0, 3), (1, 3)],
+        "k4": ei,
+    }
+    for name, es in reps.items():
+        key = _canon((0, 0, 0, 0), sum(bit[e] for e in es), 4)
+        assert got4.get(key, 0) == m4[name], name
