@@ -633,6 +633,7 @@ def q_fsm_edge_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KCORE_K = 3
+KTRUSS_K = 3
 
 
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -673,6 +674,55 @@ c{t} AS MATERIALIZED (
 SELECT DISTINCT vid FROM (
   SELECT src AS vid FROM c{rounds} UNION ALL SELECT dst FROM c{rounds}
 )"""
+    )
+
+
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss (k=3: every surviving edge closes >= 1 triangle within
+    the survivors) on the support graph — peeling via the superstep
+    runner, halt on the observed row count; SQL twin unrolls the rounds."""
+    from arabesque_spark.graph.ktruss import k_truss
+
+    edges = _support_graph(spark, sf_dir, FSM_EDGE_SUPPORT)
+    return k_truss(spark, edges, k=KTRUSS_K).state.select("src", "dst")
+
+
+def _ktruss_oracle(k: int, rounds: int) -> str:
+    """Unrolled peeling rounds (same device as _kcore_oracle): per round,
+    triangles within the surviving edge set -> per-edge support ->
+    semi-join filter at support >= k-2. ``rounds`` must reach the
+    fixpoint on the target graph (checked empirically: the engine halts
+    on row-count stability, so any shortfall shows as a mismatch)."""
+    thr = k - 2
+    ctes = []
+    for t in range(1, rounds + 1):
+        prev = "fe" if t == 1 else f"c{t-1}"
+        ctes.append(
+            f"""t{t} AS MATERIALIZED (
+  SELECT a.src AS u, a.dst AS v, b.dst AS w
+  FROM {prev} a JOIN {prev} b ON b.src = a.dst
+  JOIN {prev} c ON c.src = a.src AND c.dst = b.dst
+),
+s{t} AS MATERIALIZED (
+  SELECT src, dst, COUNT(*) AS t FROM (
+    SELECT u AS src, v AS dst FROM t{t}
+    UNION ALL SELECT u, w FROM t{t}
+    UNION ALL SELECT v, w FROM t{t}
+  ) GROUP BY 1, 2
+),
+c{t} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN s{t} s ON s.src = e.src AND s.dst = e.dst AND s.t >= {thr}
+)"""
+        )
+    return (
+        "WITH "
+        + _support_graph_sql(FSM_EDGE_SUPPORT).replace(
+            "fe AS (", "fe AS MATERIALIZED ("
+        )
+        + ","
+        + ",\n".join(ctes)
+        + f"\nSELECT src, dst FROM c{rounds}"
     )
 
 
@@ -818,6 +868,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training pairs (±2 window) over the documents table —
+    the word2vec-style pair-generation stage of an embedding-training
+    pipeline; linear in tokens × window (no per-doc L² self-join)."""
+    from arabesque_spark.operators.text import skipgram_pairs
+
+    return skipgram_pairs(load_table(spark, sf_dir, "documents"), window=2)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(load_table(spark, sf_dir, "documents"))
 
@@ -942,6 +1001,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fsm_edge_labeled": q_fsm_edge_labeled,
     "link_prediction": q_link_prediction,
     "kcore3": q_kcore,
+    "ktruss3": q_ktruss,
     "clique4_count": q_clique4_count,
     "motif4": q_motif4,
     "motif5": q_motif5,
@@ -956,6 +1016,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neighbor_sample": q_neighbor_sample,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "token_stats": q_token_stats,
+    "skipgram_pairs": q_skipgram_pairs,
     "quality_score": q_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_fingerprint,
@@ -1092,6 +1153,7 @@ SELECT vl.vid, vl.label, ren.new_label FROM vl JOIN ren USING (label)""",
     "fsm_depth3": _fsm3_oracle(),
     "fsm_edge_labeled": _fsm_el_oracle(),
     "kcore3": _kcore_oracle(KCORE_K, rounds=16),
+    "ktruss3": _ktruss_oracle(KTRUSS_K, rounds=10),
     "link_prediction": f"""
 WITH {{_SUPPORT}}
 sym AS (SELECT src, dst FROM fe UNION ALL SELECT dst, src FROM fe),
@@ -1197,6 +1259,16 @@ inter AS (
 SELECT a, b, ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc = a JOIN sizes sb ON sb.doc = b
 WHERE ROUND(i / (sa.sz + sb.sz - i), 6) >= {JACCARD_THRESHOLD}""",
+    "skipgram_pairs": f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(lf) AS tok,
+         generate_subscripts(lf, 1) AS pos
+  FROM (SELECT doc_id, list_filter({_DOC_TOKENS}, x -> x <> '') AS lf FROM documents)
+)
+SELECT a.tok AS center, b.tok AS context, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks a JOIN toks b
+  ON a.doc = b.doc AND a.pos <> b.pos AND ABS(a.pos - b.pos) <= 2
+GROUP BY 1, 2""",
     "token_stats": f"""
 WITH t AS (SELECT doc_id, text, {_DOC_TOKENS} AS toks FROM documents)
 SELECT doc_id,

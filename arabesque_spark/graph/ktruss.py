@@ -1,0 +1,79 @@
+"""k-truss decomposition by iterative edge peeling.
+
+Companion to :mod:`arabesque_spark.graph.kcore` one rung up the density
+ladder (every k-truss is inside the (k-1)-core): repeatedly delete edges
+supporting fewer than k-2 triangles until none remain; the survivors are
+the k-truss — the standard cohesive-community and spam-filter analytic
+on link graphs.
+
+Superstep shape: state = the surviving canonical edge table. One peel
+round = one degree-oriented triangle enumeration over the CURRENT state
+(O(E^1.5) compact-forward, graph/triangles.py), an explode to per-edge
+triangle counts (map-side combinable), and one join-filter dropping
+under-supported edges. The halt rides the materialization job's observed
+row count (fixpoint = no edge dropped). Rounds strictly shrink the state
+or halt; the count is bounded by the truss peeling depth.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arabesque_spark.engine.superstep import RunResult, SuperstepRunner
+from arabesque_spark.graph.triangles import triangle_list
+
+
+def k_truss(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int,
+    checkpoint_dir: str | Path | None = None,
+    resume: bool = False,
+    max_iterations: int = 100,
+) -> RunResult:
+    """Peel to the k-truss; result state is the surviving edge table
+    (canonical src < dst). Every surviving edge closes ≥ k-2 triangles
+    WITHIN the surviving subgraph. Empty result = no k-truss."""
+    if k < 3:
+        raise ValueError("k_truss needs k >= 3 (k-2 triangles per edge)")
+    thr = k - 2
+    prev_rows: list[int | None] = [None]
+
+    def step(state: DataFrame, i: int):
+        tris = triangle_list(spark, state)
+        te = (
+            tris.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                        F.struct(F.col("a").alias("src"), F.col("c").alias("dst")),
+                        F.struct(F.col("b").alias("src"), F.col("c").alias("dst")),
+                    )
+                ).alias("e")
+            )
+            .groupBy("e.src", "e.dst")
+            .agg(F.count("*").alias("t"))
+            .filter(F.col("t") >= thr)
+        )
+        kept = state.join(te.select("src", "dst"), ["src", "dst"], "left_semi")
+        return kept.select("src", "dst"), {"k": k}
+
+    def halt_decide(m: dict, i: int) -> bool:
+        rows = m["rows"]
+        done = rows == 0 or rows == prev_rows[0]
+        prev_rows[0] = rows
+        return done
+
+    runner = SuperstepRunner(
+        spark, checkpoint_dir=checkpoint_dir, max_iterations=max_iterations
+    )
+    return runner.run(
+        edges.select("src", "dst"),
+        step,
+        resume=resume,
+        halt_exprs={},
+        halt_decide=halt_decide,
+    )

@@ -120,3 +120,40 @@ def bpe_token_stats(docs: DataFrame, id_col: str = "doc_id", text: str = "text")
             F.length(F.col(text)) / F.greatest(n.cast("double"), F.lit(1.0)), 4
         ).alias("chars_per_token"),
     )
+
+
+def skipgram_pairs(
+    docs: DataFrame, window: int = 2, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """(center, context, cnt) — skip-gram training pairs over whitespace
+    token sequences with a symmetric ±``window`` context, the pair table
+    a word2vec/embedding trainer consumes (and the natural consumer of
+    the walk corpus: run it over walk strings the same way).
+
+    Plan: tokens posexplode to (doc, pos, tok); each token emits its 2w
+    context KEYS ``(doc, pos±d)`` and ONE equi-join on (doc, pos)
+    resolves the context tokens; groupBy(center, context) counts with
+    map-side combine. Cost is linear in tokens × window with no per-doc
+    quadratic term (the classic windowed self-join ``|pos_a − pos_b| ≤ w``
+    degrades to a per-doc L² nested loop; the key-explosion form stays an
+    equi-join). JVM-only throughout.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.filter(tokens_col(text), lambda t: F.length(t) > 0)).alias(
+            "pos", "tok"
+        ),
+    )
+    offsets = F.array(*[F.lit(d) for d in range(-window, window + 1) if d != 0])
+    centers = toks.select(
+        "doc",
+        F.col("tok").alias("center"),
+        F.explode(offsets).alias("d"),
+        F.col("pos").alias("cpos"),
+    ).select("doc", "center", (F.col("cpos") + F.col("d")).alias("pos"))
+    ctx = toks.select("doc", "pos", F.col("tok").alias("context"))
+    return (
+        centers.join(ctx, ["doc", "pos"])
+        .groupBy("center", "context")
+        .agg(F.count("*").alias("cnt"))
+    )

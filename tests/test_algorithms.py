@@ -205,3 +205,71 @@ def test_kcore_oracle_unroll_covers_fixpoint(spark):
         f"peel needs {rounds} rounds; the kcore3 oracle unrolls 16 — "
         f"raise the unroll in api._kcore_oracle before this margin erodes"
     )
+
+
+def _ktruss_py(edges, k):
+    es = {tuple(sorted(e)) for e in edges}
+    thr = k - 2
+    while True:
+        # per-edge triangle support within the surviving set
+        import collections
+
+        adj = collections.defaultdict(set)
+        for u, v in es:
+            adj[u].add(v)
+            adj[v].add(u)
+        supp = {e: 0 for e in es}
+        for u, v in es:
+            for w in adj[u] & adj[v]:
+                supp[(u, v)] += 1
+        bad = {e for e, s in supp.items() if s < thr}
+        if not bad:
+            return es
+        es -= bad
+        if not es:
+            return es
+
+
+def test_ktruss_matches_python_peel(spark):
+    from arabesque_spark.graph.ktruss import k_truss
+    from tests.reference_impls import er_graph
+
+    edges = er_graph(40, 5.0, seed=17)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (3, 4):
+        got = {
+            (r["src"], r["dst"]) for r in k_truss(spark, df, k).state.collect()
+        }
+        assert got == _ktruss_py(edges, k), k
+
+
+def test_ktruss_oracle_unroll_covers_fixpoint(spark):
+    """ktruss3's oracle unrolls 10 peel rounds; guard (with margin) that
+    the sf0.01 support graph's fixpoint is inside that — same device as
+    the kcore guard above."""
+    from arabesque_spark import api
+
+    edges = [
+        (r["src"], r["dst"])
+        for r in api._support_graph(
+            spark, "/root/testdata/sf0.01", api.FSM_EDGE_SUPPORT
+        ).collect()
+    ]
+    es = {tuple(sorted(e)) for e in edges}
+    thr = api.KTRUSS_K - 2
+    rounds = 0
+    import collections
+
+    while True:
+        adj = collections.defaultdict(set)
+        for u, v in es:
+            adj[u].add(v)
+            adj[v].add(u)
+        bad = {
+            (u, v) for u, v in es if len(adj[u] & adj[v]) < thr
+        }
+        if not bad or not es:
+            break
+        es -= bad
+        rounds += 1
+    assert rounds + 2 <= 10, rounds

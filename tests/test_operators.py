@@ -308,3 +308,25 @@ def test_ivf_topk_batch_recall_and_determinism(spark):
 
     rks = sorted(r["rk"] for r in got if r["qid"] == 0)
     assert rks == [1, 2, 3, 4, 5]
+
+
+def test_skipgram_pairs_exact(spark):
+    from collections import Counter
+
+    from arabesque_spark.operators.text import skipgram_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "a b c a"), (1, "x y"), (2, ""), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["center"], r["context"]): r["cnt"]
+        for r in skipgram_pairs(docs, window=2).collect()
+    }
+    want: Counter = Counter()
+    for toks in (["a", "b", "c", "a"], ["x", "y"]):
+        for i, c in enumerate(toks):
+            for j in range(max(0, i - 2), min(len(toks), i + 3)):
+                if j != i:
+                    want[(c, toks[j])] += 1
+    assert got == dict(want)
