@@ -842,6 +842,21 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec biased walks (p=0.5, q=2) via rejection sampling — rows-only
+    (hash-chain proposals); validity/determinism/bias are pytest-gated
+    (tests/test_walks.py). CSV path projection as in random_walks."""
+    from arabesque_spark.graph.walks import node2vec_walks
+
+    walks = node2vec_walks(
+        spark, lineitem_graph(spark, sf_dir), p=0.5, q=2.0,
+        walks_per_vertex=1, walk_length=3,
+    )
+    return walks.select(
+        "walk_id", "start", F.array_join("path", ",").alias("path_csv")
+    )
+
+
 def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GNN minibatch neighborhood sampling (2 layers, fanout 3/2) —
     rows-only (hash-chain sampling); block validity/determinism
@@ -1013,6 +1028,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_batch": q_ann_batch,
     "ivf_topk": q_ivf_topk,
     "random_walks": q_random_walks,
+    "node2vec_walks": q_node2vec_walks,
     "neighbor_sample": q_neighbor_sample,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "token_stats": q_token_stats,

@@ -156,3 +156,140 @@ def sample_neighborhood(
             ["root", "cur"]
         )
     return out
+
+
+def node2vec_walks(
+    spark: SparkSession,
+    edges: DataFrame,
+    p: float = 1.0,
+    q: float = 1.0,
+    walks_per_vertex: int = 2,
+    walk_length: int = 4,
+    tries: int = 16,
+    seed: int = 83,
+    indexed: DataFrame | None = None,
+) -> DataFrame:
+    """node2vec second-order biased walks → (walk_id, start, path).
+
+    Transition bias from (prev → cur): candidate x ∈ N(cur) has
+    unnormalized weight 1/p if x = prev (return), 1 if x ∈ N(prev)
+    (stay close), else 1/q (explore) — Grover & Leskovec's α.
+
+    Scale design — REJECTION SAMPLING, not alias tables (the KnightKing
+    device): sampling α exactly needs the weights of ALL of cur's
+    neighbors, which for a 10M-degree hub means a 10M-row expand per
+    step or O(Σ deg(u)·deg(v)) precomputed alias tables; instead each
+    step PROPOSES a uniform neighbor (one composite-key probe against
+    the shared position-indexed adjacency — identical cost to the
+    uniform walk) and ACCEPTS with probability α/M, M = max(1, 1/p,
+    1/q). All ``tries`` proposals are generated in ONE plan (frontier ×
+    tries rows): per try, one adjacency probe + one broadcast-friendly
+    edge-membership left join resolves α, and min_by(try) keeps each
+    walk's first accepted proposal. Everything is a hash of (walk_id,
+    step, try, seed) — deterministic at any parallelism, resumable by
+    construction.
+
+    A walk whose ``tries`` proposals ALL reject falls back to its
+    first (uniform) proposal. With M ≤ 4 (p, q ≥ 0.25) and 16 tries
+    the per-step fallback probability is < (1 − 1/M)^16 ≈ 1% — a
+    documented, deterministic approximation (exact node2vec at hubs is
+    exactly the non-scalable path this operator avoids). Step 0 is
+    uniform (no prev yet), matching the reference implementations.
+    """
+    big_m = max(1.0, 1.0 / p, 1.0 / q)
+    ia = indexed if indexed is not None else indexed_adjacency(edges)
+    dg = (
+        ia.groupBy("src").agg(F.first("deg").alias("deg")).withColumnRenamed("src", "cur")
+    )
+    ce = edges.select(
+        F.least("src", "dst").alias("eu"), F.greatest("src", "dst").alias("ev")
+    ).dropDuplicates(["eu", "ev"]).withColumn("is_edge", F.lit(True))
+    verts = dg.select(F.col("cur").alias("start"))
+    walks = verts.select(
+        "start",
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))).alias("w"),
+    ).select(
+        (F.col("start") * walks_per_vertex + F.col("w")).alias("walk_id"),
+        "start",
+        F.array("start").alias("path"),
+        F.col("start").alias("cur"),
+        F.lit(None).cast("long").alias("prev"),
+    )
+    for step in range(walk_length):
+        headed = walks.join(dg, "cur")
+        if step == 0:
+            # uniform first hop: one probe, no tries
+            chosen = headed.withColumn(
+                "idx",
+                F.pmod(
+                    F.xxhash64("walk_id", F.lit(step), F.lit(1), F.lit(seed)),
+                    F.col("deg"),
+                ).cast("int"),
+            )
+        else:
+            trials = headed.select(
+                "*", F.explode(F.sequence(F.lit(1), F.lit(tries))).alias("try")
+            ).withColumn(
+                "idx",
+                F.pmod(
+                    F.xxhash64("walk_id", F.lit(step), F.col("try"), F.lit(seed)),
+                    F.col("deg"),
+                ).cast("int"),
+            )
+            cand = trials.join(
+                ia.select("src", "pos", "nbr"),
+                (trials["cur"] == ia["src"]) & (trials["idx"] == ia["pos"]),
+            ).drop("src", "pos")
+            cand = cand.join(
+                ce,
+                (F.least("nbr", "prev") == F.col("eu"))
+                & (F.greatest("nbr", "prev") == F.col("ev")),
+                "left",
+            )
+            alpha = (
+                F.when(F.col("nbr") == F.col("prev"), F.lit(1.0 / p))
+                .when(F.col("is_edge"), F.lit(1.0))
+                .otherwise(F.lit(1.0 / q))
+            )
+            # uniform in [0,1) from the hash; accept iff below α/M
+            u = (
+                F.pmod(
+                    F.xxhash64("walk_id", F.lit(step), F.col("try"), F.lit(seed + 1)),
+                    F.lit(1_000_000_007),
+                )
+                / 1_000_000_007.0
+            )
+            accepted_rank = F.when(u < alpha / F.lit(big_m), F.col("try")).otherwise(
+                F.col("try") + F.lit(10_000)
+            )
+            picked = cand.select(
+                "walk_id", "start", "path", "cur", "nbr",
+                accepted_rank.alias("rank"),
+            )
+            walks = (
+                picked.groupBy("walk_id")
+                .agg(
+                    F.min_by(
+                        F.struct("start", "path", "cur", "nbr"), F.col("rank")
+                    ).alias("s")
+                )
+                .select(
+                    "walk_id",
+                    F.col("s.start").alias("start"),
+                    F.concat("s.path", F.array("s.nbr")).alias("path"),
+                    F.col("s.nbr").alias("cur"),
+                    F.col("s.cur").alias("prev"),
+                )
+            )
+            continue
+        walks = chosen.join(
+            ia.select("src", "pos", "nbr"),
+            (chosen["cur"] == ia["src"]) & (chosen["idx"] == ia["pos"]),
+        ).select(
+            "walk_id",
+            "start",
+            F.concat("path", F.array("nbr")).alias("path"),
+            F.col("nbr").alias("cur"),
+            chosen["cur"].alias("prev"),
+        )
+    return walks.select("walk_id", "start", "path")

@@ -144,3 +144,65 @@ def test_sample_neighborhood_deterministic(spark, test_graph):
         return sorted((r["root"], r["layer"], r["src"], r["dst"]) for r in df.collect())
 
     assert run(1) == run(5)
+
+
+# --- node2vec biased walks --------------------------------------------------
+
+def _n2v(spark, edges_df, **kw):
+    from arabesque_spark.graph.walks import node2vec_walks
+
+    return {
+        r["walk_id"]: list(r["path"])
+        for r in node2vec_walks(spark, edges_df, **kw).collect()
+    }
+
+
+def test_node2vec_paths_valid_and_deterministic(spark, test_graph):
+    edge_set = set()
+    for r in test_graph.collect():
+        edge_set.add((r["src"], r["dst"]))
+        edge_set.add((r["dst"], r["src"]))
+    a = _n2v(spark, test_graph, p=0.5, q=2.0, walks_per_vertex=2, walk_length=4)
+    b = _n2v(spark, test_graph, p=0.5, q=2.0, walks_per_vertex=2, walk_length=4)
+    assert a == b  # deterministic across runs
+    for path in a.values():
+        assert len(path) == 5
+        for u, v in zip(path, path[1:]):
+            assert (u, v) in edge_set
+
+
+def test_node2vec_unbiased_ignores_tries(spark, test_graph):
+    """p=q=1 → α ≡ 1 → the first proposal is always accepted, so the
+    result cannot depend on the rejection budget."""
+    a = _n2v(spark, test_graph, p=1.0, q=1.0, tries=1)
+    b = _n2v(spark, test_graph, p=1.0, q=1.0, tries=16)
+    assert a == b
+
+
+def test_node2vec_return_bias(spark):
+    """Small p must raise the immediate-return rate vs large p (the
+    Grover-Leskovec α in action), measured over many walks on a cycle
+    with chords."""
+    import random
+
+    rng = random.Random(3)
+    n = 60
+    edges = {(i, (i + 1) % n) for i in range(n)}
+    while len(edges) < 150:
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    df = spark.createDataFrame(
+        [(min(u, v), max(u, v)) for u, v in edges], "src long, dst long"
+    )
+
+    def return_rate(p):
+        paths = _n2v(spark, df, p=p, q=1.0, walks_per_vertex=6, walk_length=6)
+        ret = tot = 0
+        for path in paths.values():
+            for i in range(2, len(path)):
+                tot += 1
+                ret += path[i] == path[i - 2]
+        return ret / tot
+
+    assert return_rate(0.2) > return_rate(5.0) + 0.05
