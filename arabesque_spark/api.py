@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from arabesque_spark.graph.build import canonical_edges, degrees
 from arabesque_spark.graph.lpa import label_propagation
 from arabesque_spark.graph.motifs import motif3_counts
-from arabesque_spark.graph.pagerank import pagerank_fixed
+from arabesque_spark.graph.pagerank import pagerank, pagerank_fixed
 from arabesque_spark.graph.components import connected_components
 from arabesque_spark.graph.triangles import (
     triangle_count,
@@ -46,6 +46,8 @@ from arabesque_spark.operators.text import (
 )
 
 PAGERANK_ITERS = 8
+PPR_ITERS = 6
+PPR_SEED_MOD = 100
 LPA_ITERS = 5
 JACCARD_N = 3
 JACCARD_THRESHOLD = 0.1
@@ -119,6 +121,33 @@ def _pagerank_oracle(iters: int) -> str:
         + ","
         + ",\n".join(ctes)
         + f"\nSELECT vid, ROUND(rank * (SELECT n FROM n), 6) AS rank_n FROM r{iters}"
+    )
+
+
+def _ppr_oracle(iters: int, mod: int) -> str:
+    ctes = [
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg)",
+        f"ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM deg WHERE vid % {mod} = 0)",
+        f"p0 AS (SELECT vid, CASE WHEN vid % {mod} = 0 THEN 1.0/(SELECT ns FROM ns) ELSE 0.0 END AS rank FROM deg)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""p{t} AS (
+  SELECT d.vid,
+         CASE WHEN d.vid % {mod} = 0 THEN (1 - 0.85)/(SELECT ns FROM ns) ELSE 0.0 END
+         + 0.85 * COALESCE(c.contrib, 0) AS rank
+  FROM deg d LEFT JOIN (
+    SELECT s.dst AS vid, SUM(r.rank / sd.deg) AS contrib
+    FROM sym s JOIN p{t-1} r ON s.src = r.vid JOIN deg sd ON sd.vid = s.src
+    GROUP BY s.dst
+  ) c ON d.vid = c.vid
+)"""
+        )
+    return (
+        _GRAPH_PRELUDE
+        + ","
+        + ",\n".join(ctes)
+        + f"\nSELECT vid, ROUND(rank * (SELECT n FROM n), 6) AS rank_n FROM p{iters}"
     )
 
 
@@ -505,6 +534,21 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = degrees(edges).count()
     ranks = pagerank_fixed(spark, edges, iterations=PAGERANK_ITERS)
     return ranks.select("vid", F.round(F.col("rank") * n, 6).alias("rank_n"))
+
+
+def q_ppr_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart) around the seed
+    set {vid % PPR_SEED_MOD == 0}: same superstep kernel, teleport +
+    dangling mass restarted uniformly over the seeds (0/1 flag carried
+    in the state, zero extra joins per superstep). Fixed iterations so
+    the unrolled SQL twin can verify values."""
+    edges = lineitem_graph(spark, sf_dir)
+    n = degrees(edges).count()
+    seeds = degrees(edges).select("vid").filter(F.col("vid") % PPR_SEED_MOD == 0)
+    res = pagerank(
+        spark, edges, seeds=seeds, tol=-1.0, max_iterations=PPR_ITERS
+    )
+    return res.state.select("vid", F.round(F.col("rank") * n, 6).alias("rank_n"))
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1005,6 +1049,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangles_per_vertex": q_triangles_per_vertex,
     "motif3": q_motif3,
     "pagerank_fixed8": q_pagerank,
+    "ppr_fixed6": q_ppr_fixed,
     "connected_components": q_connected_components,
     "lpa_fixed5": q_lpa,
     "adjacency_list": q_adjacency_list,
@@ -1131,6 +1176,7 @@ SELECT pattern, CAST(SUM(cnt) AS BIGINT) AS cnt
 FROM (SELECT * FROM wpat UNION ALL SELECT * FROM tpat)
 GROUP BY pattern""",
     "pagerank_fixed8": _pagerank_oracle(PAGERANK_ITERS),
+    "ppr_fixed6": _ppr_oracle(PPR_ITERS, PPR_SEED_MOD),
     "connected_components": _GRAPH_PRELUDE
     + """,
 reach(v, w) AS (

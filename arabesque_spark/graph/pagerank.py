@@ -42,6 +42,7 @@ def pagerank(
     resume: bool = False,
     chunk_size: int = DEFAULT_CHUNK_SIZE,
     num_partitions: int | None = None,
+    seeds: DataFrame | None = None,
 ) -> RunResult:
     """Run PageRank to convergence; result state is (vid, rank, deg, delta).
 
@@ -49,6 +50,14 @@ def pagerank(
     ``graph.build.canonical_edges``). ``vertices`` optionally supplies
     isolated vertices (deg 0 → dangling; their mass is redistributed
     uniformly each superstep).
+
+    ``seeds`` (vid) switches to PERSONALIZED PageRank: the teleport mass
+    (and any dangling mass) is restarted uniformly over the seed set
+    instead of all vertices — random-walk-with-restart relevance scores
+    around a query set, the standard link-graph recommendation/similarity
+    primitive. Same kernel, same plan shape: the per-vertex teleport is a
+    0/1 seed flag carried in the state (V-scale column, no extra join per
+    superstep); initial mass starts on the seeds.
     """
     # partition the adjacency with the SAME count as shuffle partitions:
     # state comes out of each iteration hash-partitioned by vid into
@@ -87,18 +96,42 @@ def pagerank(
     if n_vertices == 0:
         raise ValueError("pagerank: empty vertex set")
 
-    state0 = (
-        verts.join(deg, "vid", "left")
-        .select(
-            "vid",
-            F.lit(1.0 / n_vertices).cast("double").alias("rank"),
-            F.coalesce("deg", F.lit(0)).cast("int").alias("deg"),
-            F.lit(float("inf")).alias("delta"),
+    if seeds is not None:
+        seed_set = seeds.select("vid").dropDuplicates(["vid"])
+        n_seeds = seed_set.count()
+        if n_seeds == 0:
+            raise ValueError("pagerank: empty seed set")
+        seed_flag = seed_set.withColumn("seed", F.lit(1))
+        state0 = (
+            verts.join(deg, "vid", "left")
+            .join(seed_flag, "vid", "left")
+            .select(
+                "vid",
+                (F.coalesce("seed", F.lit(0)) / F.lit(float(n_seeds)))
+                .cast("double")
+                .alias("rank"),
+                F.coalesce("deg", F.lit(0)).cast("int").alias("deg"),
+                F.lit(float("inf")).alias("delta"),
+                F.coalesce("seed", F.lit(0)).cast("int").alias("seed"),
+            )
         )
-    )
+        # restart target: uniform over seeds (per-vertex Column, rides the
+        # state — no per-superstep join)
+        inv_target = 1.0 / n_seeds
+        target_col = F.col("seed").cast("double")
+    else:
+        state0 = (
+            verts.join(deg, "vid", "left")
+            .select(
+                "vid",
+                F.lit(1.0 / n_vertices).cast("double").alias("rank"),
+                F.coalesce("deg", F.lit(0)).cast("int").alias("deg"),
+                F.lit(float("inf")).alias("delta"),
+            )
+        )
+        inv_target = 1.0 / n_vertices
+        target_col = F.lit(1.0)
 
-    inv_n = 1.0 / n_vertices
-    teleport = (1.0 - damping) * inv_n
     # one-time structural check: a graph with no dangling vertices (the
     # common case — every edge endpoint has degree ≥ 1) skips the
     # dangling-mass aggregation stage in EVERY superstep
@@ -122,22 +155,27 @@ def pagerank(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass")
             )
             joined = joined.crossJoin(F.broadcast(dangling))
-            dangling_term = F.col("dangling_mass") * F.lit(inv_n)
+            # dangling mass restarts at the teleport target (all vertices,
+            # or the seed set under personalization)
+            dangling_term = (
+                F.col("dangling_mass") * F.lit(inv_target) * target_col
+            )
         else:
             dangling_term = F.lit(0.0)
+        carry = ["deg"] + (["seed"] if seeds is not None else [])
         new_state = joined.select(
             "vid",
             (
-                F.lit(teleport)
+                F.lit((1.0 - damping) * inv_target) * target_col
                 + F.lit(damping)
                 * (F.coalesce("contrib_sum", F.lit(0.0)) + dangling_term)
             ).alias("new_rank"),
-            "deg",
             F.col("rank").alias("old_rank"),
+            *carry,
         ).select(
             "vid",
             F.col("new_rank").alias("rank"),
-            "deg",
+            *carry,
             F.abs(F.col("new_rank") - F.col("old_rank")).alias("delta"),
         )
         return new_state, {"superstep": i}

@@ -273,3 +273,55 @@ def test_ktruss_oracle_unroll_covers_fixpoint(spark):
         es -= bad
         rounds += 1
     assert rounds + 2 <= 10, rounds
+
+
+def test_personalized_pagerank_matches_numpy(spark, test_graph):
+    """PPR (seeds={0,5}, 6 fixed iterations) vs a dense numpy power
+    iteration with seed-restart teleport."""
+    import numpy as np
+
+    from arabesque_spark.graph.pagerank import pagerank
+    from tests.conftest import TEST_GRAPH_EDGES, TEST_GRAPH_V
+
+    seeds_py = [0, 5]
+    A = np.zeros((TEST_GRAPH_V, TEST_GRAPH_V))
+    for u, v in TEST_GRAPH_EDGES:
+        A[u, v] = A[v, u] = 1.0
+    deg = A.sum(axis=1)
+    P = A / deg[:, None]
+    t = np.zeros(TEST_GRAPH_V)
+    t[seeds_py] = 1.0 / len(seeds_py)
+    r = t.copy()
+    for _ in range(6):
+        r = 0.15 * t + 0.85 * (P.T @ r)
+
+    seeds = spark.createDataFrame([(s,) for s in seeds_py], "vid long")
+    res = pagerank(
+        spark, test_graph, seeds=seeds, tol=-1.0, max_iterations=6
+    )
+    got = {row["vid"]: row["rank"] for row in res.state.collect()}
+    for v in range(TEST_GRAPH_V):
+        assert abs(got[v] - r[v]) < 1e-12, v
+    # non-seed mass decays away from the seed neighborhood
+    assert got[0] > max(got[v] for v in range(TEST_GRAPH_V) if v not in seeds_py)
+
+
+def test_personalized_pagerank_dangling_restarts_at_seeds(spark, test_graph):
+    """An isolated vertex's mass must return to the SEEDS, not spread
+    uniformly: total rank stays 1 and the isolate keeps rank 0 (it is
+    not a seed and receives no edges)."""
+    from pyspark.sql import functions as F
+
+    from arabesque_spark.graph.pagerank import pagerank
+    from tests.conftest import TEST_GRAPH_V
+
+    verts = spark.createDataFrame(
+        [(v,) for v in range(TEST_GRAPH_V + 1)], "vid long"
+    )  # TEST_GRAPH_V is an isolated (dangling) vertex
+    seeds = spark.createDataFrame([(0,)], "vid long")
+    res = pagerank(
+        spark, test_graph, vertices=verts, seeds=seeds, tol=-1.0, max_iterations=5
+    )
+    rows = {r["vid"]: r["rank"] for r in res.state.collect()}
+    assert abs(sum(rows.values()) - 1.0) < 1e-9
+    assert rows[TEST_GRAPH_V] == 0.0
