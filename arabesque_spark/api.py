@@ -48,6 +48,8 @@ from arabesque_spark.operators.text import (
 PAGERANK_ITERS = 8
 PPR_ITERS = 6
 PPR_SEED_MOD = 100
+BFS_SEED_MOD = 500
+BFS_MAX_DEPTH = 4
 LPA_ITERS = 5
 JACCARD_N = 3
 JACCARD_THRESHOLD = 0.1
@@ -148,6 +150,29 @@ def _ppr_oracle(iters: int, mod: int) -> str:
         + ","
         + ",\n".join(ctes)
         + f"\nSELECT vid, ROUND(rank * (SELECT n FROM n), 6) AS rank_n FROM p{iters}"
+    )
+
+
+def _bfs_oracle(depth: int, mod: int) -> str:
+    ctes = [
+        f"b0 AS MATERIALIZED (SELECT vid AS source, vid, CAST(0 AS INTEGER) AS dist FROM deg WHERE vid % {mod} = 0)"
+    ]
+    for t in range(1, depth + 1):
+        ctes.append(
+            f"""b{t} AS MATERIALIZED (
+  SELECT * FROM b{t-1}
+  UNION ALL
+  SELECT DISTINCT f.source, s.dst AS vid, CAST({t} AS INTEGER) AS dist
+  FROM b{t-1} f JOIN sym s ON s.src = f.vid
+  WHERE f.dist = {t-1}
+    AND NOT EXISTS (SELECT 1 FROM b{t-1} p WHERE p.source = f.source AND p.vid = s.dst)
+)"""
+        )
+    return (
+        _GRAPH_PRELUDE
+        + ","
+        + ",\n".join(ctes)
+        + f"\nSELECT source, vid, dist FROM b{depth}"
     )
 
 
@@ -549,6 +574,17 @@ def q_ppr_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, edges, seeds=seeds, tol=-1.0, max_iterations=PPR_ITERS
     )
     return res.state.select("vid", F.round(F.col("rank") * n, 6).alias("rank_n"))
+
+
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS landmark distances from {vid % BFS_SEED_MOD == 0}
+    — level-synchronous frontier expansion through the superstep runner,
+    observed-count halt; SQL twin unrolls the levels."""
+    from arabesque_spark.graph.bfs import bfs_distances
+
+    edges = lineitem_graph(spark, sf_dir)
+    seeds = degrees(edges).select("vid").filter(F.col("vid") % BFS_SEED_MOD == 0)
+    return bfs_distances(spark, edges, seeds, max_depth=BFS_MAX_DEPTH).state
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1050,6 +1086,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "motif3": q_motif3,
     "pagerank_fixed8": q_pagerank,
     "ppr_fixed6": q_ppr_fixed,
+    "bfs_distances": q_bfs_distances,
     "connected_components": q_connected_components,
     "lpa_fixed5": q_lpa,
     "adjacency_list": q_adjacency_list,
@@ -1177,6 +1214,7 @@ FROM (SELECT * FROM wpat UNION ALL SELECT * FROM tpat)
 GROUP BY pattern""",
     "pagerank_fixed8": _pagerank_oracle(PAGERANK_ITERS),
     "ppr_fixed6": _ppr_oracle(PPR_ITERS, PPR_SEED_MOD),
+    "bfs_distances": _bfs_oracle(BFS_MAX_DEPTH, BFS_SEED_MOD),
     "connected_components": _GRAPH_PRELUDE
     + """,
 reach(v, w) AS (

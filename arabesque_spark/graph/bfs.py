@@ -1,0 +1,71 @@
+"""Multi-source BFS (landmark distances) over the link graph.
+
+Exact hop distances from a set of landmark/source vertices — the
+building block for distance features (closeness to curated seeds,
+spam-distance, harmonic centrality over landmarks) and for
+distance-bounded neighborhood extraction on a corpus link graph.
+
+Superstep shape (C1/C2/C21/C22): state = the discovered (source, vid,
+dist) set; one BFS level = frontier (last level's rows) ⋈ symmetric
+edges → candidate pairs, dedup, anti-join against the discovered set,
+append at dist+1. Level-synchronous BFS yields exact distances by
+construction. The halt rides the materialization job's observed row
+count (fixpoint = nothing new discovered). State is O(|sources| · V)
+rows — bounded by the landmark count, the standard scale contract for
+landmark distance sketches.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arabesque_spark.engine.superstep import RunResult, SuperstepRunner
+from arabesque_spark.graph.build import symmetric_edges
+
+
+def bfs_distances(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 6,
+    checkpoint_dir: str | Path | None = None,
+    resume: bool = False,
+) -> RunResult:
+    """Exact hop distances → state (source, vid, dist int), one row per
+    (source, reached vertex); unreached vertices are absent. ``sources``
+    is a (vid) DataFrame of landmarks. Stops at ``max_depth`` levels or
+    when a level discovers nothing (observed-count halt)."""
+    sym = symmetric_edges(edges)
+    state0 = sources.select("vid").dropDuplicates(["vid"]).select(
+        F.col("vid").alias("source"), F.col("vid").alias("vid"),
+        F.lit(0).cast("int").alias("dist"),
+    )
+    prev_rows: list[int | None] = [None]
+
+    def step(state: DataFrame, i: int):
+        frontier = state.filter(F.col("dist") == i)
+        cand = (
+            frontier.join(sym, frontier["vid"] == sym["src"])
+            .select("source", F.col("dst").alias("vid"))
+            .dropDuplicates(["source", "vid"])
+        )
+        fresh = cand.join(state, ["source", "vid"], "left_anti").select(
+            "source", "vid", F.lit(i + 1).cast("int").alias("dist")
+        )
+        return state.unionByName(fresh), {"level": i + 1}
+
+    def halt_decide(m: dict, i: int) -> bool:
+        rows = m["rows"]
+        done = rows == prev_rows[0]
+        prev_rows[0] = rows
+        return done
+
+    runner = SuperstepRunner(
+        spark, checkpoint_dir=checkpoint_dir, max_iterations=max_depth
+    )
+    return runner.run(
+        state0, step, resume=resume, halt_exprs={}, halt_decide=halt_decide
+    )

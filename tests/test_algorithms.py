@@ -325,3 +325,47 @@ def test_personalized_pagerank_dangling_restarts_at_seeds(spark, test_graph):
     rows = {r["vid"]: r["rank"] for r in res.state.collect()}
     assert abs(sum(rows.values()) - 1.0) < 1e-9
     assert rows[TEST_GRAPH_V] == 0.0
+
+
+def test_bfs_distances_match_python(spark, test_graph):
+    from collections import deque
+
+    from arabesque_spark.graph.bfs import bfs_distances
+    from tests.conftest import TEST_GRAPH_EDGES
+
+    adj: dict[int, set[int]] = {}
+    for u, v in TEST_GRAPH_EDGES:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+
+    def bfs_py(s):
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            x = dq.popleft()
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    dq.append(y)
+        return dist
+
+    seeds = spark.createDataFrame([(0,), (6,)], "vid long")
+    res = bfs_distances(spark, test_graph, seeds, max_depth=10)
+    got: dict[tuple[int, int], int] = {}
+    for r in res.state.collect():
+        got[(r["source"], r["vid"])] = r["dist"]
+    want = {}
+    for s in (0, 6):
+        for v, d in bfs_py(s).items():
+            want[(s, v)] = d
+    assert got == want
+    assert res.converged  # fixpoint reached inside max_depth
+
+
+def test_bfs_max_depth_truncates(spark, test_graph):
+    from arabesque_spark.graph.bfs import bfs_distances
+
+    seeds = spark.createDataFrame([(1,)], "vid long")  # a star prong
+    res = bfs_distances(spark, test_graph, seeds, max_depth=1)
+    dists = {r["dist"] for r in res.state.collect()}
+    assert dists == {0, 1}
