@@ -50,6 +50,8 @@ PPR_ITERS = 6
 PPR_SEED_MOD = 100
 BFS_SEED_MOD = 500
 BFS_MAX_DEPTH = 4
+WPR_ITERS = 6
+WPR_SUPPORT = 3
 LPA_ITERS = 5
 JACCARD_N = 3
 JACCARD_THRESHOLD = 0.1
@@ -173,6 +175,38 @@ def _bfs_oracle(depth: int, mod: int) -> str:
         + ","
         + ",\n".join(ctes)
         + f"\nSELECT source, vid, dist FROM b{depth}"
+    )
+
+
+def _wpr_oracle(iters: int, support: int) -> str:
+    ctes = [
+        f"""ev AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)""",
+        f"""we AS MATERIALIZED (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM ev GROUP BY src, dst HAVING COUNT(*) >= {support})""",
+        "wsym AS MATERIALIZED (SELECT src, dst, w FROM we UNION ALL SELECT dst, src, w FROM we)",
+        "stg AS MATERIALIZED (SELECT src AS vid, SUM(w) AS strength FROM wsym GROUP BY src)",
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM stg)",
+        "w0 AS (SELECT vid, 1.0/(SELECT n FROM n) AS rank FROM stg)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""w{t} AS (
+  SELECT d.vid, (1 - 0.85)/(SELECT n FROM n) + 0.85 * COALESCE(c.contrib, 0) AS rank
+  FROM stg d LEFT JOIN (
+    SELECT s.dst AS vid, SUM(r.rank * s.w / g.strength) AS contrib
+    FROM wsym s JOIN w{t-1} r ON s.src = r.vid JOIN stg g ON g.vid = s.src
+    GROUP BY s.dst
+  ) c ON d.vid = c.vid
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vid, ROUND(rank * (SELECT n FROM n), 6) AS rank_n FROM w{iters}"
     )
 
 
@@ -585,6 +619,29 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = lineitem_graph(spark, sf_dir)
     seeds = degrees(edges).select("vid").filter(F.col("vid") % BFS_SEED_MOD == 0)
     return bfs_distances(spark, edges, seeds, max_depth=BFS_MAX_DEPTH).state
+
+
+def q_wpagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the co-occurrence graph with SUPPORT COUNTS
+    as edge weights (the link graph's natural affinity signal):
+    contribution = rank·w/strength. Fixed iterations for the unrolled
+    SQL twin."""
+    from arabesque_spark.graph.dataprep import frequent_edges
+    from arabesque_spark.graph.pagerank import pagerank_weighted
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pair_events = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    wedges = frequent_edges(pair_events, min_support=WPR_SUPPORT)
+    n = degrees(wedges).count()
+    res = pagerank_weighted(
+        spark, wedges, weight_col="support", tol=-1.0, max_iterations=WPR_ITERS
+    )
+    return res.state.select("vid", F.round(F.col("rank") * n, 6).alias("rank_n"))
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1087,6 +1144,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_fixed8": q_pagerank,
     "ppr_fixed6": q_ppr_fixed,
     "bfs_distances": q_bfs_distances,
+    "wpagerank_fixed6": q_wpagerank_fixed,
     "connected_components": q_connected_components,
     "lpa_fixed5": q_lpa,
     "adjacency_list": q_adjacency_list,
@@ -1215,6 +1273,7 @@ GROUP BY pattern""",
     "pagerank_fixed8": _pagerank_oracle(PAGERANK_ITERS),
     "ppr_fixed6": _ppr_oracle(PPR_ITERS, PPR_SEED_MOD),
     "bfs_distances": _bfs_oracle(BFS_MAX_DEPTH, BFS_SEED_MOD),
+    "wpagerank_fixed6": _wpr_oracle(WPR_ITERS, WPR_SUPPORT),
     "connected_components": _GRAPH_PRELUDE
     + """,
 reach(v, w) AS (

@@ -242,3 +242,44 @@ def dense_vertex_ids(
             yield out
 
     return parts.mapInPandas(assign, schema=out_schema)
+
+
+def build_weighted_adjacency(
+    edges: DataFrame,
+    weight_col: str = "weight",
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Weighted CSR-like adjacency: (src, chunk, nbrs array<struct<nbr,w>>,
+    strength double).
+
+    The weighted twin of :func:`build_adjacency` for graphs whose edges
+    carry affinity (co-occurrence support, shared-commit counts —
+    exactly what the corpus link graph produces). ``strength`` is the
+    FULL weighted degree of src repeated on every chunk row, so
+    downstream per-edge math (weighted PageRank contribution =
+    rank·w/strength) needs no second join. Same skew contract: chunk id
+    assigned BEFORE the groupBy, hubs split across bounded chunk rows.
+    """
+    w = F.col(weight_col).cast("double")
+    sym = edges.select(
+        F.col("src"), F.col("dst"), w.alias("w")
+    ).union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), w))
+    if num_partitions:
+        sym = sym.repartition(num_partitions, "src")
+    stg = sym.groupBy("src").agg(
+        F.sum("w").alias("strength"), F.count("*").cast("int").alias("deg")
+    )
+    n_chunks = F.greatest(F.lit(1), F.ceil(F.col("deg") / F.lit(chunk_size))).cast("int")
+    return (
+        sym.join(stg, "src")
+        .withColumn("chunk", F.pmod(F.xxhash64("dst"), n_chunks).cast("int"))
+        .groupBy("src", "chunk")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("dst").alias("nbr"), F.col("w")))
+            ).alias("nbrs"),
+            F.first("strength").alias("strength"),
+        )
+        .select("src", "chunk", "nbrs", "strength")
+    )

@@ -58,3 +58,50 @@ def test_pagerank_fixed_iteration_count(spark, test_graph):
     want = pagerank_numpy(TEST_GRAPH_EDGES, tol=0.0, max_iterations=5)
     for v in want:
         assert got[v] == pytest.approx(want[v], rel=1e-12)
+
+
+def test_weighted_pagerank_matches_numpy(spark):
+    """Weighted kernel vs a dense numpy power iteration with
+    rank·w/strength contributions."""
+    import numpy as np
+
+    from arabesque_spark.graph.pagerank import pagerank_weighted
+
+    edges = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 3, 5.0), (3, 4, 1.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    n = 5
+    W = np.zeros((n, n))
+    for u, v, w in edges:
+        W[u, v] = W[v, u] = w
+    strength = W.sum(axis=1)
+    P = W / strength[:, None]
+    r = np.full(n, 1.0 / n)
+    for _ in range(7):
+        r = 0.15 / n + 0.85 * (P.T @ r)
+
+    res = pagerank_weighted(spark, df, tol=-1.0, max_iterations=7)
+    got = {row["vid"]: row["rank"] for row in res.state.collect()}
+    for v in range(n):
+        assert abs(got[v] - r[v]) < 1e-12, v
+
+
+def test_weighted_pagerank_uniform_weights_equal_unweighted(spark, test_graph):
+    """w ≡ const must reduce to plain PageRank exactly."""
+    from pyspark.sql import functions as F
+
+    from arabesque_spark.graph.pagerank import pagerank, pagerank_weighted
+
+    wdf = test_graph.withColumn("weight", F.lit(2.5))
+    a = {
+        r["vid"]: r["rank"]
+        for r in pagerank_weighted(spark, wdf, tol=-1.0, max_iterations=5)
+        .state.collect()
+    }
+    b = {
+        r["vid"]: r["rank"]
+        for r in pagerank(spark, test_graph, tol=-1.0, max_iterations=5)
+        .state.collect()
+    }
+    assert a.keys() == b.keys()
+    for v in a:
+        assert abs(a[v] - b[v]) < 1e-12
