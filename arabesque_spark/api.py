@@ -155,7 +155,7 @@ def _ppr_oracle(iters: int, mod: int) -> str:
     )
 
 
-def _bfs_oracle(depth: int, mod: int) -> str:
+def _bfs_ctes(depth: int, mod: int) -> str:
     ctes = [
         f"b0 AS MATERIALIZED (SELECT vid AS source, vid, CAST(0 AS INTEGER) AS dist FROM deg WHERE vid % {mod} = 0)"
     ]
@@ -170,11 +170,18 @@ def _bfs_oracle(depth: int, mod: int) -> str:
     AND NOT EXISTS (SELECT 1 FROM b{t-1} p WHERE p.source = f.source AND p.vid = s.dst)
 )"""
         )
+    return _GRAPH_PRELUDE + "," + ",\n".join(ctes)
+
+
+def _bfs_oracle(depth: int, mod: int) -> str:
+    return _bfs_ctes(depth, mod) + f"\nSELECT source, vid, dist FROM b{depth}"
+
+
+def _harmonic_oracle(depth: int, mod: int) -> str:
     return (
-        _GRAPH_PRELUDE
-        + ","
-        + ",\n".join(ctes)
-        + f"\nSELECT source, vid, dist FROM b{depth}"
+        _bfs_ctes(depth, mod)
+        + f"""\nSELECT vid, ROUND(SUM(1.0/dist), 6) AS harmonic
+FROM b{depth} WHERE dist > 0 GROUP BY vid"""
     )
 
 
@@ -642,6 +649,24 @@ def q_wpagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, wedges, weight_col="support", tol=-1.0, max_iterations=WPR_ITERS
     )
     return res.state.select("vid", F.round(F.col("rank") * n, 6).alias("rank_n"))
+
+
+def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-approximated harmonic centrality (Σ 1/dist over the BFS
+    landmark set) — one aggregation over the bfs_distances state."""
+    from arabesque_spark.graph.bfs import harmonic_centrality
+
+    edges = lineitem_graph(spark, sf_dir)
+    seeds = degrees(edges).select("vid").filter(F.col("vid") % BFS_SEED_MOD == 0)
+    return harmonic_centrality(spark, edges, seeds, max_depth=BFS_MAX_DEPTH)
+
+
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation scores over the ±2 skip-gram table (min pair
+    count 2): log(P(c,x)/(P(c)P(x))) with pair-mass marginals."""
+    from arabesque_spark.operators.text import pmi_pairs
+
+    return pmi_pairs(load_table(spark, sf_dir, "documents"), window=2, min_count=2)
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1145,6 +1170,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ppr_fixed6": q_ppr_fixed,
     "bfs_distances": q_bfs_distances,
     "wpagerank_fixed6": q_wpagerank_fixed,
+    "harmonic_centrality": q_harmonic,
+    "pmi_pairs": q_pmi_pairs,
     "connected_components": q_connected_components,
     "lpa_fixed5": q_lpa,
     "adjacency_list": q_adjacency_list,
@@ -1274,6 +1301,24 @@ GROUP BY pattern""",
     "ppr_fixed6": _ppr_oracle(PPR_ITERS, PPR_SEED_MOD),
     "bfs_distances": _bfs_oracle(BFS_MAX_DEPTH, BFS_SEED_MOD),
     "wpagerank_fixed6": _wpr_oracle(WPR_ITERS, WPR_SUPPORT),
+    "harmonic_centrality": _harmonic_oracle(BFS_MAX_DEPTH, BFS_SEED_MOD),
+    "pmi_pairs": f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(lf) AS tok,
+         generate_subscripts(lf, 1) AS pos
+  FROM (SELECT doc_id, list_filter({_DOC_TOKENS}, x -> x <> '') AS lf FROM documents)
+),
+sp AS MATERIALIZED (
+  SELECT a.tok AS center, b.tok AS context, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks a JOIN toks b
+    ON a.doc = b.doc AND a.pos <> b.pos AND ABS(a.pos - b.pos) <= 2
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+mg AS MATERIALIZED (SELECT center, SUM(cnt) AS c_cnt FROM sp GROUP BY center),
+tt AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM sp)
+SELECT sp.center, sp.context, sp.cnt,
+       ROUND(LN(sp.cnt * (SELECT total FROM tt) / (m1.c_cnt * m2.c_cnt)), 6) AS pmi
+FROM sp JOIN mg m1 ON m1.center = sp.center JOIN mg m2 ON m2.center = sp.context""",
     "connected_components": _GRAPH_PRELUDE
     + """,
 reach(v, w) AS (

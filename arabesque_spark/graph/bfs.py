@@ -69,3 +69,22 @@ def bfs_distances(
     return runner.run(
         state0, step, resume=resume, halt_exprs={}, halt_decide=halt_decide
     )
+
+
+def harmonic_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    landmarks: DataFrame,
+    max_depth: int = 6,
+) -> DataFrame:
+    """(vid, harmonic) — landmark-approximated harmonic centrality:
+    Σ over landmarks s ≠ v of 1/dist(s, v), the standard sampled
+    estimator (exact when ``landmarks`` is all vertices). One aggregation
+    over the :func:`bfs_distances` state; rounded to 6 decimals for
+    portability."""
+    d = bfs_distances(spark, edges, landmarks, max_depth=max_depth).state
+    return (
+        d.filter(F.col("dist") > 0)
+        .groupBy("vid")
+        .agg(F.round(F.sum(1.0 / F.col("dist")), 6).alias("harmonic"))
+    )

@@ -157,3 +157,48 @@ def skipgram_pairs(
         .groupBy("center", "context")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def pmi_pairs(
+    docs: DataFrame,
+    window: int = 2,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """(center, context, cnt, pmi) — pointwise mutual information over the
+    skip-gram co-occurrence table: log(P(c,x) / (P(c)·P(x))), the classic
+    association score feeding embedding initialization (GloVe-style) and
+    collocation mining. P is estimated from the pair table itself
+    (pair-mass marginals), so the whole computation is two aggregations
+    over :func:`skipgram_pairs` plus one broadcastable total; rounded to
+    6 decimals. ``min_count`` drops rare pairs before scoring (noise
+    floor; standard practice)."""
+    pairs = skipgram_pairs(docs, window=window, id_col=id_col, text=text).filter(
+        F.col("cnt") >= min_count
+    )
+    marg = pairs.groupBy("center").agg(F.sum("cnt").alias("c_cnt"))
+    total = pairs.agg(F.sum("cnt").alias("total"))
+    scored = (
+        pairs.join(marg, "center")
+        .join(
+            marg.select(
+                F.col("center").alias("context"), F.col("c_cnt").alias("x_cnt")
+            ),
+            "context",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "center",
+            "context",
+            "cnt",
+            F.round(
+                F.log(
+                    (F.col("cnt") * F.col("total"))
+                    / (F.col("c_cnt") * F.col("x_cnt"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored

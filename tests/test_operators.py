@@ -330,3 +330,28 @@ def test_skipgram_pairs_exact(spark):
                 if j != i:
                     want[(c, toks[j])] += 1
     assert got == dict(want)
+
+
+def test_pmi_pairs_exact(spark):
+    import math
+
+    from arabesque_spark.operators.text import pmi_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c")], "doc_id long, text string"
+    )
+    got = {
+        (r["center"], r["context"]): (r["cnt"], r["pmi"])
+        for r in pmi_pairs(docs, window=1, min_count=2).collect()
+    }
+    # window=1 pairs: doc0: (a,b)x3? positions a0 b1 a2 b3: (a,b): a0-b1, a2-b1, a2-b3 -> 3; (b,a): 3
+    # doc1: (a,b) 1, (b,a) 1, (b,c) 1, (c,b) 1
+    # after min_count=2: (a,b)=4, (b,a)=4
+    assert set(got) == {("a", "b"), ("b", "a")}
+    cnt = got[("a", "b")][0]
+    assert cnt == 4
+    total = 8.0
+    c_a = 4.0  # pair mass with center 'a' after filter
+    c_b = 4.0
+    want = round(math.log(cnt * total / (c_a * c_b)), 6)
+    assert got[("a", "b")][1] == want
