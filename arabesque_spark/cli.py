@@ -40,7 +40,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--pairwise-limit", type=int, default=16)
 
-    for name in ("pagerank", "cc", "lpa", "triangles", "motifs", "fsm", "walks"):
+    for name in ("pagerank", "cc", "lpa", "triangles", "motifs", "fsm", "walks",
+                 "kcore", "ktruss", "bfs", "census"):
         p = sub.add_parser(name)
         p.add_argument("--edges", required=True, help="parquet dir with (src,dst)")
         p.add_argument("--out", default=None, help="result parquet dir")
@@ -50,6 +51,18 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--tol", type=float, default=1e-6)
             p.add_argument("--damping", type=float, default=0.85)
             p.add_argument("--max-iterations", type=int, default=100)
+            p.add_argument("--seeds", default=None,
+                           help="parquet dir with (vid): personalized restart set")
+            p.add_argument("--weight-col", default=None,
+                           help="edge weight column: weighted PageRank")
+        if name in ("kcore", "ktruss"):
+            p.add_argument("--k", type=int, required=True)
+        if name == "bfs":
+            p.add_argument("--sources", required=True, help="parquet dir with (vid)")
+            p.add_argument("--max-depth", type=int, default=6)
+        if name == "census":
+            p.add_argument("--size", type=int, default=5)
+            p.add_argument("--labels", default=None, help="parquet dir with (vid,label)")
         if name == "lpa":
             p.add_argument("--max-iterations", type=int, default=20)
         if name == "motifs":
@@ -95,17 +108,30 @@ def main(argv: list[str] | None = None) -> int:
 
     edges = spark.read.parquet(args.edges)
     if args.cmd == "pagerank":
-        from arabesque_spark.graph.pagerank import pagerank
+        from arabesque_spark.graph.pagerank import pagerank, pagerank_weighted
 
-        res = pagerank(
-            spark,
-            edges,
-            damping=args.damping,
-            tol=args.tol,
-            max_iterations=args.max_iterations,
-            checkpoint_dir=args.checkpoint,
-            resume=args.resume,
-        )
+        if args.weight_col:
+            res = pagerank_weighted(
+                spark,
+                edges,
+                weight_col=args.weight_col,
+                damping=args.damping,
+                tol=args.tol,
+                max_iterations=args.max_iterations,
+                checkpoint_dir=args.checkpoint,
+                resume=args.resume,
+            )
+        else:
+            res = pagerank(
+                spark,
+                edges,
+                damping=args.damping,
+                tol=args.tol,
+                max_iterations=args.max_iterations,
+                checkpoint_dir=args.checkpoint,
+                resume=args.resume,
+                seeds=spark.read.parquet(args.seeds) if args.seeds else None,
+            )
         out_df = res.state.select("vid", "rank")
         info = {
             "converged": res.converged,
@@ -164,6 +190,41 @@ def main(argv: list[str] | None = None) -> int:
             seed=args.seed,
         )
         info = {"walks_per_vertex": args.walks_per_vertex, "walk_length": args.walk_length}
+    elif args.cmd == "kcore":
+        from arabesque_spark.graph.kcore import k_core
+
+        res = k_core(
+            spark, edges, args.k, checkpoint_dir=args.checkpoint, resume=args.resume
+        )
+        out_df = res.state
+        info = {"k": args.k, "iterations": res.num_iterations}
+    elif args.cmd == "ktruss":
+        from arabesque_spark.graph.ktruss import k_truss
+
+        res = k_truss(
+            spark, edges, args.k, checkpoint_dir=args.checkpoint, resume=args.resume
+        )
+        out_df = res.state
+        info = {"k": args.k, "iterations": res.num_iterations}
+    elif args.cmd == "bfs":
+        from arabesque_spark.graph.bfs import bfs_distances
+
+        res = bfs_distances(
+            spark,
+            edges,
+            spark.read.parquet(args.sources),
+            max_depth=args.max_depth,
+            checkpoint_dir=args.checkpoint,
+            resume=args.resume,
+        )
+        out_df = res.state
+        info = {"max_depth": args.max_depth, "levels": res.num_iterations}
+    elif args.cmd == "census":
+        from arabesque_spark.graph.motifs import motif_census_k
+
+        labels_df = spark.read.parquet(args.labels) if args.labels else None
+        out_df = motif_census_k(spark, edges, args.size, vertex_labels=labels_df)
+        info = {"size": args.size}
     else:  # triangles
         from arabesque_spark.graph.triangles import triangle_counts_per_vertex
 

@@ -75,3 +75,36 @@ def test_cli_full_pipeline(spark, tmp_path, capsys):
     )
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows"] > 0 and out["walk_length"] == 2
+
+
+def test_cli_round3_commands(spark, tmp_path, capsys):
+    """kcore / ktruss / bfs / census / personalized+weighted pagerank
+    dispatch end-to-end on a small graph."""
+    import json
+
+    from arabesque_spark.cli import main
+    from tests.conftest import TEST_GRAPH_EDGES
+
+    edges_dir = str(tmp_path / "edges")
+    spark.createDataFrame(TEST_GRAPH_EDGES, "src long, dst long").write.parquet(edges_dir)
+    seeds_dir = str(tmp_path / "seeds")
+    spark.createDataFrame([(0,)], "vid long").write.parquet(seeds_dir)
+
+    def run(argv):
+        assert main(argv) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert run(["kcore", "--edges", edges_dir, "--k", "2"])["k"] == 2
+    assert run(["ktruss", "--edges", edges_dir, "--k", "3"])["k"] == 3
+    assert run(["bfs", "--edges", edges_dir, "--sources", seeds_dir])["levels"] >= 1
+    assert run(["census", "--edges", edges_dir, "--size", "4"])["size"] == 4
+    out = run(["pagerank", "--edges", edges_dir, "--seeds", seeds_dir,
+               "--max-iterations", "3", "--tol", "-1"])
+    assert out["iterations"] == 3
+    wdir = str(tmp_path / "wedges")
+    spark.createDataFrame(
+        [(u, v, 2.0) for u, v in TEST_GRAPH_EDGES], "src long, dst long, weight double"
+    ).write.parquet(wdir)
+    out = run(["pagerank", "--edges", wdir, "--weight-col", "weight",
+               "--max-iterations", "2", "--tol", "-1"])
+    assert out["iterations"] == 2
