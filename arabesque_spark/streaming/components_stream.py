@@ -1,0 +1,304 @@
+"""Streaming incremental connected components over an edge stream.
+
+Completes the streaming surface for the north rule's core algorithms
+(triangles: graph_stream.py; components: here). The accumulated label
+table (vid → component, component = MIN vid of the component — the same
+contract as the batch engine, graph/components.py) is maintained
+incrementally: a micro-batch of edges can only MERGE existing components
+and/or introduce new vertices, so per batch the work is proportional to
+the batch's neighborhood, never a recompute of the full graph.
+
+Per-batch kernel
+----------------
+1. Resolve both endpoints of the batch's canonical edges through the
+   current labels — the base generation is parquet-PARTITIONED by vertex
+   hash bucket, so the lookup join reads ONLY the batch's touched
+   buckets (partition pruning; same device as the triangle counter's
+   compacted state); un-labeled endpoints are new vertices (label =
+   their own vid).
+2. Edges whose endpoints resolve to DIFFERENT roots yield root-merge
+   pairs — at most |batch| of them. These are collected and merged
+   driver-side with a min-root union-find: the pair list is bounded by
+   the micro-batch size (NOT the graph), which is the one place a
+   driver round-trip is the right call — shipping a ≤|batch|-row merge
+   table through a distributed fixpoint would cost more than the rows.
+3. The batch commits two small tables: labels for first-seen vertices
+   and the resolved (old_root → new_root) remap delta. The component
+   count is maintained incrementally (+ new roots − merges).
+
+State layout (the crash-safety pattern of IncrementalTriangleCounter):
+``base/gen_<g>/`` bucket-partitioned labels; ``delta/batch_<id>/`` per
+logged batch (``vertices/`` + ``remap/``); ``counts.jsonl`` whose append
+is the batch commit point; ``compaction.json`` whose atomic replace is
+the compaction commit point. Every ``compact_every`` batches the deltas
+and accumulated remap fold into a new base generation and the remap
+resets. A restarted tracker rebuilds the (tiny) resolved remap from the
+logged delta dirs alone; a logged batch with missing state raises rather
+than silently mislabeling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.build import canonical_edges
+
+
+class IncrementalComponents:
+    """Exactly-once incremental connected components over an edge stream."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str | Path,
+        compact_every: int = 16,
+        n_buckets: int = 64,
+    ) -> None:
+        self.spark = spark
+        self.state_dir = Path(state_dir)
+        self.base_dir = self.state_dir / "base"
+        self.delta_dir = self.state_dir / "delta"
+        self.log_path = self.state_dir / "counts.jsonl"
+        self.manifest_path = self.state_dir / "compaction.json"
+        self.compact_every = compact_every
+        self.n_buckets = n_buckets
+        self.state_dir.mkdir(parents=True, exist_ok=True)
+        self._entries: dict[int, dict] = {}
+        self._n_components = 0
+        if self.log_path.exists():
+            for line in self.log_path.read_text().splitlines():
+                if line.strip():
+                    e = json.loads(line)
+                    self._entries[e["batch_id"]] = e
+                    self._n_components = e["n_components"]
+        self._gen = -1
+        self._covered: set[int] = set()
+        if self.manifest_path.exists():
+            m = json.loads(self.manifest_path.read_text())
+            self._gen = m["gen"]
+            self._covered = set(m["covered"])
+            if not (self.base_dir / f"gen_{self._gen}").exists():
+                raise RuntimeError(
+                    f"compaction.json references missing base gen_{self._gen} "
+                    f"under {self.base_dir} — state is corrupt"
+                )
+        # resolved root remap accumulated since the last compaction —
+        # rebuilt from the logged delta dirs (tiny: one row per component
+        # merge, reset at compaction)
+        self._remap: dict[int, int] = {}
+        for bid in sorted(self._entries):
+            if bid in self._covered:
+                continue
+            rdir = self.delta_dir / f"batch_{bid}" / "remap"
+            if not rdir.exists():
+                raise RuntimeError(
+                    f"logged batch {bid} has no delta state at {rdir} — "
+                    "state is corrupt; refusing to mislabel"
+                )
+            for r in self.spark.read.parquet(str(rdir)).collect():
+                self._apply_merge(r["old"], r["new"])
+
+    # ---- in-memory root resolution ------------------------------------
+    def _find(self, c: int) -> int:
+        seen = []
+        while c in self._remap:
+            seen.append(c)
+            c = self._remap[c]
+        for s in seen:  # path compression
+            self._remap[s] = c
+        return c
+
+    def _apply_merge(self, old: int, new: int) -> None:
+        ro, rn = self._find(old), self._find(new)
+        if ro == rn:
+            return
+        lo, hi = min(ro, rn), max(ro, rn)
+        self._remap[hi] = lo
+
+    # ---- state reads ---------------------------------------------------
+    def _bucket(self, col):
+        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets))
+
+    def _delta_vertex_dirs(self) -> list[str]:
+        out = []
+        for bid in self._entries:
+            if bid in self._covered:
+                continue
+            d = self.delta_dir / f"batch_{bid}" / "vertices"
+            if not d.exists():
+                raise RuntimeError(
+                    f"logged batch {bid} has no delta state at {d} — "
+                    "state is corrupt; refusing to mislabel"
+                )
+            out.append(str(d))
+        return out
+
+    def _stored_labels(self, buckets: list[int] | None) -> DataFrame | None:
+        """base (pruned to ``buckets``) ∪ delta vertices, WITHOUT the
+        in-memory remap applied."""
+        parts = []
+        if self._gen >= 0:
+            df = self.spark.read.parquet(str(self.base_dir / f"gen_{self._gen}"))
+            if buckets is not None:
+                df = df.filter(F.col("bkt").isin(buckets))
+            parts.append(df.select("vid", "comp"))
+        dirs = self._delta_vertex_dirs()
+        if dirs:
+            parts.append(self.spark.read.parquet(*dirs).select("vid", "comp"))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
+
+    def _remap_df(self) -> DataFrame | None:
+        if not self._remap:
+            return None
+        rows = [(int(o), self._find(o)) for o in list(self._remap)]
+        return self.spark.createDataFrame(rows, "old long, new long")
+
+    def labels(self) -> DataFrame:
+        """Current (vid, component) — full table, remap applied."""
+        stored = self._stored_labels(None)
+        if stored is None:
+            return self.spark.createDataFrame([], "vid long, component long")
+        rm = self._remap_df()
+        if rm is None:
+            return stored.select("vid", F.col("comp").alias("component"))
+        return (
+            stored.join(F.broadcast(rm), stored["comp"] == rm["old"], "left")
+            .select("vid", F.coalesce("new", "comp").alias("component"))
+        )
+
+    @property
+    def n_components(self) -> int:
+        return self._n_components
+
+    # ---- the per-batch kernel -----------------------------------------
+    def process_batch(self, batch: DataFrame, batch_id: int) -> dict:
+        """Fold one batch of raw (src, dst) rows into the label state;
+        returns the logged entry {new_vertices, merges, n_components}.
+        Replay of a logged batch_id is a no-op returning the logged entry.
+        """
+        if batch_id in self._entries:
+            return self._entries[batch_id]
+        newe = canonical_edges(batch).localCheckpoint(eager=True)
+        touched = newe.select(F.explode(F.array("src", "dst")).alias("vid")).distinct()
+        brows = touched.select(self._bucket(F.col("vid")).alias("b")).distinct().collect()
+        buckets = sorted({r["b"] for r in brows})
+        stored = self._stored_labels(buckets)
+        if stored is not None:
+            looked = touched.join(stored, "vid", "left")
+        else:
+            looked = touched.withColumn("comp", F.lit(None).cast("long"))
+        looked = looked.select(
+            "vid",
+            F.col("comp").isNull().alias("is_new"),
+            F.coalesce("comp", "vid").alias("comp"),
+        ).localCheckpoint(eager=True)
+
+        # root pairs the batch connects (≤ |batch| rows → driver union-find)
+        lu = looked.select(F.col("vid").alias("src"), F.col("comp").alias("cu"))
+        lv = looked.select(F.col("vid").alias("dst"), F.col("comp").alias("cv"))
+        pairs = (
+            newe.join(lu, "src").join(lv, "dst")
+            .select("cu", "cv").filter(F.col("cu") != F.col("cv")).distinct()
+            .collect()
+        )
+        new_vertex_rows = looked.filter("is_new").select("vid", "comp")
+        n_new_vertices = new_vertex_rows.count()
+
+        # merge through the PRE-batch remap state; record only this
+        # batch's root changes (for the restart rebuild)
+        before = dict(self._remap)
+        for r in pairs:
+            self._apply_merge(self._find(r["cu"]), self._find(r["cv"]))
+
+        # a root changed iff its resolved root differs from its pre-batch
+        # resolved root (computed against the `before` snapshot)
+        def find_in(m: dict[int, int], c: int) -> int:
+            while c in m:
+                c = m[c]
+            return c
+
+        changed_roots = set()
+        for r in pairs:
+            for c in (r["cu"], r["cv"]):
+                changed_roots.add(find_in(before, c))
+        batch_remap = []
+        for c in sorted(changed_roots):
+            nr = self._find(c)
+            if nr != c:
+                batch_remap.append((c, nr))
+        n_merges = len(batch_remap)
+
+        # component-count delta: every new vertex is a new root unless a
+        # merge absorbed it this batch (absorbed roots are exactly the
+        # batch_remap "old" side, whether old or new)
+        new_roots = n_new_vertices
+        self._n_components = self._n_components + new_roots - n_merges
+
+        bdir = self.delta_dir / f"batch_{batch_id}"
+        new_vertex_rows.write.mode("overwrite").parquet(str(bdir / "vertices"))
+        (
+            self.spark.createDataFrame(batch_remap or [], "old long, new long")
+            .write.mode("overwrite")
+            .parquet(str(bdir / "remap"))
+        )
+        entry = {
+            "batch_id": batch_id,
+            "new_vertices": n_new_vertices,
+            "merges": n_merges,
+            "n_components": self._n_components,
+        }
+        with self.log_path.open("a") as fh:
+            fh.write(json.dumps(entry) + "\n")
+        self._entries[batch_id] = entry
+        if len(self._entries) - len(self._covered) >= self.compact_every:
+            self._compact()
+        return entry
+
+    # ---- compaction ----------------------------------------------------
+    def _compact(self) -> None:
+        new_gen = self._gen + 1
+        gen_dir = self.base_dir / f"gen_{new_gen}"
+        (
+            self.labels()
+            .select("vid", F.col("component").alias("comp"))
+            .withColumn("bkt", self._bucket(F.col("vid")))
+            .repartition("bkt")
+            .write.mode("overwrite")
+            .partitionBy("bkt")
+            .parquet(str(gen_dir))
+        )
+        covered = set(self._entries)
+        tmp = self.manifest_path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps({"gen": new_gen, "covered": sorted(covered)}))
+        os.replace(tmp, self.manifest_path)
+        old_gen, old_covered = self._gen, self._covered
+        self._gen, self._covered = new_gen, covered
+        self._remap = {}
+        if old_gen >= 0:
+            shutil.rmtree(self.base_dir / f"gen_{old_gen}", ignore_errors=True)
+        for bid in covered - old_covered:
+            shutil.rmtree(self.delta_dir / f"batch_{bid}", ignore_errors=True)
+
+    # ---- streaming wiring ---------------------------------------------
+    def attach(self, edge_stream: DataFrame, checkpoint_dir: str | Path | None = None):
+        """foreachBatch wiring; availableNow-compatible."""
+        ckpt = str(checkpoint_dir or (self.state_dir / "_stream_ckpt"))
+        return (
+            edge_stream.writeStream.foreachBatch(
+                lambda df, bid: self.process_batch(df, bid) and None
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )

@@ -1,0 +1,121 @@
+"""Streaming incremental connected components vs the batch engine."""
+
+from __future__ import annotations
+
+import json
+import random
+
+from arabesque_spark.graph.build import canonical_edges
+from arabesque_spark.graph.components import connected_components
+from arabesque_spark.streaming.components_stream import IncrementalComponents
+
+
+def _er_edges(n_vertices: int, n_edges: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    seen = set()
+    while len(seen) < n_edges:
+        u, v = rng.randrange(n_vertices), rng.randrange(n_vertices)
+        if u != v:
+            seen.add((min(u, v), max(u, v)))
+    return sorted(seen)
+
+
+def _batch_labels(spark, edges):
+    df = canonical_edges(spark.createDataFrame(edges, "src long, dst long"))
+    return {
+        r["vid"]: r["component"] for r in connected_components(spark, df).collect()
+    }
+
+
+def test_incremental_cc_matches_batch(spark, tmp_path):
+    edges = _er_edges(80, 120, seed=23)
+    cuts = [0, 30, 60, 90, 120]
+    ctr = IncrementalComponents(spark, tmp_path / "state")
+    for i in range(4):
+        chunk = edges[cuts[i] : cuts[i + 1]]
+        rows = [(u, v) for u, v in chunk]
+        if i > 0:  # adversarial redelivery, reversed
+            rows += [(v, u) for u, v in edges[: cuts[i] // 2]]
+        ctr.process_batch(spark.createDataFrame(rows, "src long, dst long"), i)
+    got = {r["vid"]: r["component"] for r in ctr.labels().collect()}
+    want = _batch_labels(spark, edges)
+    assert got == want
+    assert ctr.n_components == len(set(want.values()))
+    lines = [json.loads(l) for l in ctr.log_path.read_text().splitlines() if l.strip()]
+    assert [e["batch_id"] for e in lines] == [0, 1, 2, 3]
+
+
+def test_incremental_cc_compaction_and_restart(spark, tmp_path):
+    edges = _er_edges(60, 100, seed=31)
+    state = tmp_path / "state"
+    ctr = IncrementalComponents(spark, state, compact_every=2, n_buckets=8)
+    for i, (lo, hi) in enumerate([(0, 25), (25, 50), (50, 75)]):
+        ctr.process_batch(
+            spark.createDataFrame(edges[lo:hi], "src long, dst long"), i
+        )
+    # compaction ran after batch 1: gen_0 current, batches 0/1 deleted
+    m = json.loads((state / "compaction.json").read_text())
+    assert m["gen"] == 0 and m["covered"] == [0, 1]
+    assert not (state / "delta" / "batch_0").exists()
+    assert (state / "delta" / "batch_2").exists()
+    gen0 = state / "base" / "gen_0"
+    assert sorted(p.name for p in gen0.iterdir() if p.name.startswith("bkt="))
+
+    # a FRESH tracker over the same dir continues exactly
+    ctr2 = IncrementalComponents(spark, state, compact_every=2, n_buckets=8)
+    assert ctr2.n_components == ctr.n_components
+    ctr2.process_batch(spark.createDataFrame(edges[75:], "src long, dst long"), 3)
+    got = {r["vid"]: r["component"] for r in ctr2.labels().collect()}
+    want = _batch_labels(spark, edges)
+    assert got == want
+    assert ctr2.n_components == len(set(want.values()))
+
+    # replay of a committed batch is a no-op
+    before = ctr2.n_components
+    ctr2.process_batch(spark.createDataFrame(edges[75:], "src long, dst long"), 3)
+    assert ctr2.n_components == before
+
+
+def test_incremental_cc_crash_window(spark, tmp_path):
+    """A delta dir written WITHOUT its log line stays invisible; the
+    replay recomputes the identical state."""
+    edges = _er_edges(40, 60, seed=41)
+    state = tmp_path / "state"
+    ctr = IncrementalComponents(spark, state)
+    ctr.process_batch(spark.createDataFrame(edges[:30], "src long, dst long"), 0)
+    # simulate crash: batch 1's delta dir exists (partially written)
+    # without its log line
+    orphan = spark.createDataFrame(edges[30:], "src long, dst long")
+    (state / "delta" / "batch_1" / "vertices").mkdir(parents=True, exist_ok=True)
+    ctr2 = IncrementalComponents(spark, state)  # orphan invisible
+    assert ctr2.n_components == ctr.n_components
+    ctr2.process_batch(orphan, 1)
+    got = {r["vid"]: r["component"] for r in ctr2.labels().collect()}
+    assert got == _batch_labels(spark, edges)
+
+
+def test_incremental_cc_readstream_end_to_end(spark, tmp_path):
+    from arabesque_spark.streaming.graph_stream import read_edge_stream
+
+    src_dir = tmp_path / "landing"
+    src_dir.mkdir()
+    edges = _er_edges(30, 50, seed=3)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i, (lo, hi) in enumerate([(0, 20), (20, 35), (35, 50)]):
+        chunk = edges[lo:hi]
+        pq.write_table(
+            pa.table(
+                {
+                    "src": pa.array([u for u, _ in chunk], type=pa.int64()),
+                    "dst": pa.array([v for _, v in chunk], type=pa.int64()),
+                }
+            ),
+            str(src_dir / f"b{i}.parquet"),
+        )
+    ctr = IncrementalComponents(spark, tmp_path / "state")
+    q = ctr.attach(read_edge_stream(spark, str(src_dir)))
+    q.awaitTermination()
+    got = {r["vid"]: r["component"] for r in ctr.labels().collect()}
+    assert got == _batch_labels(spark, edges)
