@@ -114,3 +114,48 @@ def test_incremental_triangles_any_batch_split(spark, tmp_path_factory, edges, n
         )
     want, _ = triangles_bruteforce(ce)
     assert total == want
+
+
+@given(raw_edges, st.integers(1, 3))
+@settings(**SETTINGS)
+def test_incremental_components_any_batch_split(
+    spark, tmp_path_factory, edges, n_batches
+):
+    """The incremental label table equals a python union-find for EVERY
+    slicing of the edge stream (with overlapping re-deliveries), and the
+    component count matches."""
+    from arabesque_spark.streaming.components_stream import IncrementalComponents
+
+    ce = _canon_py(edges)
+    if not ce:
+        return
+    ctr = IncrementalComponents(
+        spark, tmp_path_factory.mktemp("cc_state"), compact_every=2, n_buckets=4
+    )
+    size = max(1, len(edges) // n_batches)
+    for i in range(0, len(edges), size):
+        chunk = edges[max(0, i - 2) : i + size]
+        ctr.process_batch(
+            spark.createDataFrame(chunk, "src long, dst long"), batch_id=i
+        )
+    # python min-root union-find ground truth
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for u, v in ce:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = min(ru, rv), max(ru, rv)
+            parent[hi] = lo
+    want = {}
+    for u, v in ce:
+        want[u] = find(u)
+        want[v] = find(v)
+    got = {r["vid"]: r["component"] for r in ctr.labels().collect()}
+    assert got == want
+    assert ctr.n_components == len(set(want.values()))
