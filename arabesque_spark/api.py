@@ -609,8 +609,9 @@ def q_ppr_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the state, zero extra joins per superstep). Fixed iterations so
     the unrolled SQL twin can verify values."""
     edges = lineitem_graph(spark, sf_dir)
-    n = degrees(edges).count()
-    seeds = degrees(edges).select("vid").filter(F.col("vid") % PPR_SEED_MOD == 0)
+    deg = degrees(edges)
+    n = deg.count()
+    seeds = deg.select("vid").filter(F.col("vid") % PPR_SEED_MOD == 0)
     res = pagerank(
         spark, edges, seeds=seeds, tol=-1.0, max_iterations=PPR_ITERS
     )

@@ -110,6 +110,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "pagerank":
         from arabesque_spark.graph.pagerank import pagerank, pagerank_weighted
 
+        if args.weight_col and args.seeds:
+            parser.error(
+                "--weight-col and --seeds are mutually exclusive: weighted "
+                "PageRank has no personalized variant yet"
+            )
         if args.weight_col:
             res = pagerank_weighted(
                 spark,

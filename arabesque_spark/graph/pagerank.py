@@ -97,10 +97,15 @@ def pagerank(
         raise ValueError("pagerank: empty vertex set")
 
     if seeds is not None:
-        seed_set = seeds.select("vid").dropDuplicates(["vid"])
+        # intersect with the vertex set FIRST: counting absent seeds would
+        # silently shrink the total teleport mass below 1 (non-stochastic
+        # ranks) — only seeds that can actually receive mass divide it
+        seed_set = (
+            seeds.select("vid").dropDuplicates(["vid"]).join(verts, "vid", "left_semi")
+        )
         n_seeds = seed_set.count()
         if n_seeds == 0:
-            raise ValueError("pagerank: empty seed set")
+            raise ValueError("pagerank: no seed is present in the vertex set")
         seed_flag = seed_set.withColumn("seed", F.lit(1))
         state0 = (
             verts.join(deg, "vid", "left")

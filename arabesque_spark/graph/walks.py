@@ -201,9 +201,11 @@ def node2vec_walks(
     dg = (
         ia.groupBy("src").agg(F.first("deg").alias("deg")).withColumnRenamed("src", "cur")
     )
-    ce = edges.select(
-        F.least("src", "dst").alias("eu"), F.greatest("src", "dst").alias("ev")
-    ).dropDuplicates(["eu", "ev"]).withColumn("is_edge", F.lit(True))
+    from arabesque_spark.graph.build import canonical_edges
+
+    ce = canonical_edges(edges).select(
+        F.col("src").alias("eu"), F.col("dst").alias("ev")
+    ).withColumn("is_edge", F.lit(True))
     verts = dg.select(F.col("cur").alias("start"))
     walks = verts.select(
         "start",

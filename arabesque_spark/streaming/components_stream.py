@@ -39,19 +39,20 @@ than silently mislabeling.
 
 from __future__ import annotations
 
-import json
-import os
-import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from arabesque_spark.graph.build import canonical_edges
+from arabesque_spark.streaming.state_store import CompactedStateStore
 
 
-class IncrementalComponents:
+class IncrementalComponents(CompactedStateStore):
     """Exactly-once incremental connected components over an edge stream."""
+
+    GEN_SUBDIR = "base"
+    DELTA_SUBDIR = "delta"
 
     def __init__(
         self,
@@ -60,49 +61,30 @@ class IncrementalComponents:
         compact_every: int = 16,
         n_buckets: int = 64,
     ) -> None:
-        self.spark = spark
-        self.state_dir = Path(state_dir)
-        self.base_dir = self.state_dir / "base"
-        self.delta_dir = self.state_dir / "delta"
-        self.log_path = self.state_dir / "counts.jsonl"
-        self.manifest_path = self.state_dir / "compaction.json"
-        self.compact_every = compact_every
-        self.n_buckets = n_buckets
-        self.state_dir.mkdir(parents=True, exist_ok=True)
-        self._entries: dict[int, dict] = {}
         self._n_components = 0
-        if self.log_path.exists():
-            for line in self.log_path.read_text().splitlines():
-                if line.strip():
-                    e = json.loads(line)
-                    self._entries[e["batch_id"]] = e
-                    self._n_components = e["n_components"]
-        self._gen = -1
-        self._covered: set[int] = set()
-        if self.manifest_path.exists():
-            m = json.loads(self.manifest_path.read_text())
-            self._gen = m["gen"]
-            self._covered = set(m["covered"])
-            if not (self.base_dir / f"gen_{self._gen}").exists():
-                raise RuntimeError(
-                    f"compaction.json references missing base gen_{self._gen} "
-                    f"under {self.base_dir} — state is corrupt"
-                )
+        super().__init__(
+            spark, state_dir, compact_every=compact_every, n_buckets=n_buckets
+        )
+        self.base_dir = self.gen_parent
         # resolved root remap accumulated since the last compaction —
         # rebuilt from the logged delta dirs (tiny: one row per component
-        # merge, reset at compaction)
+        # merge, reset at compaction). Union-find over a pair set is
+        # order-independent under min-root resolution, so ONE multi-path
+        # read covers every batch (not a Spark job per dir).
         self._remap: dict[int, int] = {}
-        for bid in sorted(self._entries):
-            if bid in self._covered:
-                continue
-            rdir = self.delta_dir / f"batch_{bid}" / "remap"
-            if not rdir.exists():
-                raise RuntimeError(
-                    f"logged batch {bid} has no delta state at {rdir} — "
-                    "state is corrupt; refusing to mislabel"
-                )
-            for r in self.spark.read.parquet(str(rdir)).collect():
+        rdirs = [
+            str(self._delta_dir(bid) / "remap") for bid in self._logged_delta_ids()
+        ]
+        if rdirs:
+            for r in self.spark.read.parquet(*rdirs).collect():
                 self._apply_merge(r["old"], r["new"])
+
+    def _fold_log_entry(self, entry: dict) -> None:
+        self._n_components = entry["n_components"]
+
+    def _delta_state_paths(self, batch_id: int) -> list[Path]:
+        d = self._delta_dir(batch_id)
+        return [d / "vertices", d / "remap"]
 
     # ---- in-memory root resolution ------------------------------------
     def _find(self, c: int) -> int:
@@ -122,29 +104,21 @@ class IncrementalComponents:
         self._remap[hi] = lo
 
     # ---- state reads ---------------------------------------------------
-    def _bucket(self, col):
-        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets))
-
     def _delta_vertex_dirs(self) -> list[str]:
-        out = []
-        for bid in self._entries:
-            if bid in self._covered:
-                continue
-            d = self.delta_dir / f"batch_{bid}" / "vertices"
-            if not d.exists():
-                raise RuntimeError(
-                    f"logged batch {bid} has no delta state at {d} — "
-                    "state is corrupt; refusing to mislabel"
-                )
-            out.append(str(d))
-        return out
+        """Vertex-delta dirs of LOGGED, un-compacted batches (validated
+        by the base class: unlogged dirs invisible, logged-but-missing
+        raises)."""
+        return [
+            str(self._delta_dir(bid) / "vertices")
+            for bid in self._logged_delta_ids()
+        ]
 
     def _stored_labels(self, buckets: list[int] | None) -> DataFrame | None:
         """base (pruned to ``buckets``) ∪ delta vertices, WITHOUT the
         in-memory remap applied."""
         parts = []
         if self._gen >= 0:
-            df = self.spark.read.parquet(str(self.base_dir / f"gen_{self._gen}"))
+            df = self.spark.read.parquet(str(self._gen_dir(self._gen)))
             if buckets is not None:
                 df = df.filter(F.col("bkt").isin(buckets))
             parts.append(df.select("vid", "comp"))
@@ -215,26 +189,31 @@ class IncrementalComponents:
         new_vertex_rows = looked.filter("is_new").select("vid", "comp")
         n_new_vertices = new_vertex_rows.count()
 
-        # merge through the PRE-batch remap state; record only this
-        # batch's root changes (for the restart rebuild)
-        before = dict(self._remap)
-        for r in pairs:
-            self._apply_merge(self._find(r["cu"]), self._find(r["cv"]))
-
-        # a root changed iff its resolved root differs from its pre-batch
-        # resolved root (computed against the `before` snapshot)
+        # merge into a WORKING COPY of the remap — in-memory state commits
+        # only after the log append succeeds (the commit point), so a
+        # failed delta write followed by a retry of the same batch recomputes
+        # against unchanged state instead of persisting an empty remap and
+        # double-counting (the same discipline as IncrementalTriangleCounter)
         def find_in(m: dict[int, int], c: int) -> int:
             while c in m:
                 c = m[c]
             return c
 
+        work = dict(self._remap)
+        for r in pairs:
+            ru, rv = find_in(work, r["cu"]), find_in(work, r["cv"])
+            if ru != rv:
+                work[max(ru, rv)] = min(ru, rv)
+
+        # a root changed iff its resolved root differs from its pre-batch
+        # resolved root (self._remap is still the pre-batch snapshot)
         changed_roots = set()
         for r in pairs:
             for c in (r["cu"], r["cv"]):
-                changed_roots.add(find_in(before, c))
+                changed_roots.add(find_in(self._remap, c))
         batch_remap = []
         for c in sorted(changed_roots):
-            nr = self._find(c)
+            nr = find_in(work, c)
             if nr != c:
                 batch_remap.append((c, nr))
         n_merges = len(batch_remap)
@@ -242,10 +221,9 @@ class IncrementalComponents:
         # component-count delta: every new vertex is a new root unless a
         # merge absorbed it this batch (absorbed roots are exactly the
         # batch_remap "old" side, whether old or new)
-        new_roots = n_new_vertices
-        self._n_components = self._n_components + new_roots - n_merges
+        n_components_new = self._n_components + n_new_vertices - n_merges
 
-        bdir = self.delta_dir / f"batch_{batch_id}"
+        bdir = self._delta_dir(batch_id)
         new_vertex_rows.write.mode("overwrite").parquet(str(bdir / "vertices"))
         (
             self.spark.createDataFrame(batch_remap or [], "old long, new long")
@@ -256,39 +234,34 @@ class IncrementalComponents:
             "batch_id": batch_id,
             "new_vertices": n_new_vertices,
             "merges": n_merges,
-            "n_components": self._n_components,
+            "n_components": n_components_new,
         }
-        with self.log_path.open("a") as fh:
-            fh.write(json.dumps(entry) + "\n")
-        self._entries[batch_id] = entry
-        if len(self._entries) - len(self._covered) >= self.compact_every:
+        self._append_log(entry)
+        # commit point passed: apply to in-memory state
+        for old, new in batch_remap:
+            self._apply_merge(old, new)
+        self._n_components = n_components_new
+        if self._should_compact():
             self._compact()
         return entry
 
     # ---- compaction ----------------------------------------------------
     def _compact(self) -> None:
-        new_gen = self._gen + 1
-        gen_dir = self.base_dir / f"gen_{new_gen}"
-        (
-            self.labels()
-            .select("vid", F.col("component").alias("comp"))
-            .withColumn("bkt", self._bucket(F.col("vid")))
-            .repartition("bkt")
-            .write.mode("overwrite")
-            .partitionBy("bkt")
-            .parquet(str(gen_dir))
-        )
+        labels = self.labels()
         covered = set(self._entries)
-        tmp = self.manifest_path.with_suffix(".json.tmp")
-        tmp.write_text(json.dumps({"gen": new_gen, "covered": sorted(covered)}))
-        os.replace(tmp, self.manifest_path)
-        old_gen, old_covered = self._gen, self._covered
-        self._gen, self._covered = new_gen, covered
+
+        def write_gen(gen_dir: Path) -> None:
+            (
+                labels.select("vid", F.col("component").alias("comp"))
+                .withColumn("bkt", self._bucket(F.col("vid")))
+                .repartition("bkt")
+                .write.mode("overwrite")
+                .partitionBy("bkt")
+                .parquet(str(gen_dir))
+            )
+
+        self._commit_generation(write_gen, covered)
         self._remap = {}
-        if old_gen >= 0:
-            shutil.rmtree(self.base_dir / f"gen_{old_gen}", ignore_errors=True)
-        for bid in covered - old_covered:
-            shutil.rmtree(self.delta_dir / f"batch_{bid}", ignore_errors=True)
 
     # ---- streaming wiring ---------------------------------------------
     def attach(self, edge_stream: DataFrame, checkpoint_dir: str | Path | None = None):

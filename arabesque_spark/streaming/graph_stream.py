@@ -54,10 +54,6 @@ per-batch parquet dir in full, each batch — after 10⁴ batches that is
 
 from __future__ import annotations
 
-import json
-import os
-import shutil
-import warnings
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -65,6 +61,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from arabesque_spark.graph.build import canonical_edges
+from arabesque_spark.streaming.state_store import CompactedStateStore
 
 EDGE_SCHEMA = T.StructType(
     [
@@ -147,10 +144,10 @@ def closed_triangles(newe: DataFrame, acc_sym: DataFrame | None) -> DataFrame:
     )
 
 
-class IncrementalTriangleCounter:
+class IncrementalTriangleCounter(CompactedStateStore):
     """Exactly-once incremental triangle counting over an edge stream.
 
-    ``state_dir`` layout:
+    ``state_dir`` layout (the :class:`CompactedStateStore` protocol):
 
     * ``edges/batch_<id>/`` — each batch's truly-new canonical edges
       (append-only; becomes visible only once its log line commits).
@@ -165,6 +162,9 @@ class IncrementalTriangleCounter:
     A restarted counter resumes from the directory contents alone.
     """
 
+    GEN_SUBDIR = "compacted"
+    DELTA_SUBDIR = "edges"
+
     def __init__(
         self,
         spark: SparkSession,
@@ -172,61 +172,21 @@ class IncrementalTriangleCounter:
         compact_every: int = 16,
         n_buckets: int = 64,
     ) -> None:
-        self.spark = spark
-        self.state_dir = Path(state_dir)
-        self.edges_dir = self.state_dir / "edges"
-        self.compact_dir = self.state_dir / "compacted"
-        self.log_path = self.state_dir / "counts.jsonl"
-        self.manifest_path = self.state_dir / "compaction.json"
-        self.compact_every = compact_every
-        self.n_buckets = n_buckets
-        self.state_dir.mkdir(parents=True, exist_ok=True)
-        # one full log read at construction; afterwards the entry map and
-        # running total are maintained in memory (O(1) per batch, not a
-        # re-parse of the whole JSONL each time)
-        self._entries: dict[int, dict] = {}
         self._total = 0
-        if self.log_path.exists():
-            for line in self.log_path.read_text().splitlines():
-                if line.strip():
-                    e = json.loads(line)
-                    self._entries[e["batch_id"]] = e
-                    self._total = e["total"]
-        self._gen = -1
-        self._covered: set[int] = set()
-        if self.manifest_path.exists():
-            m = json.loads(self.manifest_path.read_text())
-            self._gen = m["gen"]
-            self._covered = set(m["covered"])
-            if not (self.compact_dir / f"gen_{self._gen}").exists():
-                raise RuntimeError(
-                    f"compaction.json references missing generation dir "
-                    f"gen_{self._gen} under {self.compact_dir} — state is "
-                    "corrupt; refusing to count against a partial graph"
-                )
+        super().__init__(
+            spark, state_dir, compact_every=compact_every, n_buckets=n_buckets
+        )
+        self.edges_dir = self.delta_parent
+        self.compact_dir = self.gen_parent
+
+    def _fold_log_entry(self, entry: dict) -> None:
+        self._total = entry["total"]
 
     # ---- state ---------------------------------------------------------
     def _delta_batch_dirs(self) -> list[str]:
-        """Edge dirs of LOGGED batches not yet folded into a compacted
-        generation. A crash can leave a written-but-unlogged batch dir
-        behind — it must stay invisible so the replay recomputes against
-        the same accumulated state. A LOGGED-but-missing dir, conversely,
-        means lost state: raise rather than silently undercount."""
-        out = []
-        for bid in self._entries:
-            if bid in self._covered:
-                continue
-            d = self.edges_dir / f"batch_{bid}"
-            if not d.exists():
-                raise RuntimeError(
-                    f"logged batch {bid} has no edge dir at {d} — state is "
-                    "corrupt; refusing to count against a partial graph"
-                )
-            out.append(str(d))
-        return out
-
-    def _bucket(self, col):
-        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets))
+        """Edge dirs of LOGGED, un-compacted batches (validated by the
+        base class: unlogged dirs invisible, logged-but-missing raises)."""
+        return [str(self._delta_dir(bid)) for bid in self._logged_delta_ids()]
 
     def _compacted_sym(self, buckets: list[int] | None) -> DataFrame | None:
         """The compacted symmetric adjacency, partition-pruned to
@@ -333,11 +293,9 @@ class IncrementalTriangleCounter:
             "closed": closed,
             "total": self._total + closed,
         }
-        with self.log_path.open("a") as fh:
-            fh.write(json.dumps(entry) + "\n")
-        self._entries[batch_id] = entry
+        self._append_log(entry)
         self._total = entry["total"]
-        if len(self._entries) - len(self._covered) >= self.compact_every:
+        if self._should_compact():
             self._compact()
         return closed
 
@@ -349,37 +307,22 @@ class IncrementalTriangleCounter:
         delta = self._delta_canonical()
         if delta is None:
             return
-        covered = self._covered | {
-            bid for bid in self._entries if bid not in self._covered
-        }
+        covered = set(self._entries)
         sym = self._symmetrize(delta)
         comp = self._compacted_sym(None)
         if comp is not None:
             sym = comp.union(sym)
-        new_gen = self._gen + 1
-        gen_dir = self.compact_dir / f"gen_{new_gen}"
-        (
-            sym.withColumn("bkt", self._bucket(F.col("a")))
-            .repartition("bkt")
-            .write.mode("overwrite")
-            .partitionBy("bkt")
-            .parquet(str(gen_dir))
-        )
-        # commit point: atomic manifest replace
-        tmp = self.manifest_path.with_suffix(".json.tmp")
-        tmp.write_text(json.dumps({"gen": new_gen, "covered": sorted(covered)}))
-        os.replace(tmp, self.manifest_path)
-        old_gen, old_covered = self._gen, self._covered
-        self._gen, self._covered = new_gen, covered
-        # best-effort cleanup AFTER the commit; leftovers are re-deleted on
-        # the next compaction pass
-        try:
-            if old_gen >= 0:
-                shutil.rmtree(self.compact_dir / f"gen_{old_gen}", ignore_errors=True)
-            for bid in covered - old_covered:
-                shutil.rmtree(self.edges_dir / f"batch_{bid}", ignore_errors=True)
-        except OSError as exc:  # pragma: no cover - cleanup only
-            warnings.warn(f"compaction cleanup failed (non-fatal): {exc}")
+
+        def write_gen(gen_dir: Path) -> None:
+            (
+                sym.withColumn("bkt", self._bucket(F.col("a")))
+                .repartition("bkt")
+                .write.mode("overwrite")
+                .partitionBy("bkt")
+                .parquet(str(gen_dir))
+            )
+
+        self._commit_generation(write_gen, covered)
 
     # ---- streaming wiring ---------------------------------------------
     def attach(self, edge_stream: DataFrame, checkpoint_dir: str | Path | None = None):

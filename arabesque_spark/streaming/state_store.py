@@ -1,0 +1,138 @@
+"""Shared crash-safe state-store machinery for the incremental streaming
+trackers (triangles: graph_stream.py; components: components_stream.py).
+
+The protocol both implement:
+
+* ``counts.jsonl`` — one line per processed batch; its APPEND is the
+  batch commit point (a written-but-unlogged delta dir stays invisible,
+  a logged batch replays as a no-op).
+* per-batch delta dirs — become part of the accumulated state only once
+  logged; a LOGGED batch with missing state raises (lost state must not
+  silently under-count / mislabel).
+* ``compaction.json`` — {"gen": g, "covered": [batch ids]}; every
+  ``compact_every`` batches the deltas fold into a new hash-bucket-
+  partitioned generation dir, the manifest is ATOMICALLY replaced
+  (tmp + os.replace = the compaction commit point), and superseded
+  state is deleted only afterwards (leftovers are re-deleted later).
+
+Subclasses define where deltas and generations live and what a batch
+folds in; this class owns the load/validate/commit choreography so the
+crash-safety-critical code exists exactly once.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+class CompactedStateStore:
+    """Base: log + manifest + generation lifecycle. Subclasses set
+    ``GEN_SUBDIR`` / ``DELTA_SUBDIR`` and may override
+    :meth:`_delta_state_paths` (what must exist per logged batch)."""
+
+    GEN_SUBDIR = "compacted"
+    DELTA_SUBDIR = "delta"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str | Path,
+        compact_every: int = 16,
+        n_buckets: int = 64,
+    ) -> None:
+        self.spark = spark
+        self.state_dir = Path(state_dir)
+        self.gen_parent = self.state_dir / self.GEN_SUBDIR
+        self.delta_parent = self.state_dir / self.DELTA_SUBDIR
+        self.log_path = self.state_dir / "counts.jsonl"
+        self.manifest_path = self.state_dir / "compaction.json"
+        self.compact_every = compact_every
+        self.n_buckets = n_buckets
+        self.state_dir.mkdir(parents=True, exist_ok=True)
+        # one full log read at construction; afterwards maintained in
+        # memory (O(1) per batch)
+        self._entries: dict[int, dict] = {}
+        if self.log_path.exists():
+            for line in self.log_path.read_text().splitlines():
+                if line.strip():
+                    e = json.loads(line)
+                    self._entries[e["batch_id"]] = e
+                    self._fold_log_entry(e)
+        self._gen = -1
+        self._covered: set[int] = set()
+        if self.manifest_path.exists():
+            m = json.loads(self.manifest_path.read_text())
+            self._gen = m["gen"]
+            self._covered = set(m["covered"])
+            if not self._gen_dir(self._gen).exists():
+                raise RuntimeError(
+                    f"compaction.json references missing generation dir "
+                    f"{self._gen_dir(self._gen)} — state is corrupt; "
+                    "refusing to run against a partial state"
+                )
+
+    # ---- subclass hooks -------------------------------------------------
+    def _fold_log_entry(self, entry: dict) -> None:
+        """Called per log line at load (e.g. to track a running total)."""
+
+    def _delta_dir(self, batch_id: int) -> Path:
+        return self.delta_parent / f"batch_{batch_id}"
+
+    def _delta_state_paths(self, batch_id: int) -> list[Path]:
+        """Paths that must exist for a logged batch (default: its dir)."""
+        return [self._delta_dir(batch_id)]
+
+    # ---- shared machinery ----------------------------------------------
+    def _gen_dir(self, gen: int) -> Path:
+        return self.gen_parent / f"gen_{gen}"
+
+    def _bucket(self, col):
+        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets))
+
+    def _logged_delta_ids(self) -> list[int]:
+        """Uncovered logged batch ids, validated: a logged batch whose
+        state vanished raises rather than silently computing against a
+        partial accumulated state."""
+        out = []
+        for bid in sorted(self._entries):
+            if bid in self._covered:
+                continue
+            for p in self._delta_state_paths(bid):
+                if not p.exists():
+                    raise RuntimeError(
+                        f"logged batch {bid} has no state at {p} — state "
+                        "is corrupt; refusing to run against a partial state"
+                    )
+            out.append(bid)
+        return out
+
+    def _append_log(self, entry: dict) -> None:
+        """The batch commit point."""
+        with self.log_path.open("a") as fh:
+            fh.write(json.dumps(entry) + "\n")
+        self._entries[entry["batch_id"]] = entry
+
+    def _should_compact(self) -> bool:
+        return len(self._entries) - len(self._covered) >= self.compact_every
+
+    def _commit_generation(self, write_gen, covered: set[int]) -> None:
+        """Write generation ``self._gen + 1`` via ``write_gen(gen_dir)``,
+        atomically publish the manifest, then clean up superseded state
+        (best-effort; leftovers are re-deleted on later compactions)."""
+        new_gen = self._gen + 1
+        write_gen(self._gen_dir(new_gen))
+        tmp = self.manifest_path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps({"gen": new_gen, "covered": sorted(covered)}))
+        os.replace(tmp, self.manifest_path)
+        old_gen, old_covered = self._gen, self._covered
+        self._gen, self._covered = new_gen, covered
+        if old_gen >= 0:
+            shutil.rmtree(self._gen_dir(old_gen), ignore_errors=True)
+        for bid in covered - old_covered:
+            shutil.rmtree(self._delta_dir(bid), ignore_errors=True)

@@ -131,7 +131,7 @@ def test_missing_logged_batch_dir_raises(spark, tmp_path):
     ctr.process_batch(spark.createDataFrame(edges[:40], "src long, dst long"), 0)
     shutil.rmtree(state / "edges" / "batch_0")
     ctr2 = IncrementalTriangleCounter(spark, state)
-    with pytest.raises(RuntimeError, match="no edge dir"):
+    with pytest.raises(RuntimeError, match="no state"):
         ctr2.process_batch(
             spark.createDataFrame(edges[40:], "src long, dst long"), 1
         )
