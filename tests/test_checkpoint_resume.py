@@ -66,3 +66,48 @@ def test_resume_of_converged_run_is_noop(spark, edges_df, tmp_path):
     a = {r["vid"]: r["rank"] for r in first.state.select("vid", "rank").collect()}
     b = {r["vid"]: r["rank"] for r in again.state.select("vid", "rank").collect()}
     assert a == b
+
+
+def test_ktruss_resume_mid_peel(spark, tmp_path):
+    """k-truss peeling killed after 1 round resumes from the manifest and
+    reaches the same fixpoint as an uninterrupted run."""
+    from arabesque_spark.graph.ktruss import k_truss
+
+    edges_df = spark.createDataFrame(
+        er_graph(60, avg_degree=6.0, seed=29), "src long, dst long"
+    )
+    ckpt = tmp_path / "tr_ckpt"
+    partial = k_truss(spark, edges_df, k=4, checkpoint_dir=ckpt, max_iterations=1)
+    assert not partial.converged
+    full = k_truss(
+        spark, edges_df, k=4, checkpoint_dir=ckpt, resume=True, max_iterations=50
+    )
+    assert full.converged and full.resumed_from == 0
+    straight = k_truss(spark, edges_df, k=4)
+    got = {(r["src"], r["dst"]) for r in full.state.collect()}
+    want = {(r["src"], r["dst"]) for r in straight.state.collect()}
+    assert got == want
+
+
+def test_bfs_resume_mid_levels(spark, tmp_path):
+    """BFS killed after 1 level resumes and produces the same distance
+    table as an uninterrupted run."""
+    from arabesque_spark.graph.bfs import bfs_distances
+
+    edges_df = spark.createDataFrame(
+        er_graph(80, avg_degree=3.0, seed=37), "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (7,)], "vid long")
+    ckpt = tmp_path / "bfs_ckpt"
+    partial = bfs_distances(
+        spark, edges_df, seeds, max_depth=1, checkpoint_dir=ckpt
+    )
+    assert not partial.converged
+    full = bfs_distances(
+        spark, edges_df, seeds, max_depth=12, checkpoint_dir=ckpt, resume=True
+    )
+    assert full.resumed_from == 0
+    straight = bfs_distances(spark, edges_df, seeds, max_depth=12)
+    got = {(r["source"], r["vid"]): r["dist"] for r in full.state.collect()}
+    want = {(r["source"], r["vid"]): r["dist"] for r in straight.state.collect()}
+    assert got == want
