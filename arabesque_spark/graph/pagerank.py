@@ -43,6 +43,7 @@ def pagerank(
     chunk_size: int = DEFAULT_CHUNK_SIZE,
     num_partitions: int | None = None,
     seeds: DataFrame | None = None,
+    initial_ranks: DataFrame | None = None,
 ) -> RunResult:
     """Run PageRank to convergence; result state is (vid, rank, deg, delta).
 
@@ -58,6 +59,15 @@ def pagerank(
     primitive. Same kernel, same plan shape: the per-vertex teleport is a
     0/1 seed flag carried in the state (V-scale column, no extra join per
     superstep); initial mass starts on the seeds.
+
+    ``initial_ranks`` (vid, rank) WARM-STARTS the iteration — the
+    operational mode for a GROWING link graph (the streaming trackers
+    maintain the edge set; re-converging from yesterday's ranks costs a
+    handful of supersteps instead of a cold start). The fixed point is
+    unique, so any starting vector converges to the same ranks; the guess
+    is renormalized to total mass 1 over the CURRENT vertex set (vertices
+    without a prior rank start at the uniform value), preserving the
+    stochastic invariant exactly.
     """
     # partition the adjacency with the SAME count as shuffle partitions:
     # state comes out of each iteration hash-partitioned by vid into
@@ -136,6 +146,21 @@ def pagerank(
         )
         inv_target = 1.0 / n_vertices
         target_col = F.lit(1.0)
+
+    if initial_ranks is not None:
+        # warm start: prior ranks where available, uniform elsewhere, then
+        # ONE normalization pass so total mass is exactly 1 over the
+        # current vertex set (mass conservation is what the per-superstep
+        # arithmetic assumes; a stale total would converge anyway but
+        # pollute the early max_delta readings)
+        guess = state0.drop("rank").join(
+            initial_ranks.select("vid", F.col("rank").alias("prior")), "vid", "left"
+        ).withColumn("prior", F.coalesce("prior", F.lit(1.0 / n_vertices)))
+        total = guess.agg(F.sum("prior").alias("t"))
+        cols = [c for c in state0.columns if c != "rank"]
+        state0 = guess.crossJoin(F.broadcast(total)).select(
+            *cols, (F.col("prior") / F.col("t")).alias("rank")
+        ).select(*state0.columns)
 
     # one-time structural check: a graph with no dangling vertices (the
     # common case — every edge endpoint has degree ≥ 1) skips the

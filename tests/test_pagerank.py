@@ -105,3 +105,31 @@ def test_weighted_pagerank_uniform_weights_equal_unweighted(spark, test_graph):
     assert a.keys() == b.keys()
     for v in a:
         assert abs(a[v] - b[v]) < 1e-12
+
+
+def test_warm_start_converges_to_same_ranks_faster(spark):
+    """Warm-starting from a converged solution of a slightly smaller graph
+    reaches the same fixed point as a cold start, in fewer supersteps."""
+    from arabesque_spark.graph.pagerank import pagerank
+    from tests.reference_impls import er_graph
+
+    edges = er_graph(200, avg_degree=6.0, seed=51)
+    base = spark.createDataFrame(edges[:-20], "src long, dst long")
+    grown = spark.createDataFrame(edges, "src long, dst long")
+
+    prior = pagerank(spark, base, tol=1e-10, max_iterations=100)
+    assert prior.converged
+    warm = pagerank(
+        spark, grown, tol=1e-10, max_iterations=100,
+        initial_ranks=prior.state.select("vid", "rank"),
+    )
+    cold = pagerank(spark, grown, tol=1e-10, max_iterations=100)
+    assert warm.converged and cold.converged
+    assert warm.num_iterations < cold.num_iterations
+    a = {r["vid"]: r["rank"] for r in warm.state.collect()}
+    b = {r["vid"]: r["rank"] for r in cold.state.collect()}
+    assert a.keys() == b.keys()
+    for v in a:
+        assert abs(a[v] - b[v]) < 1e-8
+    # mass conserved through the warm start
+    assert abs(sum(a.values()) - 1.0) < 1e-9
