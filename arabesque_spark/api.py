@@ -670,6 +670,23 @@ def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_pairs(load_table(spark, sf_dir, "documents"), window=2, min_count=2)
 
 
+def q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row structural profile of the link graph — the first query any
+    pipeline runs against a new corpus graph: vertex/edge counts, degree
+    extremes and mean, and the log2-binned degree histogram size."""
+    edges = lineitem_graph(spark, sf_dir)
+    deg = degrees(edges)
+    dec = F.col("deg").cast("double")
+    return deg.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        (F.sum("deg") / 2).cast("long").alias("n_edges"),
+        F.min("deg").alias("min_deg"),
+        F.max("deg").alias("max_deg"),
+        F.round(F.avg(dec), 6).alias("avg_deg"),
+        F.count_distinct(F.floor(F.log2(dec))).alias("n_log2_bins"),
+    )
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(spark, lineitem_graph(spark, sf_dir))
 
@@ -1164,6 +1181,7 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_edges": q_graph_edges,
     "graph_degrees": q_graph_degrees,
+    "graph_summary": q_graph_summary,
     "triangles_total": q_triangles_total,
     "triangles_per_vertex": q_triangles_per_vertex,
     "motif3": q_motif3,
@@ -1298,6 +1316,14 @@ tpat AS (
 SELECT pattern, CAST(SUM(cnt) AS BIGINT) AS cnt
 FROM (SELECT * FROM wpat UNION ALL SELECT * FROM tpat)
 GROUP BY pattern""",
+    "graph_summary": _GRAPH_PRELUDE
+    + """SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(SUM(deg) / 2 AS BIGINT) AS n_edges,
+       MIN(deg) AS min_deg,
+       MAX(deg) AS max_deg,
+       ROUND(AVG(CAST(deg AS DOUBLE)), 6) AS avg_deg,
+       CAST(COUNT(DISTINCT FLOOR(LOG2(CAST(deg AS DOUBLE)))) AS BIGINT) AS n_log2_bins
+FROM deg""",
     "pagerank_fixed8": _pagerank_oracle(PAGERANK_ITERS),
     "ppr_fixed6": _ppr_oracle(PPR_ITERS, PPR_SEED_MOD),
     "bfs_distances": _bfs_oracle(BFS_MAX_DEPTH, BFS_SEED_MOD),

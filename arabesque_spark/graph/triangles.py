@@ -156,3 +156,29 @@ def triangle_counts_per_vertex(
         .groupBy("vid")
         .agg(F.count("*").alias("triangles"))
     )
+
+
+def triangle_count_sampled(
+    spark: SparkSession,
+    edges: DataFrame,
+    p: float = 0.1,
+    seed: int = 101,
+) -> int:
+    """DOULION (Tsourakakis et al., KDD'09) sampled triangle estimate:
+    keep each edge with probability ``p`` (deterministic hash coin),
+    count triangles exactly on the sparsified graph, scale by 1/p³ —
+    unbiased, variance shrinking with the true count. The
+    survey-the-graph-before-the-exact-run tool at 10^12-edge scale: the
+    exact O(E^1.5) enumeration runs on a p²-smaller wedge set.
+
+    Deterministic at any parallelism (the coin is xxhash64(src,dst,seed),
+    no RNG state); returns a rounded estimate.
+    """
+    if not (0 < p <= 1):
+        raise ValueError("triangle_count_sampled: p must be in (0, 1]")
+    keep = (
+        F.pmod(F.xxhash64("src", "dst", F.lit(seed)), F.lit(1_000_000_007))
+        < int(p * 1_000_000_007)
+    )
+    sampled = edges.filter(keep)
+    return round(triangle_count(spark, sampled) / (p ** 3))

@@ -369,3 +369,22 @@ def test_bfs_max_depth_truncates(spark, test_graph):
     res = bfs_distances(spark, test_graph, seeds, max_depth=1)
     dists = {r["dist"] for r in res.state.collect()}
     assert dists == {0, 1}
+
+
+def test_sampled_triangle_estimate(spark):
+    """DOULION estimator: p=1 is exact; p<1 lands within a loose
+    relative band on a triangle-rich graph (deterministic hash coin, so
+    this is a fixed assertion, not a flaky statistical one)."""
+    from arabesque_spark.graph.triangles import triangle_count, triangle_count_sampled
+    from tests.reference_impls import er_graph
+
+    edges_df = spark.createDataFrame(
+        er_graph(120, avg_degree=14.0, seed=43), "src long, dst long"
+    )
+    exact = triangle_count(spark, edges_df)
+    assert triangle_count_sampled(spark, edges_df, p=1.0) == exact
+    est = triangle_count_sampled(spark, edges_df, p=0.5, seed=101)
+    assert exact > 100  # enough mass for the band to be meaningful
+    assert 0.5 * exact <= est <= 1.6 * exact, (est, exact)
+    # deterministic across invocations
+    assert est == triangle_count_sampled(spark, edges_df, p=0.5, seed=101)
