@@ -62,6 +62,51 @@ def cosine_topk(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+def cosine_topk_batch(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact batch k-NN join → (qid, vec_id, score, rk) — the brute-force
+    twin of :func:`ann_topk_batch` (same output shape, same 5-decimal
+    rounding BEFORE ranking, same ascending-id tie-break, same self
+    exclusion), so ANN-vs-exact agreement compares like with like.
+
+    Physical shape: the query side is broadcast (Q×D — bounded by the
+    caller; this is the small-batch/ground-truth path, pipelines use the
+    LSH or IVF operators), the index is scanned exactly once, and the
+    per-query top-k is a windowed row_number partitioned by qid — the
+    Q·N candidate set never sorts globally and never reshuffles more
+    than once.
+    """
+    from pyspark.sql.window import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qvec"),
+            _norm(F.col(vec_col)).alias("qnorm"),
+        )
+    )
+    i = index.select(F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("inorm"))
+    cand = q.crossJoin(i).filter(F.col("qid") != F.col(id_col))
+    scored = cand.select(
+        "qid",
+        F.col(id_col),
+        F.round(
+            _dot(F.col("qvec"), F.col(vec_col)) / (F.col("qnorm") * F.col("inorm")), 5
+        ).alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", id_col, "score", "rk")
+    )
+
+
 def lsh_buckets(
     embeddings: DataFrame,
     planes: int = 12,

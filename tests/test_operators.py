@@ -204,6 +204,36 @@ def test_ann_topk_batch_recall(spark):
     assert rks == [1, 2, 3, 4, 5]
 
 
+def test_cosine_topk_batch_exact(spark):
+    """The exact batch twin matches brute-force numpy top-k per query
+    (same rounding-before-rank and ascending-id tie-break contract)."""
+    import numpy as np
+
+    from arabesque_spark.operators.similarity import cosine_topk_batch
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(120, 12)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    got = cosine_topk_batch(emb.filter(F.col("vec_id") < 10), emb, k=7).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append((r["rk"], r["vec_id"], r["score"]))
+    norms = np.linalg.norm(base.astype("float64"), axis=1)
+    sims = (base.astype("float64") @ base.astype("float64").T) / np.outer(norms, norms)
+    for q in range(10):
+        s = np.round(sims[q], 5)
+        order = sorted(
+            (int(i) for i in range(120) if i != q), key=lambda i: (-s[i], i)
+        )[:7]
+        ours = [v for _, v, _ in sorted(by_q[q])]
+        assert ours == order, (q, ours, order)
+        rks = sorted(rk for rk, _, _ in by_q[q])
+        assert rks == [1, 2, 3, 4, 5, 6, 7]
+
+
 def test_ann_fewer_than_k(spark):
     """Pins the multi-probe cardinality contract: no full-scan fallback —
     a query whose probed buckets hold < k candidates returns < k rows
