@@ -2,19 +2,33 @@
 
 This is the engine's closest structural analog to the reference's core
 dataflow: the frontier DataFrame plays the role of the superstep embedding
-set (ExecutionEngine.java:140-206), expansion is a join against forward
-adjacency (the expand hook, BasicComputation.java:62-116, with the clique
-optimization of extending only the LAST vertex,
+set (ExecutionEngine.java:140-206), expansion is a join against oriented
+forward adjacency (the expand hook, BasicComputation.java:62-116, with the
+clique optimization of extending only the LAST vertex,
 CliqueVertexInducedEmbedding.java:9-38), canonicality is by construction
-(members strictly increasing, BasicEmbedding.java:162-195 made into a join
-predicate), the is-clique filter is the candidate-set intersection
-(CliqueComputation.isClique:24-26), and the loop halts on an empty
-frontier (MasterExecutionEngine.java:210-216) or at ``max_k``
-(CliqueComputation shouldExpand, maxsize default 4).
+(members strictly increasing in the orientation order,
+BasicEmbedding.java:162-195 made into a join predicate), the is-clique
+filter is the candidate-set intersection (CliqueComputation.isClique:24-26),
+and the loop halts on an empty frontier (MasterExecutionEngine.java:210-216)
+or at ``max_k`` (CliqueComputation shouldExpand, maxsize default 4).
 
-Frontier schema: (members array<long> ascending, cands array<long>) where
-``cands`` = vertices adjacent to ALL members with id > max(members). Every
-k-clique is produced exactly once.
+Orientation: edges are oriented low→high in the **(degree, id)** total
+order — the compact-forward scheme shared with graph/triangles.py — not
+by raw vertex id. The reference's BiggerNeighboursMainGraphDecorator
+(java:11-20) + CliqueOptimization intend exactly this bound: under
+degree orientation every forward list is O(√E) amortized on any graph,
+so frontier rows carry bounded ``cands`` arrays and each
+``array_intersect`` is cheap. Under id orientation a low-id hub keeps
+its whole O(d) neighborhood forward, and every frontier row through it
+drags a d-element array — the power-law hot spot. The clique SET is
+orientation-invariant (a clique is a clique under any acyclic
+orientation, and is enumerated exactly once as its orientation-ordered
+vertex sequence); only join sizes differ. Output members are re-sorted
+to ascending vertex id, so the public contract is unchanged.
+
+Frontier schema: (members array<long> in orientation order, cands
+array<long>) where ``cands`` = forward neighbors (orientation order) of
+ALL members. Every k-clique is produced exactly once.
 """
 
 from __future__ import annotations
@@ -22,14 +36,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from arabesque_spark.graph.build import forward_adjacency
+from arabesque_spark.graph.triangles import _oriented
+
+
+def oriented_forward_adjacency(edges: DataFrame) -> DataFrame:
+    """(src, neighbors array<long>, fdeg) — forward adjacency under the
+    compact-forward (degree, id) orientation. Max forward degree is
+    O(√E) amortized; a hub's huge neighborhood points INTO it, so no
+    forward list mirrors a hub. Neighbor arrays are sorted by id (the
+    intersection semantics don't depend on element order)."""
+    o = _oriented(edges, degree_oriented=True)
+    return o.groupBy(F.col("u").alias("src")).agg(
+        F.sort_array(F.collect_list("v")).alias("neighbors"),
+        F.count("*").cast("int").alias("fdeg"),
+    )
 
 
 def k_cliques(spark: SparkSession, edges: DataFrame, k: int) -> DataFrame:
     """All k-cliques, each exactly once → (members array<long> ascending)."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    fwd = forward_adjacency(edges).select("src", "neighbors").persist()
     if k == 1:
         from arabesque_spark.graph.build import symmetric_edges
 
@@ -40,17 +66,28 @@ def k_cliques(spark: SparkSession, edges: DataFrame, k: int) -> DataFrame:
             .select(F.array("v").alias("members"))
         )
 
-    # size-2 frontier: every canonical edge; candidates = fwd(u) ∩ fwd(v)
+    o = _oriented(edges, degree_oriented=True)
+    if k == 2:
+        return o.select(F.array_sort(F.array("u", "v")).alias("members"))
+
+    fwd = (
+        o.groupBy(F.col("u").alias("fsrc"))
+        .agg(F.sort_array(F.collect_list("v")).alias("neighbors"))
+        .persist()
+    )
+    empty = F.array().cast("array<bigint>")
+    # size-2 frontier: every oriented edge; candidates = fwd(u) ∩ fwd(v)
     frontier = (
-        edges.join(fwd.withColumnRenamed("src", "u_"), edges["src"] == F.col("u_"))
+        o.join(fwd, o["u"] == fwd["fsrc"])
         .withColumnRenamed("neighbors", "nu")
-        .join(fwd.withColumnRenamed("src", "v_"), edges["dst"] == F.col("v_"), "left")
+        .drop("fsrc")
+        .join(fwd, o["v"] == fwd["fsrc"], "left")
         .withColumnRenamed("neighbors", "nv")
         .select(
-            F.array("src", "dst").alias("members"),
-            F.array_intersect(
-                F.col("nu"), F.coalesce(F.col("nv"), F.array().cast("array<bigint>"))
-            ).alias("cands"),
+            F.array("u", "v").alias("members"),
+            F.array_intersect(F.col("nu"), F.coalesce(F.col("nv"), empty)).alias(
+                "cands"
+            ),
         )
     )
     size = 2
@@ -59,16 +96,19 @@ def k_cliques(spark: SparkSession, edges: DataFrame, k: int) -> DataFrame:
             F.col("members"), F.explode("cands").alias("v"), F.col("cands")
         )
         frontier = (
-            grown.join(fwd.withColumnRenamed("src", "v_"), grown["v"] == F.col("v_"), "left")
+            grown.join(fwd, grown["v"] == fwd["fsrc"], "left")
             .select(
                 F.concat("members", F.array("v")).alias("members"),
                 F.array_intersect(
-                    F.col("cands"),
-                    F.coalesce(F.col("neighbors"), F.array().cast("array<bigint>")),
+                    F.col("cands"), F.coalesce(F.col("neighbors"), empty)
                 ).alias("cands"),
             )
             .localCheckpoint(eager=False)
         )
         size += 1
-    result = frontier.select("members")
+    # materialize before unpersisting the adjacency the plan depends on
+    result = frontier.select(
+        F.array_sort("members").alias("members")
+    ).localCheckpoint(eager=True)
+    fwd.unpersist()
     return result

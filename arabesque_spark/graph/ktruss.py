@@ -1,4 +1,4 @@
-"""k-truss decomposition by iterative edge peeling.
+"""k-truss decomposition by incremental edge peeling.
 
 Companion to :mod:`arabesque_spark.graph.kcore` one rung up the density
 ladder (every k-truss is inside the (k-1)-core): repeatedly delete edges
@@ -6,13 +6,39 @@ supporting fewer than k-2 triangles until none remain; the survivors are
 the k-truss — the standard cohesive-community and spam-filter analytic
 on link graphs.
 
-Superstep shape: state = the surviving canonical edge table. One peel
-round = one degree-oriented triangle enumeration over the CURRENT state
-(O(E^1.5) compact-forward, graph/triangles.py), an explode to per-edge
-triangle counts (map-side combinable), and one join-filter dropping
-under-supported edges. The halt rides the materialization job's observed
-row count (fixpoint = no edge dropped). Rounds strictly shrink the state
-or halt; the count is bounded by the truss peeling depth.
+Scale design — triangles are enumerated ONCE, then support is maintained
+decrementally:
+
+* iteration 0 enumerates triangles with the degree-oriented O(E^1.5)
+  compact-forward join (graph/triangles.py) — the only enumeration in
+  the whole run — and materializes an edge-indexed triangle table
+  (3 rows per triangle, keyed by the edge) plus per-edge support counts.
+* every peel round after that touches work proportional to the REMOVED
+  edges' triangle neighborhoods, not the surviving graph: the removed
+  batch R (small, typically broadcast by AQE) probes the edge-indexed
+  triangle table to find the triangles it kills, each killed triangle
+  decrements the support of its still-alive edges, and both the killed
+  triangles and the removed edges leave the state. Per-round SHUFFLE
+  volume is O(|killed triangles|); the cached/parquet state is scanned
+  but never re-joined against itself. The previous implementation
+  re-ran the full O(E^1.5) wedge enumeration on the survivors EVERY
+  round — on a dense community graph truss peeling runs hundreds of
+  rounds, multiplying the engine's most expensive join by the round
+  count.
+* batch-decrement equivalence: after removing batch R, a survivor's new
+  support = old support − |killed triangles containing it|, and killed =
+  triangles with ≥1 edge in R — exactly the survivor-subgraph recount
+  the re-enumerating version computed, so the fixpoint (and the oracle)
+  is unchanged.
+
+Superstep state (one unified DataFrame, resumable mid-peel):
+``(kind tinyint, ea, eb, ta, tb, tc, sup)`` — kind 0 rows are surviving
+edges (ea<eb, sup = current support, t* null); kind 1 rows are the
+edge-indexed triangle incidence (one row per (triangle, edge): (ea,eb)
+the edge, (ta<tb<tc) the triangle, sup null). Edges in no triangle are
+dropped at init (support 0 < k−2 always). The halt rides the
+materialization job's observed row count: any removal strictly shrinks
+the state, so an unchanged count is the fixpoint.
 """
 
 from __future__ import annotations
@@ -25,6 +51,34 @@ from pyspark.sql import functions as F
 from arabesque_spark.engine.superstep import RunResult, SuperstepRunner
 from arabesque_spark.graph.triangles import triangle_list
 
+def _null_v():
+    # built lazily: F.lit at module import would require an active SparkContext
+    return F.lit(None).cast("long")
+
+
+def _edge_rows(e: DataFrame) -> DataFrame:
+    return e.select(
+        F.lit(0).cast("tinyint").alias("kind"),
+        F.col("ea"),
+        F.col("eb"),
+        _null_v().alias("ta"),
+        _null_v().alias("tb"),
+        _null_v().alias("tc"),
+        F.col("sup"),
+    )
+
+
+def _te_rows(te: DataFrame) -> DataFrame:
+    return te.select(
+        F.lit(1).cast("tinyint").alias("kind"),
+        F.col("ea"),
+        F.col("eb"),
+        F.col("ta"),
+        F.col("tb"),
+        F.col("tc"),
+        F.lit(None).cast("long").alias("sup"),
+    )
+
 
 def k_truss(
     spark: SparkSession,
@@ -32,7 +86,7 @@ def k_truss(
     k: int,
     checkpoint_dir: str | Path | None = None,
     resume: bool = False,
-    max_iterations: int = 100,
+    max_iterations: int = 200,
 ) -> RunResult:
     """Peel to the k-truss; result state is the surviving edge table
     (canonical src < dst). Every surviving edge closes ≥ k-2 triangles
@@ -43,37 +97,85 @@ def k_truss(
     prev_rows: list[int | None] = [None]
 
     def step(state: DataFrame, i: int):
-        tris = triangle_list(spark, state)
-        te = (
-            tris.select(
+        if i == 0:
+            # the one and only triangle enumeration of the run
+            tris = triangle_list(spark, state.select(F.col("ea").alias("src"), F.col("eb").alias("dst")))
+            te = tris.select(
+                F.col("a").alias("ta"),
+                F.col("b").alias("tb"),
+                F.col("c").alias("tc"),
                 F.explode(
                     F.array(
-                        F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
-                        F.struct(F.col("a").alias("src"), F.col("c").alias("dst")),
-                        F.struct(F.col("b").alias("src"), F.col("c").alias("dst")),
+                        F.struct(F.col("a").alias("ea"), F.col("b").alias("eb")),
+                        F.struct(F.col("a").alias("ea"), F.col("c").alias("eb")),
+                        F.struct(F.col("b").alias("ea"), F.col("c").alias("eb")),
                     )
-                ).alias("e")
-            )
-            .groupBy("e.src", "e.dst")
-            .agg(F.count("*").alias("t"))
-            .filter(F.col("t") >= thr)
+                ).alias("e"),
+            ).select("e.ea", "e.eb", "ta", "tb", "tc")
+            sup = te.groupBy("ea", "eb").agg(F.count("*").alias("sup"))
+            # inner join: an edge in zero triangles can never reach thr >= 1
+            e = state.select("ea", "eb").join(sup, ["ea", "eb"])
+            return _edge_rows(e).unionByName(_te_rows(te)), {"k": k, "phase": "init"}
+
+        e = state.filter(F.col("kind") == 0).select("ea", "eb", "sup")
+        te = state.filter(F.col("kind") == 1).select("ea", "eb", "ta", "tb", "tc")
+        removed = e.filter(F.col("sup") < thr).select("ea", "eb")
+        # triangles killed by this batch (each exactly once)
+        killed = (
+            te.join(removed, ["ea", "eb"], "left_semi")
+            .select("ta", "tb", "tc")
+            .dropDuplicates(["ta", "tb", "tc"])
         )
-        kept = state.join(te.select("src", "dst"), ["src", "dst"], "left_semi")
-        return kept.select("src", "dst"), {"k": k}
+        killed_te = te.join(killed, ["ta", "tb", "tc"], "left_semi")
+        # support lost by edges that SURVIVE this batch
+        dec = (
+            killed_te.join(removed, ["ea", "eb"], "left_anti")
+            .groupBy("ea", "eb")
+            .agg(F.count("*").alias("d"))
+        )
+        new_e = (
+            e.join(removed, ["ea", "eb"], "left_anti")
+            .join(dec, ["ea", "eb"], "left")
+            .select(
+                "ea",
+                "eb",
+                (F.col("sup") - F.coalesce(F.col("d"), F.lit(0))).alias("sup"),
+            )
+        )
+        new_te = te.join(killed, ["ta", "tb", "tc"], "left_anti")
+        return _edge_rows(new_e).unionByName(_te_rows(new_te)), {"k": k}
 
     def halt_decide(m: dict, i: int) -> bool:
         rows = m["rows"]
-        done = rows == 0 or rows == prev_rows[0]
+        # i == 0 only initializes support; rows == prev is meaningless there
+        done = rows == 0 or (i > 0 and rows == prev_rows[0])
         prev_rows[0] = rows
         return done
 
     runner = SuperstepRunner(
         spark, checkpoint_dir=checkpoint_dir, max_iterations=max_iterations
     )
-    return runner.run(
-        edges.select("src", "dst"),
+    initial = edges.select(F.col("src").alias("ea"), F.col("dst").alias("eb")).select(
+        F.lit(0).cast("tinyint").alias("kind"),
+        "ea",
+        "eb",
+        _null_v().alias("ta"),
+        _null_v().alias("tb"),
+        _null_v().alias("tc"),
+        _null_v().alias("sup"),
+    )
+    res = runner.run(
+        initial,
         step,
         resume=resume,
         halt_exprs={},
         halt_decide=halt_decide,
+    )
+    return RunResult(
+        state=res.state.filter(F.col("kind") == 0).select(
+            F.col("ea").alias("src"), F.col("eb").alias("dst")
+        ),
+        iterations=res.iterations,
+        converged=res.converged,
+        resumed_from=res.resumed_from,
     )

@@ -8,9 +8,11 @@ charter — at 10^12-file scale the walk corpus IS the training set.
 
 Scale design
 ------------
-* The adjacency is a FLAT indexed edge table ``(src, pos, nbr)`` —
-  ``posexplode`` of the sorted neighbor list. Hub-safe: a 10M-degree hub
-  is 10M independent rows, never one task's array.
+* The adjacency is a FLAT indexed edge table ``(src, pos, nbr)`` built
+  from the CHUNKED CSR layout (build_adjacency) + cumulative chunk
+  offsets. Hub-safe at both build time and query time: a 10M-degree hub
+  is ~1200 bounded chunk rows during construction and 10M independent
+  rows after the explode — never one task's array.
 * One walk step = one equality join: the walk head ``(cur, step)``
   computes its next-neighbor index ``pmod(xxhash64(walk_id, step, seed),
   deg)`` as a Column expression and joins on ``(cur = src, idx = pos)``.
@@ -33,19 +35,54 @@ from pyspark.sql import functions as F
 from arabesque_spark.graph.build import symmetric_edges
 
 
-def indexed_adjacency(edges: DataFrame) -> DataFrame:
+def indexed_adjacency(edges: DataFrame, chunk_size: int | None = None) -> DataFrame:
     """(src, pos, nbr, deg) — position-indexed flat adjacency.
 
-    ``pos`` enumerates each vertex's neighbors in ascending order
-    (0-based); built once, reused by every walk step (write to storage
-    in a production pipeline).
+    ``pos`` enumerates each vertex's neighbors 0..deg-1 (a bijection is
+    all the sampling join needs — ``pmod(hash, deg)`` must hit exactly
+    one row); built once, reused by every walk step (write to storage in
+    a production pipeline).
+
+    Hub-safe for real: built on :func:`build_adjacency`'s CHUNKED layout
+    (graph/build.py — chunk assigned BEFORE the groupBy), so no
+    aggregation buffer ever assembles more than ~chunk_size neighbors; a
+    10M-degree hub is ~1200 bounded chunk rows, never one task's array.
+    Exact positions come from a cumulative-offset join: per-(src, chunk)
+    counts (a tiny V·(deg/chunk_size)-row table) get a running-sum
+    window WITHIN each src — the window partition holds chunk COUNTS,
+    not neighbors, so even the 10M-degree hub contributes ~1200 rows to
+    its window task — and pos = chunk base + offset-in-chunk. The
+    layout is deterministic (hash-assigned chunks, sorted within), so
+    walk reproducibility is unchanged.
     """
-    sym = symmetric_edges(edges)
-    adj = sym.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
-    return adj.select(
-        "src",
-        F.posexplode("nbrs").alias("pos", "nbr"),
-        F.size("nbrs").alias("deg"),
+    from pyspark.sql.window import Window
+
+    from arabesque_spark.graph.build import DEFAULT_CHUNK_SIZE, build_adjacency
+
+    adj = build_adjacency(edges, chunk_size=chunk_size or DEFAULT_CHUNK_SIZE)
+    counts = adj.select("src", "chunk", F.size("neighbors").alias("cnt"))
+    w = (
+        Window.partitionBy("src")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = counts.select(
+        "src", "chunk", F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("base")
+    )
+    return (
+        adj.join(base, ["src", "chunk"])
+        .select(
+            "src",
+            "deg",
+            "base",
+            F.posexplode("neighbors").alias("off", "nbr"),
+        )
+        .select(
+            "src",
+            (F.col("base") + F.col("off")).cast("int").alias("pos"),
+            "nbr",
+            "deg",
+        )
     )
 
 

@@ -118,6 +118,42 @@ def test_k_cliques_test_graph(spark, test_graph):
     assert k_cliques(spark, test_graph, 4).count() == 0  # FIXTURES: no 4-cliques
 
 
+def test_k_cliques_hub_bounded_candidates(spark):
+    """A LOW-ID hub must not drag its whole neighborhood through the
+    frontier: under the compact-forward (degree, id) orientation the
+    hub's edges point INTO it, so no forward list mirrors the hub
+    (cliques.py orientation rationale). Also checks correctness on the
+    hub+cliques mix."""
+    from arabesque_spark.graph.cliques import oriented_forward_adjacency
+
+    hub = [(0, i) for i in range(1, 101)]  # star, hub has the LOWEST id
+    # two 4-cliques among leaves (hub not a member)
+    k4a = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    k4b = [(a, b) for a in (50, 51, 52, 53) for b in (50, 51, 52, 53) if a < b]
+    df = spark.createDataFrame(sorted(set(hub + k4a + k4b)), "src long, dst long")
+
+    fwd = oriented_forward_adjacency(df)
+    max_fdeg = fwd.agg(F.max("fdeg")).collect()[0][0]
+    # id-orientation would give the hub a 100-element forward list
+    assert max_fdeg <= 4, max_fdeg
+
+    # brute-force expectation over the explicit edge set
+    from itertools import combinations
+
+    eset = set(hub + k4a + k4b)
+    verts = sorted({v for e in eset for v in e})
+
+    def brute(kk):
+        return sorted(
+            c for c in combinations(verts, kk)
+            if all((a, b) in eset for a, b in combinations(c, 2))
+        )
+
+    for kk in (3, 4, 5):
+        got = sorted(tuple(r["members"]) for r in k_cliques(spark, df, kk).collect())
+        assert got == brute(kk), kk
+
+
 def test_k_cliques_on_k5(spark):
     k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
     df = spark.createDataFrame(k5, "src long, dst long")

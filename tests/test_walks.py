@@ -23,6 +23,43 @@ def test_walks_are_valid_paths(spark, test_graph):
             assert (a, b) in edge_set, (r["walk_id"], path)
 
 
+def test_indexed_adjacency_positions_exact(spark, test_graph):
+    """pos must be a bijection 0..deg-1 per vertex (the sampling join
+    relies on pmod(hash, deg) hitting exactly one row)."""
+    rows = indexed_adjacency(test_graph).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append((r["pos"], r["nbr"], r["deg"]))
+    for src, lst in by_src.items():
+        deg = lst[0][2]
+        assert sorted(p for p, _, _ in lst) == list(range(deg)), src
+        assert all(d == deg for _, _, d in lst)
+
+
+def test_indexed_adjacency_hub_chunked(spark):
+    """A hub bigger than the chunk size must be split across bounded
+    chunk rows (no single-task whole-hub array) while positions stay an
+    exact 0..deg-1 bijection and the layout stays deterministic."""
+    from arabesque_spark.graph.build import build_adjacency
+
+    hub_edges = [(0, i) for i in range(1, 101)]
+    df = spark.createDataFrame(hub_edges, "src long, dst long")
+    # construction-side guard: with chunk_size=16 the 100-degree hub must
+    # occupy >1 chunk row, each bounded (hash split is uneven but ~2x)
+    adj = build_adjacency(df, chunk_size=16)
+    hub_chunks = [r for r in adj.collect() if r["src"] == 0]
+    assert len(hub_chunks) > 1
+    assert all(len(r["neighbors"]) <= 48 for r in hub_chunks)
+
+    ia = indexed_adjacency(df, chunk_size=16)
+    hub_rows = [(r["pos"], r["nbr"]) for r in ia.collect() if r["src"] == 0]
+    assert sorted(p for p, _ in hub_rows) == list(range(100))
+    assert {n for _, n in hub_rows} == set(range(1, 101))
+    # deterministic layout: same (pos -> nbr) mapping on a re-build
+    again = [(r["pos"], r["nbr"]) for r in indexed_adjacency(df, chunk_size=16).collect() if r["src"] == 0]
+    assert sorted(hub_rows) == sorted(again)
+
+
 def test_walks_deterministic_across_parallelism(spark, test_graph):
     def run(parts):
         df = random_walks(
