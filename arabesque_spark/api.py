@@ -1180,20 +1180,21 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal pipeline end-to-end: synthesize opaque binary media →
-    batch decode (deterministic fake codec; the real-codec switch point
-    raises NotImplementedError in this container) → frame sampling →
-    per-item feature stats. Rows-only: the payload synthesis needs
-    sha2-512, which DuckDB lacks; the fake-decode path and batch shapes
-    are pytest-verified (tests/test_operators.py)."""
+    """Multimodal pipeline end-to-end with REAL decoding: synthesize
+    genuine binary containers (netpbm P6 images, concatenated-P6 video
+    streams, RIFF/WAV PCM16 audio) → batch decode via the
+    dependency-free codecs (operators/media_codecs.py) → frame sampling
+    → per-item feature stats. Rows-only: the decoded dims/features come
+    from binary parsing DuckDB cannot replicate; codec round-trips and
+    decode parity are pytest-verified (tests/test_operators.py)."""
     from arabesque_spark.operators.multimodal import (
         decode_media,
         frame_sample,
-        synth_media,
+        synth_media_real,
     )
 
-    media = synth_media(spark, n=256, seed=7)
-    dec = decode_media(media, fake=True)
+    media = synth_media_real(spark, n=256, seed=7)
+    dec = decode_media(media, fake=False)
     fs = frame_sample(dec, every=8).groupBy("media_id").agg(
         F.count("*").alias("n_sampled")
     )

@@ -107,6 +107,14 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     edges = spark.read.parquet(args.edges)
+    if args.cmd in ("kcore", "ktruss"):
+        # k_core/k_truss assume a canonical edge table (src<dst, deduped,
+        # no self-loops); a directed/duplicated input would silently yield
+        # doubled degrees / duplicate triangles — canonicalize up front
+        # (bfs/census/pagerank symmetrize or canonicalize internally)
+        from arabesque_spark.graph.build import canonical_edges
+
+        edges = canonical_edges(edges)
     if args.cmd == "pagerank":
         from arabesque_spark.graph.pagerank import pagerank, pagerank_weighted
 

@@ -54,6 +54,19 @@ def link_prediction_features(
     deg = degrees(edges)
     sym = symmetric_edges(edges)
     if max_center_degree is not None:
+        # capped runs must be distinguishable from exact ones: log when the
+        # cap actually bites (one V-scale aggregate, only on capped runs)
+        n_dropped = deg.filter(F.col("deg") > max_center_degree).count()
+        if n_dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "link_prediction_features: max_center_degree=%d dropped %d "
+                "hub center(s); common/jaccard/adamic_adar undercount pairs "
+                "through them (pass max_center_degree=None for exact)",
+                max_center_degree,
+                n_dropped,
+            )
         ok = deg.filter(F.col("deg") <= max_center_degree).select(
             F.col("vid").alias("src")
         )

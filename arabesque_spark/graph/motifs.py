@@ -100,9 +100,25 @@ def motif_census_k(
     )
     if vertex_labels is not None:
         lab = vertex_labels.select("vid", "label")
+        # LEFT join + in-plan check: an inner join would silently DROP a
+        # position whose vertex lacks a label row, shortening the labels
+        # array and corrupting the pattern key; fail loudly instead. The
+        # check rides the label projection itself (no extra job, cannot
+        # be pruned away).
+        checked_label = F.when(
+            F.col("label").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("motif_census_k: vertex "),
+                    F.col("vid").cast("string"),
+                    F.lit(" has no row in vertex_labels"),
+                )
+            ).cast("int"),
+        ).otherwise(F.col("label"))
         labeled = (
             embs.select("vs", "adjbits", F.posexplode("vs").alias("pos", "vid"))
-            .join(lab, "vid")
+            .join(lab, "vid", "left")
+            .withColumn("label", checked_label)
             .groupBy("vs", "adjbits")
             .agg(
                 F.transform(

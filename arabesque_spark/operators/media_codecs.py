@@ -1,0 +1,187 @@
+"""Dependency-free media codecs: netpbm P6 (PPM) and RIFF/WAV PCM16.
+
+This closes the multimodal stack's last stub: both formats are simple,
+fully-documented container layouts parseable with the standard library +
+numpy, so the engine's decode path can run END TO END in this container
+with no image/audio libraries installed.
+
+* **image** — one binary P6 frame (``P6\\n<w> <h>\\n<maxval>\\n`` header
+  with whitespace/comment handling per the netpbm spec, then w·h·3 raw
+  RGB bytes, maxval ≤ 255).
+* **video** — a CONCATENATED stream of P6 frames. This is a real-world
+  raw-video interchange layout (it is exactly what
+  ``ffmpeg -f image2pipe -vcodec ppm`` emits), not an invented container.
+* **audio** — RIFF/WAVE with a PCM16 ``fmt `` chunk and a ``data``
+  chunk; chunk-walking parser, unknown chunks skipped per the RIFF spec.
+
+Encoders exist so tests and the synthetic gate table can generate REAL
+payloads deterministically; parsers raise ``ValueError`` with a specific
+message on malformed input (truncation, bad magic, unsupported PCM
+layout) rather than mis-decoding.
+
+Everything here is per-payload Python, but it only ever runs inside
+Arrow-batched ``mapInPandas`` workers (operators/multimodal.py), where
+per-row overhead is the codec work itself — the same place a PIL/ffmpeg
+call would sit.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# netpbm P6
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary P6 bytes."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_ppm expects a (h, w, 3) uint8 array")
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def _parse_p6_token(data: bytes, pos: int) -> tuple[int, int]:
+    """Next integer token after netpbm whitespace/comments → (value, pos)."""
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == ord("#"):  # comment to end of line
+            while pos < n and data[pos] not in b"\r\n":
+                pos += 1
+        else:
+            break
+    start = pos
+    while pos < n and data[pos] in b"0123456789":
+        pos += 1
+    if start == pos:
+        raise ValueError(f"ppm: expected integer at byte {start}")
+    return int(data[start:pos]), pos
+
+
+def parse_ppm_frame(data: bytes, pos: int = 0) -> tuple[int, int, np.ndarray, int]:
+    """Parse ONE P6 frame at ``pos`` → (width, height, (h,w,3) uint8, next_pos)."""
+    if data[pos : pos + 2] != b"P6":
+        raise ValueError(f"ppm: bad magic at byte {pos}: {data[pos:pos + 2]!r}")
+    pos += 2
+    width, pos = _parse_p6_token(data, pos)
+    height, pos = _parse_p6_token(data, pos)
+    maxval, pos = _parse_p6_token(data, pos)
+    if not (0 < maxval < 256):
+        raise ValueError(f"ppm: unsupported maxval {maxval} (need 1..255)")
+    if pos >= len(data) or data[pos] not in b" \t\r\n":
+        raise ValueError("ppm: missing single whitespace after maxval")
+    pos += 1
+    need = width * height * 3
+    raw = data[pos : pos + need]
+    if len(raw) != need:
+        raise ValueError(f"ppm: truncated pixel data ({len(raw)}/{need} bytes)")
+    pixels = np.frombuffer(raw, dtype=np.uint8).reshape(height, width, 3)
+    return width, height, pixels, pos + need
+
+
+def parse_ppm_stream(data: bytes) -> list[tuple[int, int, np.ndarray]]:
+    """Parse a concatenated-P6 stream (1 frame = a still image; N frames =
+    the ffmpeg image2pipe raw-video layout) → [(w, h, pixels), ...]."""
+    frames = []
+    pos = 0
+    while pos < len(data):
+        w, h, pix, pos = parse_ppm_frame(data, pos)
+        frames.append((w, h, pix))
+    if not frames:
+        raise ValueError("ppm: empty payload")
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# RIFF / WAV (PCM16)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int, channels: int = 1) -> bytes:
+    """int16 samples (interleaved if channels > 1) → RIFF/WAVE bytes."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav expects int16 samples")
+    data = samples.tobytes()
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, 16
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav(data: bytes) -> tuple[int, int, np.ndarray]:
+    """RIFF/WAVE bytes → (channels, sample_rate, int16 samples interleaved).
+
+    Walks chunks per the RIFF spec (unknown chunks skipped, word-aligned);
+    only PCM (format tag 1) at 16 bits is supported — anything else
+    raises rather than mis-decoding.
+    """
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("wav: not a RIFF/WAVE payload")
+    pos = 12
+    channels = sample_rate = bits = None
+    samples: np.ndarray | None = None
+    n = len(data)
+    while pos + 8 <= n:
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"wav: truncated {cid!r} chunk ({len(body)}/{size})")
+        if cid == b"fmt ":
+            tag, channels, sample_rate, _, _, bits = struct.unpack_from("<HHIIHH", body)
+            if tag != 1 or bits != 16:
+                raise ValueError(f"wav: unsupported format tag={tag} bits={bits}")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if channels is None or samples is None:
+        raise ValueError("wav: missing fmt or data chunk")
+    return channels, sample_rate, samples
+
+
+# ---------------------------------------------------------------------------
+# feature extraction (shared by the decode UDF)
+# ---------------------------------------------------------------------------
+
+
+def image_features(pixels: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 → 8-dim float32: RGB means, RGB stds, luma mean,
+    mean |horizontal gradient| — all scaled to [0, 1]."""
+    x = pixels.astype(np.float64) / 255.0
+    luma = 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+    grad = np.abs(np.diff(luma, axis=1)).mean() if pixels.shape[1] > 1 else 0.0
+    return np.array(
+        [*x.mean(axis=(0, 1)), *x.std(axis=(0, 1)), luma.mean(), grad],
+        dtype=np.float32,
+    )
+
+
+def audio_features(samples: np.ndarray) -> np.ndarray:
+    """int16 samples → 8-dim float32: mean, std, RMS, max, min,
+    zero-crossing rate, mean |amplitude|, fraction above half scale."""
+    s = samples.astype(np.float64) / 32768.0
+    if s.size == 0:
+        return np.zeros(8, dtype=np.float32)
+    zcr = float(np.mean(np.signbit(s[1:]) != np.signbit(s[:-1]))) if s.size > 1 else 0.0
+    return np.array(
+        [
+            s.mean(),
+            s.std(),
+            np.sqrt((s * s).mean()),
+            s.max(),
+            s.min(),
+            zcr,
+            np.abs(s).mean(),
+            float(np.mean(np.abs(s) > 0.5)),
+        ],
+        dtype=np.float32,
+    )

@@ -130,9 +130,21 @@ class CompactedStateStore:
         tmp = self.manifest_path.with_suffix(".json.tmp")
         tmp.write_text(json.dumps({"gen": new_gen, "covered": sorted(covered)}))
         os.replace(tmp, self.manifest_path)
-        old_gen, old_covered = self._gen, self._covered
         self._gen, self._covered = new_gen, covered
-        if old_gen >= 0:
-            shutil.rmtree(self._gen_dir(old_gen), ignore_errors=True)
-        for bid in covered - old_covered:
-            shutil.rmtree(self._delta_dir(bid), ignore_errors=True)
+        # sweep EVERYTHING superseded, not just this round's delta: a crash
+        # between the manifest replace above and the deletions below leaves
+        # orphans, and deleting only (covered - old_covered) + the previous
+        # gen would never revisit them — list the directories instead, so
+        # any earlier crash's leftovers are re-deleted here
+        for d in self.gen_parent.glob("gen_*"):
+            try:
+                if int(d.name.removeprefix("gen_")) < new_gen:
+                    shutil.rmtree(d, ignore_errors=True)
+            except ValueError:
+                continue
+        for d in self.delta_parent.glob("batch_*"):
+            try:
+                if int(d.name.removeprefix("batch_")) in covered:
+                    shutil.rmtree(d, ignore_errors=True)
+            except ValueError:
+                continue

@@ -118,6 +118,38 @@ def test_compaction_preserves_counts_and_prunes_state(spark, tmp_path):
     assert ctr2.total == total + t5 == triangle_count(spark, full2)
 
 
+def test_compaction_sweeps_crash_orphans(spark, tmp_path):
+    """A crash between manifest replace and cleanup leaves covered delta
+    dirs and stale gen dirs on disk; the NEXT compaction must sweep them
+    (state_store._commit_generation lists directories rather than
+    deleting only this round's delta)."""
+    edges = _er_edges(40, 160, seed=23)
+    state = tmp_path / "state"
+    ctr = IncrementalTriangleCounter(spark, state, compact_every=2, n_buckets=4)
+    for i in range(2):  # one compaction -> gen_0 current, batches 0,1 covered
+        ctr.process_batch(
+            spark.createDataFrame(edges[i * 40 : (i + 1) * 40], "src long, dst long"), i
+        )
+    # simulate the crash leftovers: a covered delta dir resurrected and a
+    # stale generation dir below the manifest's gen
+    (state / "edges" / "batch_0").mkdir()
+    fake_old_gen = state / "compacted" / "gen_-1"  # non-numeric-safe guard too
+    stale = state / "compacted" / "gen_0"
+    assert stale.exists()
+    ctr2 = IncrementalTriangleCounter(spark, state, compact_every=2, n_buckets=4)
+    for i in range(2, 4):  # second compaction -> gen_1
+        ctr2.process_batch(
+            spark.createDataFrame(edges[i * 40 : (i + 1) * 40], "src long, dst long"), i
+        )
+    assert json.loads((state / "compaction.json").read_text())["gen"] == 1
+    assert not stale.exists()
+    assert not (state / "edges" / "batch_0").exists()
+    assert not fake_old_gen.exists()
+    # counts still exact vs batch recompute
+    full = canonical_edges(spark.createDataFrame(edges, "src long, dst long"))
+    assert ctr2.total == triangle_count(spark, full)
+
+
 def test_missing_logged_batch_dir_raises(spark, tmp_path):
     """ADVICE r2: a logged batch whose edge dir vanished must raise, not
     silently count against an undercounted graph."""

@@ -144,9 +144,90 @@ def test_multimodal_plumbing(spark):
     frames = frame_sample(decoded, every=8)
     vids = [r for r in rows if r["kind"] == "video"]
     assert frames.select("media_id").distinct().count() == len(vids)
-    # real decode path is an explicit stub
-    with pytest.raises(Exception, match="NotImplementedError|not available"):
+    # real decode refuses payloads that are not real containers — the fake
+    # synth table's payloads are sha512 bytes, not P6/RIFF
+    with pytest.raises(Exception, match="unknown payload magic"):
         decode_media(media, fake=False).collect()
+
+
+def test_media_codecs_roundtrip():
+    import numpy as np
+
+    from arabesque_spark.operators.media_codecs import (
+        audio_features,
+        encode_ppm,
+        encode_wav,
+        image_features,
+        parse_ppm_frame,
+        parse_ppm_stream,
+        parse_wav,
+    )
+
+    rng = np.random.default_rng(5)
+    pix = rng.integers(0, 256, size=(7, 11, 3), dtype=np.uint8)
+    w, h, got, pos = parse_ppm_frame(encode_ppm(pix))
+    assert (w, h) == (11, 7) and np.array_equal(got, pix)
+
+    # netpbm comments + arbitrary whitespace in the header
+    hdr = b"P6\n# a comment\n 11\t7 # trailing\n255\n" + pix.tobytes()
+    w2, h2, got2, _ = parse_ppm_frame(hdr)
+    assert (w2, h2) == (11, 7) and np.array_equal(got2, pix)
+
+    # concatenated stream = video (ffmpeg image2pipe layout)
+    stream = encode_ppm(pix) * 3
+    frames = parse_ppm_stream(stream)
+    assert len(frames) == 3 and all(np.array_equal(f[2], pix) for f in frames)
+
+    samples = (np.sin(np.arange(500) * 0.2) * 20000).astype(np.int16)
+    ch, rate, got_s = parse_wav(encode_wav(samples, 16000, channels=1))
+    assert (ch, rate) == (1, 16000) and np.array_equal(got_s, samples)
+
+    assert image_features(pix).shape == (8,)
+    af = audio_features(samples)
+    assert af.shape == (8,) and 0.41 < af[2] < 0.45  # RMS of a 0.61-amp sine = 0.61/sqrt(2)
+
+    # malformed inputs fail loudly, not silently
+    with pytest.raises(ValueError, match="truncated"):
+        parse_ppm_frame(encode_ppm(pix)[:-5])
+    with pytest.raises(ValueError, match="bad magic"):
+        parse_ppm_frame(b"JUNK")
+    with pytest.raises(ValueError, match="unsupported format"):
+        # 8-bit PCM header
+        bad = bytearray(encode_wav(samples, 16000))
+        bad[34] = 8
+        parse_wav(bytes(bad))
+
+
+def test_multimodal_real_decode_end_to_end(spark):
+    """synth_media_real generates genuine P6/concatenated-P6/WAV payloads;
+    decode_media(fake=False) parses them batch-at-a-time and the decoded
+    dims/features match a driver-side reference decode."""
+    from arabesque_spark.operators.multimodal import decode_media_real, synth_media_real
+
+    media = synth_media_real(spark, n=36, seed=11).cache()
+    rows = media.collect()
+    assert len(rows) == 36
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"image", "audio", "video"}
+
+    decoded = {r["media_id"]: r for r in decode_media(media, fake=False).collect()}
+    assert len(decoded) == 36
+    for r in rows:
+        w, h, nf, feats = decode_media_real(bytes(r["payload"]), r["kind"])
+        d = decoded[r["media_id"]]
+        assert (d["width"], d["height"], d["n_frames"]) == (w, h, nf), r["media_id"]
+        assert d["features"] == pytest.approx(list(feats), rel=1e-6)
+        if r["kind"] == "image":
+            assert nf == 1
+        if r["kind"] == "video":
+            assert nf >= 2
+    # determinism across parallelism
+    again = {
+        r["media_id"]: r["features"]
+        for r in decode_media(media.repartition(7), fake=False).collect()
+    }
+    assert all(again[m] == d["features"] for m, d in decoded.items())
+    media.unpersist()
 
 
 def test_streaming_hourly_counts_match_batch(spark, tmp_path):
