@@ -35,11 +35,21 @@ Dataflow differences from the reference (Spark-first, not a port):
   deduplicated in one shuffle — exact, set-oriented, and linear in frontier
   size; the canonicality filter saves that constant factor but needs
   per-embedding connectivity tests that don't vectorize.
-* Embeddings are rows: ``vs array<struct<vid,lab>>`` (vid-sorted) +
-  ``edges array<struct<u,v,el>>`` (u<v, lexicographically sorted; el = edge
-  label, 0 when unlabelled). Everything
-  on the embedding scale is Column exprs / joins; Python only touches the
-  distinct quick-key table.
+* Embeddings are COMPRESSED rows — the ODAG-analog dictionary encoding
+  (odag/domain/DomainStorage.java:68-95 is the reference's version of
+  "don't ship raw vertex tuples"): three PRIMITIVE arrays per embedding —
+  ``vids array<long>`` (sorted, each vertex once), ``labs array<int>``
+  (position-aligned labels), ``ecodes array<int>`` (sorted packed edge
+  codes ``(pos(u)·16+pos(v))·256+el`` — positions into vids, el = edge
+  label, 0 when unlabelled). Edges reference vertices by 4-bit position
+  instead of repeating two 8-byte vids + label, primitive arrays dodge
+  Tungsten's per-struct padding (an array of structs stores each struct
+  as a word-aligned row), and the quick key becomes a projection of the
+  stored row (no array_position recompute per level). Measured against
+  the previous array-of-structs layout on a dense frontier-bound run
+  (see BENCH/BASELINE.md round 4): >2x less shuffle at identical
+  output. Everything on the embedding scale is Column exprs / joins;
+  Python only touches the distinct quick-key table.
 
 Scale notes: the frontier is the working set — FSM's cost is inherent to
 the support threshold (low s ⇒ exponential frontier, on any engine; the
@@ -191,33 +201,25 @@ def canonicalize_quick(quick: DataFrame, edge_labelled: bool = False) -> DataFra
 # ---------------------------------------------------------------------------
 
 def _vids():
-    return F.transform("vs", lambda x: x["vid"])
+    return F.col("vids")
 
 
 def _labels():
-    return F.transform("vs", lambda x: x["lab"])
-
-
-def _adjcode_col(edge_labelled: bool = False):
-    # vs is vid-sorted and each edge has u < v, so pos(u) < pos(v):
-    # code = pos(u)*16 + pos(v) (array_position is 1-based); the
-    # edge-labelled variant appends the label in the low byte
-    vids = _vids()
-
-    def code(e):
-        c = (F.array_position(vids, e["u"]) - 1) * 16 + (
-            F.array_position(vids, e["v"]) - 1
-        )
-        if edge_labelled:
-            c = c * 256 + e["el"]
-        return c.cast("int")
-
-    return F.sort_array(F.transform("edges", code))
+    return F.col("labs")
 
 
 def _with_quick(frontier: DataFrame, edge_labelled: bool = False) -> DataFrame:
+    # the stored ecodes ARE the packed (pos(u)*16+pos(v))*256+el codes, so
+    # the quick key is a projection: the edge-labelled variant uses them
+    # verbatim; the unlabelled one strips the (zero) label byte to keep
+    # the historical pu*16+pv adjcode the oracle decode tables pin
+    adj = (
+        F.col("ecodes")
+        if edge_labelled
+        else F.transform("ecodes", lambda c: F.shiftright(c, 8))
+    )
     return frontier.withColumn("labels", _labels().cast("array<int>")).withColumn(
-        "adjcode", _adjcode_col(edge_labelled)
+        "adjcode", adj.cast("array<int>")
     )
 
 
@@ -265,19 +267,39 @@ def _level_stats(
     canon = canonicalize_quick(quick, edge_labelled).localCheckpoint(eager=True)
 
     # domains: every embedding contributes its vertex at each canonical
-    # position (DomainSupport.convertFromEmbeddingToNormal:130-154)
+    # position (DomainSupport.convertFromEmbeddingToNormal:130-154).
+    # The domain shuffle carries a DENSE integer pattern id (minted on
+    # the tiny driver-side canon table), not the pattern string — the
+    # (k+1)-fold posexplode makes this the widest table of the level, so
+    # its shuffle key is (int, int, long), ~3x narrower than repeating
+    # the canonical pattern string per vertex row
+    pid_map = {
+        r["pattern"]: i
+        for i, r in enumerate(sorted(canon.select("pattern").dropDuplicates().collect(),
+                                     key=lambda r: r["pattern"]))
+    }
+    if not pid_map:  # no embeddings at this level at all
+        return [], frontier.limit(0)
+    pid_col = F.create_map(
+        *[F.lit(x) for kv in pid_map.items() for x in kv]
+    )
+    canon_pid = canon.select(
+        "labels", "adjcode", "pos_map", pid_col[F.col("pattern")].alias("pid")
+    )
     dom = (
         fr.select("labels", "adjcode", F.posexplode(_vids()).alias("pos", "vid"))
-        .join(F.broadcast(canon.select("labels", "adjcode", "pattern", "pos_map")),
-              ["labels", "adjcode"])
-        .select("pattern", F.col("pos_map")[F.col("pos")].alias("cpos"), "vid")
+        .join(F.broadcast(canon_pid), ["labels", "adjcode"])
+        .select("pid", F.col("pos_map")[F.col("pos")].alias("cpos"), "vid")
     )
-    support = (
-        dom.groupBy("pattern", "cpos")
+    support_pid = (
+        dom.groupBy("pid", "cpos")
         .agg(F.countDistinct("vid").alias("d"))
-        .groupBy("pattern")
+        .groupBy("pid")
         .agg(F.min("d").alias("support"))
     )
+    inv = {i: p for p, i in pid_map.items()}
+    pat_col = F.create_map(*[F.lit(x) for kv in inv.items() for x in kv])
+    support = support_pid.select(pat_col[F.col("pid")].alias("pattern"), "support")
     counts = canon.groupBy("pattern").agg(F.sum("cnt").alias("embeddings"))
     level = counts.join(support, "pattern")
     # C11 end-aggregation: drop infrequent patterns
@@ -305,29 +327,90 @@ def _level_stats(
     return freq, survivors
 
 
+def _shifted_code(c, p):
+    """Remap one packed edge code after inserting a new vertex at
+    position ``p``: positions ≥ p shift up by one, the label byte is
+    untouched."""
+    pu = F.shiftright(c, 12)
+    pv = F.shiftright(c, 8).bitwiseAND(F.lit(15))
+    el = c.bitwiseAND(F.lit(255))
+    pu2 = pu + F.when(pu >= p, 1).otherwise(0)
+    pv2 = pv + F.when(pv >= p, 1).otherwise(0)
+    return (pu2 * 4096 + pv2 * 256 + el).cast("int")
+
+
 def _expand(frontier: DataFrame, ledges_sym: DataFrame) -> DataFrame:
-    """Grow every embedding by one incident edge; dedup on the edge set.
+    """Grow every embedding by one incident edge; dedup on (vs, ecodes).
 
     ``ledges_sym`` is (u, v, lv, el): both directions of the labeled edge
     table (``el`` = edge label, 0 when unlabelled). The C2 expand-join:
     member vertices probe the adjacency; the new edge must not already be
-    in the embedding; the result set is deduplicated on the sorted edge
-    array (exactly-once enumeration).
+    in the embedding; the result set is deduplicated on the compressed
+    (vertex set, position-coded edge set) pair (exactly-once
+    enumeration). Growing an embedding means (a) inserting the new
+    endpoint into the vid-sorted ``vs`` (no-op when it is already a
+    member — closing edges are legal in edge-induced growth) and (b)
+    remapping the packed position codes across the insertion point —
+    pure array expressions, no joins beyond the adjacency probe.
     """
-    members = frontier.select("vs", "edges", F.explode(_vids()).alias("m"))
+    members = frontier.select(
+        "vids", "labs", "ecodes", F.posexplode("vids").alias("mpos", "m")
+    )
     cand = members.join(ledges_sym, members["m"] == ledges_sym["u"])
-    new_edge = F.struct(
-        F.least("m", "v").alias("u"), F.greatest("m", "v").alias("v"), F.col("el").alias("el")
+    # insertion position of v in the sorted vids (== its index when
+    # already a member, since member vids are distinct and sorted)
+    p = F.aggregate(
+        "vids", F.lit(0), lambda acc, x: acc + F.when(x < F.col("v"), 1).otherwise(0)
+    )
+    cand = cand.select(
+        "vids",
+        "labs",
+        "ecodes",
+        "mpos",
+        "v",
+        "lv",
+        "el",
+        p.alias("p"),
+        F.array_contains("vids", F.col("v")).alias("ex"),
+    )
+    shifted = F.when(F.col("ex"), F.col("ecodes")).otherwise(
+        F.transform("ecodes", lambda c: _shifted_code(c, F.col("p")))
+    )
+    mpos2 = F.col("mpos") + F.when(
+        ~F.col("ex") & (F.col("mpos") >= F.col("p")), 1
+    ).otherwise(0)
+    new_code = (
+        F.least(mpos2, F.col("p")) * 4096
+        + F.greatest(mpos2, F.col("p")) * 256
+        + F.col("el")
+    ).cast("int")
+    new_vids = F.when(F.col("ex"), F.col("vids")).otherwise(
+        F.array_sort(F.array_union("vids", F.array("v")))
+    )
+    # labels aligned to the new vid order: existing positions look their
+    # label up in the old row, the inserted vertex takes the probe's lv.
+    # Staged withColumns on purpose: aliasing the new arrays AS vids/labs
+    # in one select would make these references resolve LATERALLY to the
+    # new aliases (Spark's implicit lateral column aliases), reading
+    # positions out of the wrong array
+    new_labs = F.transform(
+        "nvids",
+        lambda x: F.when(x == F.col("v"), F.col("lv")).otherwise(
+            F.get("labs", (F.array_position("vids", x) - 1).cast("int"))
+        ),
     )
     grown = (
-        cand.filter(~F.array_contains("edges", new_edge))
+        cand.withColumn("sh", shifted)
+        .withColumn("nc", new_code)
+        .filter(~F.array_contains("sh", F.col("nc")))
+        .withColumn("nvids", new_vids)
+        .withColumn("nlabs", new_labs.cast("array<int>"))
         .select(
-            F.array_sort(
-                F.array_union("vs", F.array(F.struct(F.col("v").alias("vid"), F.col("lv").alias("lab"))))
-            ).alias("vs"),
-            F.array_sort(F.array_union("edges", F.array(new_edge))).alias("edges"),
+            F.col("nvids").alias("vids"),
+            F.col("nlabs").alias("labs"),
+            F.array_sort(F.array_union("sh", F.array("nc"))).alias("ecodes"),
         )
-        .dropDuplicates(["edges"])
+        .dropDuplicates(["vids", "ecodes"])
     )
     return grown
 
@@ -372,28 +455,31 @@ def fsm(
                 f"key (got min={bounds['lo']}, max={bounds['hi']}); relabel "
                 f"via graph.dataprep tools first"
             )
-    led = _labeled_edge_table(edges, vertex_labels)
-    ledges_sym = (
-        led.select(F.col("src").alias("u"), F.col("dst").alias("v"),
-                   F.col("ldst").alias("lv"), "el")
-        .union(
-            led.select(F.col("dst").alias("u"), F.col("src").alias("v"),
-                       F.col("lsrc").alias("lv"), "el")
+    if max_edges > 15:
+        raise ValueError(
+            "fsm: max_edges > 15 would overflow the 4-bit position codes "
+            "(embeddings can reach max_edges+1 vertices)"
         )
-        .persist()
+    # persist the LABELED edge table: everything downstream (both
+    # adjacency directions, the bootstrap frontier, every level's stats)
+    # derives from it, and without the cache the upstream edge pipeline
+    # (e.g. the E-scale co-occurrence support aggregation) re-executes
+    # for each consumer — measured 4x the dominant shuffle at sf0.1
+    led = _labeled_edge_table(edges, vertex_labels).persist()
+    ledges_sym = led.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.col("ldst").alias("lv"), "el"
+    ).union(
+        led.select(F.col("dst").alias("u"), F.col("src").alias("v"),
+                   F.col("lsrc").alias("lv"), "el")
     )
 
-    # bootstrap: size-1 (single-edge) embeddings — C1
+    # bootstrap: size-1 (single-edge) embeddings — C1; src < dst is the
+    # canonical-edge invariant, so vids/labs are already position-aligned;
+    # ecode = (0*16+1)*256+el
     frontier1 = led.select(
-        F.array_sort(
-            F.array(
-                F.struct(F.col("src").alias("vid"), F.col("lsrc").alias("lab")),
-                F.struct(F.col("dst").alias("vid"), F.col("ldst").alias("lab")),
-            )
-        ).alias("vs"),
-        F.array(
-            F.struct(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("el").alias("el"))
-        ).alias("edges"),
+        F.array(F.col("src"), F.col("dst")).alias("vids"),
+        F.array(F.col("lsrc"), F.col("ldst")).cast("array<int>").alias("labs"),
+        F.array((F.lit(256) + F.col("el")).cast("int")).alias("ecodes"),
     )
     found, survivors = _level_stats(frontier1, 1, min_support, edge_labelled)
     all_patterns: list[dict] = list(found)
@@ -437,5 +523,5 @@ def fsm(
                         )
     else:
         run = None
-    ledges_sym.unpersist()
+    led.unpersist()
     return FSMResult(patterns=all_patterns, run=run)
