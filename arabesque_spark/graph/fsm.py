@@ -102,6 +102,19 @@ def quick_canonical(labels: tuple[int, ...], adjcode: tuple[int, ...]) -> tuple[
     """
     k = len(labels)
     pairs = [(c >> 4, c & 15) for c in adjcode]
+    if k >= 6:
+        # k! is infeasible past ~7 vertices; route through the bliss-lite
+        # refinement search (graph/patterns.py — the reference's bliss
+        # analog). Different canonical representative than the k!-min, but
+        # k <= 5 patterns (everything the oracles pin) keep the exact path.
+        from arabesque_spark.graph.patterns import bliss_lite_canonical
+
+        plabels, pedges, pos_map = bliss_lite_canonical(labels, frozenset(pairs))
+        ei = _edge_index(k)
+        bits = 0
+        for e in pedges:
+            bits |= 1 << ei.index(e)
+        return ",".join(map(str, plabels)) + "|" + format(bits, "x"), pos_map
     best = None
     best_perm = None
     for perm in _perms(k):

@@ -6,10 +6,12 @@ Reference semantics re-expressed:
   order-dependent key — here the positional label vector + adjacency
   bitmask of the enumerated subgraph;
 * **canonical pattern** (JBlissPattern.java:55-76, bliss JNI): the
-  isomorphism-class key. The reference needs a general automorphism
-  solver; our motif sizes are fixed and tiny, so the canonical form is
-  the MINIMUM over all k! vertex permutations of (labels, adjacency
-  bits) — exact, dependency-free, vectorized over Arrow batches;
+  isomorphism-class key. Sizes ≤ 5 use the exact MINIMUM over all k!
+  vertex permutations of (labels, adjacency bits) — dependency-free and
+  byte-stable with every pinned oracle; sizes ≥ 6 (where k! dies) use
+  the bliss-lite refinement + individualization search below — the same
+  algorithmic family the reference's JNI bliss call runs, partition-
+  equivalent to the exact search (exhaustively tested at k=4/5);
 * **two-level aggregation** (PatternAggregationStorage.java:196-249,
   SURVEY §4 O3): aggregate by quick pattern FIRST (huge input → tiny
   distinct-key table, all map-side combinable), then canonicalize only
@@ -51,22 +53,126 @@ def _canonical_key(labels: tuple[int, ...], adjbits: int, perms, edge_index) -> 
     return ",".join(map(str, plabels)) + "|" + format(pbits, "x")
 
 
+# ---------------------------------------------------------------------------
+# bliss-lite canonicalization (k >= 6)
+# ---------------------------------------------------------------------------
+#
+# The reference canonicalizes arbitrary pattern sizes through bliss's
+# automorphism search (JBlissPattern.java:55-76, fi/tkk/ics/jbliss/
+# Graph.java:104-136). The blind min-over-k!-permutations above is exact
+# but k! dies around k=7-8. This is the same algorithmic family bliss
+# uses, dependency-free: iterated 1-WL color refinement (label → neighbor
+# color multiset, to the equitable fixpoint) + individualization
+# branching on the first non-singleton class. Isomorphic graphs refine to
+# identical ordered partitions, every automorphism maps classes to
+# classes, so the minimum leaf over the (class-respecting) search tree is
+# a sound canonical form; the tree is tiny for anything with structure
+# (labels, degree spread) and degrades to k! only for totally symmetric
+# unlabeled patterns (C_k, K_k), where k! is small in absolute terms for
+# the k <= 8 range this engine mines. NOTE: the representative ordering
+# differs from the k!-min one, so the dispatch below keeps k <= 5 on the
+# historical exact search — every existing oracle/golden pattern string
+# is unchanged — and routes k >= 6 (where k! was never feasible) here.
+
+
+def _refine_colors(labels, adj, colors):
+    """Iterate (color, sorted neighbor-color multiset) to the equitable
+    fixpoint; colors are dense ranks, isomorphism-invariantly ordered."""
+    k = len(labels)
+    while True:
+        sigs = [
+            (colors[i], tuple(sorted(colors[j] for j in adj[i]))) for i in range(k)
+        ]
+        uniq = sorted(set(sigs))
+        new = [uniq.index(s) for s in sigs]
+        if new == colors:
+            return colors
+        colors = new
+
+
+def bliss_lite_canonical(
+    labels: tuple[int, ...], edges: frozenset[tuple[int, int]]
+) -> tuple[tuple[int, ...], tuple[tuple[int, int], ...], list[int]]:
+    """Canonical form of a vertex-labeled graph → (canonical label
+    sequence, canonical edge list, pos_map) with pos_map[original] =
+    canonical position. Refinement + individualization as above."""
+    k = len(labels)
+    adj = [[] for _ in range(k)]
+    for i, j in edges:
+        adj[i].append(j)
+        adj[j].append(i)
+    lab_rank = {v: r for r, v in enumerate(sorted(set(labels)))}
+    colors0 = _refine_colors(labels, adj, [lab_rank[x] for x in labels])
+    best: list = [None]
+
+    def leaf(colors):
+        order = sorted(range(k), key=lambda v: colors[v])
+        posof = {v: i for i, v in enumerate(order)}
+        plabels = tuple(labels[v] for v in order)
+        pedges = tuple(
+            sorted(tuple(sorted((posof[i], posof[j]))) for i, j in edges)
+        )
+        cand = (plabels, pedges, [posof[v] for v in range(k)])
+        if best[0] is None or cand[:2] < tuple(best[0][:2]):
+            best[0] = cand
+
+    def search(colors):
+        by_color: dict[int, list[int]] = {}
+        for v, c in enumerate(colors):
+            by_color.setdefault(c, []).append(v)
+        target = None
+        for c in sorted(by_color):
+            if len(by_color[c]) > 1:
+                target = by_color[c]
+                break
+        if target is None:
+            leaf(colors)
+            return
+        for v in target:
+            split = [(colors[u], 0 if u == v else 1) for u in range(k)]
+            uniq = sorted(set(split))
+            search(_refine_colors(labels, adj, [uniq.index(s) for s in split]))
+
+    search(colors0)
+    return best[0]
+
+
+def _bliss_key(labels: tuple[int, ...], adjbits: int, edge_index) -> str:
+    edges = frozenset(
+        e for bit, e in enumerate(edge_index) if adjbits >> bit & 1
+    )
+    plabels, pedges, _ = bliss_lite_canonical(labels, edges)
+    epos = {e: b for b, e in enumerate(edge_index)}
+    bits = 0
+    for e in pedges:
+        bits |= 1 << epos[e]
+    return ",".join(map(str, plabels)) + "|" + format(bits, "x")
+
+
 def canonicalize_patterns(quick: DataFrame, size: int) -> DataFrame:
     """(labels array<int>, adjbits long, cnt) → (pattern string, cnt).
 
     The input is the DISTINCT-quick-key table (already aggregated); the
-    permutation search runs only over that small table.
+    canonicalization runs only over that small table. Sizes ≤ 5 use the
+    historical exact k!-min search (pattern strings pinned by oracles);
+    sizes ≥ 6 use the bliss-lite refinement search (k! infeasible).
     """
-    perms = list(permutations(range(size)))
     edge_index = [(i, j) for i in range(size) for j in range(i + 1, size)]
+    if size <= 5:
+        perms = list(permutations(range(size)))
+
+        def key_fn(l, b):
+            return _canonical_key(l, b, perms, edge_index)
+
+    else:
+
+        def key_fn(l, b):
+            return _bliss_key(l, b, edge_index)
 
     @F.pandas_udf(T.StringType())
     def canon(labels: pd.Series, adjbits: pd.Series) -> pd.Series:
         return pd.Series(
-            [
-                _canonical_key(tuple(l), int(b), perms, edge_index)
-                for l, b in zip(labels, adjbits)
-            ]
+            [key_fn(tuple(l), int(b)) for l, b in zip(labels, adjbits)]
         )
 
     return (

@@ -229,3 +229,53 @@ def test_fsm_uniform_edge_labels_reduce_to_vertex_only(spark):
     )
     key = lambda r: sorted((p["n_edges"], p["embeddings"], p["support"]) for p in r.patterns)
     assert key(labeled) == key(plain)
+
+
+def test_quick_canonical_bliss_dispatch_consistency():
+    """k >= 6 quick keys route through bliss-lite: isomorphic storings of
+    the same pattern must canonicalize to ONE key, distinct patterns to
+    distinct keys, and pos_map must be a valid permutation mapping the
+    stored pattern onto the canonical one."""
+    import random
+
+    from arabesque_spark.graph.fsm import quick_canonical
+
+    rng = random.Random(3)
+    k = 6
+    # a 6-path with labels, plus a 6-cycle — different classes
+    base_edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)]
+    cyc_edges = base_edges + [(0, 5)]
+    labels = (0, 1, 0, 1, 0, 1)
+
+    def store(edges, labs, perm):
+        """re-store a pattern under a vertex relabeling (what different
+        embeddings of one pattern produce)."""
+        plabs = tuple(labs[perm.index(i)] for i in range(k))
+        codes = tuple(
+            sorted((min(perm[a], perm[b]) << 4) | max(perm[a], perm[b]) for a, b in edges)
+        )
+        return plabs, codes
+
+    keys = set()
+    for _ in range(20):
+        perm = list(range(k))
+        rng.shuffle(perm)
+        labs, codes = store(base_edges, labels, perm)
+        key, pos_map = quick_canonical(labs, codes)
+        keys.add(key)
+        assert sorted(pos_map) == list(range(k))
+        # pos_map really maps the stored pattern onto the canonical key:
+        # re-encode through it and re-canonicalize — must be a fixpoint
+        relabs = tuple(labs[pos_map.index(i)] for i in range(k))
+        recodes = tuple(
+            sorted(
+                (min(pos_map[c >> 4], pos_map[c & 15]) << 4)
+                | max(pos_map[c >> 4], pos_map[c & 15])
+                for c in codes
+            )
+        )
+        key2, _ = quick_canonical(relabs, recodes)
+        assert key2 == key
+    assert len(keys) == 1
+    cyc_key, _ = quick_canonical(*store(cyc_edges, labels, list(range(k))))
+    assert cyc_key not in keys

@@ -14,9 +14,14 @@ from tests.conftest import TEST_GRAPH_EDGES
 
 
 def _canon(labels, bits, k):
-    perms = list(permutations(range(k)))
+    # mirror the engine's dispatch: exact k!-min at k<=5, bliss-lite above
     ei = [(i, j) for i in range(k) for j in range(i + 1, k)]
-    return _canonical_key(tuple(labels), bits, perms, ei)
+    if k <= 5:
+        perms = list(permutations(range(k)))
+        return _canonical_key(tuple(labels), bits, perms, ei)
+    from arabesque_spark.graph.patterns import _bliss_key
+
+    return _bliss_key(tuple(labels), bits, ei)
 
 
 def _census_bruteforce(edges, k, labels=None):
@@ -74,6 +79,39 @@ def _run(spark, edges, k, labels=None):
 def test_census_k_matches_bruteforce_k5(spark):
     edges = _er(18, 40, seed=5)
     assert _run(spark, edges, 5) == _census_bruteforce(edges, 5)
+
+
+def test_bliss_lite_partition_parity_exhaustive():
+    """The bliss-lite key must induce EXACTLY the same isomorphism
+    classes as the exact min-over-k!-permutations key — checked
+    exhaustively over every 4-vertex graph (64 bitmasks) crossed with
+    three label vectors, and over every 5-vertex graph unlabeled."""
+    from arabesque_spark.graph.patterns import _bliss_key, _canonical_key
+
+    for k, label_sets in [
+        (4, [(0, 0, 0, 0), (0, 1, 0, 1), (2, 0, 1, 0)]),
+        (5, [(0, 0, 0, 0, 0)]),
+    ]:
+        ei = [(i, j) for i in range(k) for j in range(i + 1, k)]
+        perms = list(permutations(range(k)))
+        by_exact: dict[str, set] = defaultdict(set)
+        for labs in label_sets:
+            for bits in range(1 << len(ei)):
+                exact = _canonical_key(labs, bits, perms, ei)
+                by_exact[exact].add(_bliss_key(labs, bits, ei))
+        # same partition: one bliss key per exact class, all distinct
+        assert all(len(v) == 1 for v in by_exact.values())
+        blisses = [next(iter(v)) for v in by_exact.values()]
+        assert len(set(blisses)) == len(blisses)
+
+
+def test_census_k6_matches_bruteforce(spark):
+    """k=6 goes through the bliss-lite path (6! min-perm is dispatched
+    away); counts must match the brute force that uses the same keys."""
+    edges = _er(14, 24, seed=11)
+    assert _run(spark, edges, 6) == _census_bruteforce(edges, 6)
+    labels = {v: v % 2 for e in edges for v in e}
+    assert _run(spark, edges, 6, labels) == _census_bruteforce(edges, 6, labels)
 
 
 def test_census_k_matches_bruteforce_k3_k4_labeled(spark):
