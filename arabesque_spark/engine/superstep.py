@@ -23,7 +23,9 @@ the subgraph frontiers all drive it with a `step` callable.
 from __future__ import annotations
 
 import json
+import queue
 import shutil
+import threading
 import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -77,6 +79,12 @@ class SuperstepRunner:
     only after the write succeeds, so a crash mid-write resumes from the
     previous complete iteration. Without a dir, ``localCheckpoint`` truncates
     lineage in memory (fast path for tests / ephemeral runs).
+
+    With ``async_writeback=True`` the durable write happens on a
+    background writer thread while the next superstep computes from the
+    in-memory checkpoint — same manifest contract (append strictly after
+    the write, in iteration order), durability lagging at most one
+    superstep. Off by default: see ``__init__`` for the measured trade.
     """
 
     def __init__(
@@ -85,6 +93,7 @@ class SuperstepRunner:
         checkpoint_dir: str | Path | None = None,
         max_iterations: int = 100,
         lineage: bool | None = None,
+        async_writeback: bool = False,
     ) -> None:
         self.spark = spark
         self.checkpoint_dir = Path(checkpoint_dir) if checkpoint_dir else None
@@ -92,6 +101,22 @@ class SuperstepRunner:
         # per-partition lineage stats cost one aggregation per iteration;
         # default them on only when there is a manifest to record them in
         self.lineage = (checkpoint_dir is not None) if lineage is None else lineage
+        # With async_writeback, the durable parquet write (+ footer lineage +
+        # manifest append) runs on a single background writer thread while the
+        # main loop proceeds off an in-memory localCheckpoint; durability lags
+        # at most one superstep (a crash between the in-memory checkpoint of
+        # iteration i and its background write resumes from i-1) and the
+        # manifest is still appended only after each write completes, in
+        # iteration order. OFF by default: the A/B at the scaling-bench shape
+        # (BENCH/ckpt_overhead.json) measured the synchronous write-then-
+        # reread path FASTER than both async and no-checkpoint on a CPU-
+        # saturated single node — the column-pruned vectorized parquet reread
+        # undercuts block-store caching's heap pressure, and with every core
+        # busy there is no idle capacity for a background writer to hide in.
+        # Turn it on when the durable store has real latency the compute
+        # cannot absorb (object stores, cross-zone HDFS) and executors have
+        # memory headroom for 2-3 cached states.
+        self.async_writeback = async_writeback
         if self.checkpoint_dir:
             self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
 
@@ -139,6 +164,74 @@ class SuperstepRunner:
             shutil.rmtree(path)
         state.write.mode("overwrite").parquet(str(path))
         return self.spark.read.parquet(str(path)), str(path)
+
+    class _AsyncWriter:
+        """Single background thread that makes in-memory checkpoints durable.
+
+        Tasks are processed strictly in submission order: release the
+        previous iteration's cached blocks (safe — its own write finished
+        earlier in queue order and the main loop has advanced past it),
+        write this iteration's parquet, read the footer lineage, then
+        append the manifest entry. The bounded queue (2 pending writes)
+        back-pressures the main loop so a slow filesystem cannot pile up
+        unpersisted states: at most ~3 iterations of state are ever held.
+        """
+
+        def __init__(self, runner: "SuperstepRunner") -> None:
+            self.runner = runner
+            self.tasks: queue.Queue = queue.Queue(maxsize=2)
+            self.error: BaseException | None = None
+            self.thread = threading.Thread(
+                target=self._loop, daemon=True, name="superstep-writeback"
+            )
+            self.thread.start()
+
+        def submit(
+            self,
+            state: DataFrame,
+            entry: dict,
+            path: str,
+            result: "IterationResult",
+            unpersist_first: DataFrame | None,
+        ) -> None:
+            if self.error is not None:
+                raise self.error
+            self.tasks.put((state, entry, path, result, unpersist_first))
+
+        def _loop(self) -> None:
+            while True:
+                task = self.tasks.get()
+                if task is None:
+                    return
+                if self.error is not None:
+                    continue  # drain remaining tasks after a failure
+                state, entry, path, result, unpersist_first = task
+                try:
+                    if unpersist_first is not None:
+                        unpersist_first.unpersist()
+                    if Path(path).exists():
+                        shutil.rmtree(path)
+                    t0 = time.time()
+                    state.write.mode("overwrite").parquet(path)
+                    per_part = (
+                        self.runner._partition_rows(path) if self.runner.lineage else []
+                    )
+                    result.partition_rows = per_part
+                    self.runner._append_manifest(
+                        {
+                            **entry,
+                            "partition_rows": per_part,
+                            "writeback_s": round(time.time() - t0, 4),
+                        }
+                    )
+                except BaseException as exc:  # surfaced on next submit / close
+                    self.error = exc
+
+        def close(self, raise_errors: bool = True) -> None:
+            self.tasks.put(None)
+            self.thread.join()
+            if raise_errors and self.error is not None:
+                raise self.error
 
     @staticmethod
     def _partition_rows(path: str) -> list[int]:
@@ -208,71 +301,98 @@ class SuperstepRunner:
 
         results: list[IterationResult] = []
         converged = False
-        for i in range(start_iter, self.max_iterations):
-            t0 = time.time()
-            new_state, metrics = step(state, i)
-            obs_exprs = [F.count(F.lit(1)).alias("_rows")]
-            if self.lineage:
-                # decimal sum: ANSI-safe (a long sum of 64-bit hashes
-                # overflows); order-insensitive, so two runs claiming the
-                # same iteration compare value-for-value without rereads
-                obs_exprs.append(
-                    F.sum(F.xxhash64(*new_state.columns).cast("decimal(38,0)")).alias("_fp")
+        use_async = self.async_writeback and self.checkpoint_dir is not None
+        writer = self._AsyncWriter(self) if use_async else None
+        prev_cached: DataFrame | None = None  # writer unpersists it in order
+        try:
+            for i in range(start_iter, self.max_iterations):
+                t0 = time.time()
+                new_state, metrics = step(state, i)
+                obs_exprs = [F.count(F.lit(1)).alias("_rows")]
+                if self.lineage:
+                    # decimal sum: ANSI-safe (a long sum of 64-bit hashes
+                    # overflows); order-insensitive, so two runs claiming the
+                    # same iteration compare value-for-value without rereads
+                    obs_exprs.append(
+                        F.sum(F.xxhash64(*new_state.columns).cast("decimal(38,0)")).alias("_fp")
+                    )
+                for name, col in (halt_exprs or {}).items():
+                    obs_exprs.append(col.alias(name))
+                obs = Observation()
+                observed_df = new_state.observe(obs, *obs_exprs)
+                if use_async:
+                    # critical path: in-memory checkpoint only (severs
+                    # lineage, fires the observe metrics); the parquet write
+                    # happens on the writer thread from these cached blocks
+                    new_state = observed_df.localCheckpoint(eager=True)
+                    path = str(self.checkpoint_dir / f"iter_{i:05d}")
+                else:
+                    new_state, path = self._materialize(observed_df, i)
+                observed = {
+                    k: (int(v) if isinstance(v, Decimal) else v)
+                    for k, v in dict(obs.get).items()
+                }
+                rows = observed.pop("_rows")
+                raw_fp = observed.pop("_fp", None)
+                fingerprint = (
+                    (int(raw_fp) if raw_fp is not None else 0) % (2**63)
+                    if self.lineage
+                    else None
                 )
-            for name, col in (halt_exprs or {}).items():
-                obs_exprs.append(col.alias(name))
-            obs = Observation()
-            new_state, path = self._materialize(new_state.observe(obs, *obs_exprs), i)
-            observed = {
-                k: (int(v) if isinstance(v, Decimal) else v)
-                for k, v in dict(obs.get).items()
-            }
-            rows = observed.pop("_rows")
-            raw_fp = observed.pop("_fp", None)
-            fingerprint = (
-                (int(raw_fp) if raw_fp is not None else 0) % (2**63)
-                if self.lineage
-                else None
-            )
-            per_part = self._partition_rows(path) if (self.lineage and path) else []
-            if halt_decide is not None:
-                halt_metrics = {"rows": rows, **observed}
-                converged = halt_decide(halt_metrics, i)
-                metrics = {**metrics, **observed}
-            elif halt is not None:
-                converged, halt_metrics = halt(new_state, i)
-                metrics = {**metrics, **halt_metrics}
-            else:
-                converged = rows == 0
-                metrics = {**metrics, **observed}
-            wall = time.time() - t0
-            result = IterationResult(
-                iteration=i,
-                rows=rows,
-                metrics=metrics,
-                converged=converged,
-                wall_s=wall,
-                fingerprint=fingerprint,
-                partition_rows=per_part,
-                path=path,
-            )
-            results.append(result)
-            if self.checkpoint_dir:
-                self._append_manifest(
-                    {
-                        "iteration": i,
-                        "rows": rows,
-                        "metrics": metrics,
-                        "converged": converged,
-                        "wall_s": round(wall, 4),
-                        "fingerprint": fingerprint,
-                        "partition_rows": per_part,
-                        "path": path,
-                    }
+                per_part = (
+                    self._partition_rows(path)
+                    if (self.lineage and path and not use_async)
+                    else []
                 )
-            state = new_state
-            if converged:
-                break
+                if halt_decide is not None:
+                    halt_metrics = {"rows": rows, **observed}
+                    converged = halt_decide(halt_metrics, i)
+                    metrics = {**metrics, **observed}
+                elif halt is not None:
+                    converged, halt_metrics = halt(new_state, i)
+                    metrics = {**metrics, **halt_metrics}
+                else:
+                    converged = rows == 0
+                    metrics = {**metrics, **observed}
+                wall = time.time() - t0
+                result = IterationResult(
+                    iteration=i,
+                    rows=rows,
+                    metrics=metrics,
+                    converged=converged,
+                    wall_s=wall,
+                    fingerprint=fingerprint,
+                    partition_rows=per_part,
+                    path=path,
+                )
+                results.append(result)
+                entry = {
+                    "iteration": i,
+                    "rows": rows,
+                    "metrics": metrics,
+                    "converged": converged,
+                    "wall_s": round(wall, 4),
+                    "fingerprint": fingerprint,
+                    "partition_rows": per_part,
+                    "path": path,
+                }
+                if use_async:
+                    assert writer is not None
+                    writer.submit(new_state, entry, path, result, prev_cached)
+                    prev_cached = new_state
+                elif self.checkpoint_dir:
+                    self._append_manifest(entry)
+                state = new_state
+                if converged:
+                    break
+        except BaseException:
+            # drain the writer without masking the in-flight exception
+            if writer is not None:
+                writer.close(raise_errors=False)
+            raise
+        if writer is not None:
+            # all submitted writes durable (and manifest complete) on return
+            writer.close()
         return RunResult(
             state=state,
             iterations=results,

@@ -1,0 +1,140 @@
+"""Durable-checkpoint overhead A/B: what does the north rule's
+per-iteration durable state checkpoint cost on top of the bare superstep
+loop, with synchronous vs async (background-writer) writeback?
+
+Same input graph and job as scripts/scaling_bench.py (94M-edge synthetic
+hub-skewed graph, 8 fixed PageRank supersteps, local[32], tmpfs shuffle).
+Three modes, each a fresh JVM:
+
+  none  — no checkpoint_dir (localCheckpoint only; what scaling_bench times)
+  sync  — checkpoint_dir, async_writeback=False (write parquet + footer
+          lineage + manifest ON the critical path, read state back)
+  async — checkpoint_dir, async_writeback=True (default: in-memory
+          checkpoint on the critical path, durable write on the writer
+          thread, durability lag <= 1 superstep)
+
+Prints one JSON line per mode plus a summary; writes
+BENCH/ckpt_overhead.json when run as orchestrator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+GRAPH_DIR = "/tmp/arabesque_scaling_graph"
+ITERATIONS = 8
+CPUS = 32
+TMPFS = "/dev/shm/spark_local"
+CKPT = "/dev/shm/arabesque_ckpt_bench"
+
+
+def worker(mode: str) -> None:
+    import shutil
+    import time
+
+    from arabesque_spark.engine import superstep as ss_mod
+    from arabesque_spark.graph.pagerank import pagerank
+    from arabesque_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"ckpt_{mode}",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=2 * CPUS,
+    )
+    edges = spark.read.parquet(GRAPH_DIR)
+    n_edges = edges.count()
+    ckpt_dir = None
+    if mode != "none":
+        shutil.rmtree(CKPT, ignore_errors=True)
+        ckpt_dir = CKPT
+        if mode == "async":
+            # pagerank() constructs the runner itself; flip the default
+            # (sync is the default after this A/B's own verdict)
+            orig = ss_mod.SuperstepRunner.__init__
+
+            def patched(self, *a, **kw):
+                kw["async_writeback"] = True
+                orig(self, *a, **kw)
+
+            ss_mod.SuperstepRunner.__init__ = patched
+    t0 = time.time()
+    result = pagerank(
+        spark, edges, tol=-1.0, max_iterations=ITERATIONS, checkpoint_dir=ckpt_dir
+    )
+    wall = time.time() - t0
+    walls = [r.wall_s for r in result.iterations]
+    print(
+        json.dumps(
+            {
+                "mode": mode,
+                "cpus": CPUS,
+                "edges": n_edges,
+                "iterations": ITERATIONS,
+                "total_wall_s": round(wall, 2),
+                "iter_walls_s": [round(w, 2) for w in walls],
+                "median_superstep_s": round(statistics.median(walls), 3),
+            }
+        )
+    )
+    spark.stop()
+
+
+def orchestrate() -> None:
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import scaling_bench
+
+    scaling_bench.build_input()
+    os.makedirs(TMPFS, exist_ok=True)
+    env = {**os.environ, "SPARK_GRAFT_LOCAL_DIR": TMPFS}
+    # interleave modes twice to cancel host drift; report per-mode pooled
+    # median and floor of warm supersteps (iter 0 pays one-time costs)
+    sessions: list[dict] = []
+    for mode in ("none", "sync", "async", "none", "sync", "async"):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "worker", mode],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=REPO,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            print(out.stdout, out.stderr, file=sys.stderr)
+            raise SystemExit(f"worker {mode} failed")
+        sessions.append(json.loads(line[-1]))
+        print(line[-1], flush=True)
+    summary: dict = {"sessions": sessions, "pooled": {}}
+    for mode in ("none", "sync", "async"):
+        warm = [
+            w
+            for s in sessions
+            if s["mode"] == mode
+            for w in s["iter_walls_s"][1:]
+        ]
+        summary["pooled"][mode] = {
+            "median_superstep_s": round(statistics.median(warm), 3),
+            "floor_superstep_s": min(warm),
+        }
+    base = summary["pooled"]["none"]["median_superstep_s"]
+    for mode in ("sync", "async"):
+        summary["pooled"][mode]["overhead_vs_none_median"] = round(
+            summary["pooled"][mode]["median_superstep_s"] / base - 1.0, 3
+        )
+    out_path = os.path.join(REPO, "BENCH", "ckpt_overhead.json")
+    with open(out_path, "w") as fh:
+        json.dump(summary, fh, indent=1)
+    print(json.dumps(summary["pooled"]))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "worker":
+        worker(sys.argv[2])
+    else:
+        orchestrate()

@@ -1,0 +1,106 @@
+"""Async checkpoint writeback: same manifest contract as the synchronous
+path (append strictly after a durable write, iteration order preserved,
+fingerprints identical), with the parquet write off the critical path.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from arabesque_spark.engine.superstep import SuperstepRunner
+
+
+def _counter_step(spark):
+    """Deterministic toy superstep: 20 rows (id, val); val doubles each
+    iteration so every iteration has a distinct fingerprint."""
+
+    def step(state, i):
+        return state.withColumn("val", F.col("val") * 2), {"i": i}
+
+    init = spark.range(20).withColumn("val", F.col("id") + F.lit(1.0))
+    return init, step
+
+
+def _read_manifest(ckpt: Path) -> list[dict]:
+    return [
+        json.loads(line)
+        for line in (ckpt / "manifest.jsonl").read_text().splitlines()
+        if line.strip()
+    ]
+
+
+def test_async_matches_sync_manifest(spark, tmp_path):
+    outs = {}
+    for mode, async_wb in (("sync", False), ("async", True)):
+        ckpt = tmp_path / mode
+        init, step = _counter_step(spark)
+        runner = SuperstepRunner(
+            spark, checkpoint_dir=ckpt, max_iterations=4, async_writeback=async_wb
+        )
+        res = runner.run(init, step, halt_decide=lambda m, i: i >= 3)
+        man = _read_manifest(ckpt)
+        assert [m["iteration"] for m in man] == [0, 1, 2, 3]
+        assert all(Path(m["path"]).exists() for m in man)
+        assert all(sum(m["partition_rows"]) == 20 for m in man)
+        outs[mode] = (
+            [m["fingerprint"] for m in man],
+            [m["rows"] for m in man],
+            sorted(res.state.collect()),
+        )
+    assert outs["sync"][0] == outs["async"][0]  # value fingerprints identical
+    assert outs["sync"][1] == outs["async"][1]
+    assert outs["sync"][2] == outs["async"][2]
+
+
+def test_async_results_carry_lineage(spark, tmp_path):
+    """partition_rows are filled in by the writer thread before run() returns."""
+    init, step = _counter_step(spark)
+    runner = SuperstepRunner(
+        spark, checkpoint_dir=tmp_path / "c", max_iterations=2, async_writeback=True
+    )
+    res = runner.run(init, step, halt_decide=lambda m, i: i >= 1)
+    for it in res.iterations:
+        assert sum(it.partition_rows) == 20
+        assert it.fingerprint is not None
+
+
+def test_async_resume_after_partial_writeback(spark, tmp_path):
+    """A crash between the in-memory checkpoint and the durable write loses at
+    most one iteration: simulate by deleting the LAST iteration's parquet (the
+    manifest entry exists but its data does not) — resume restarts from the
+    previous complete iteration and re-runs exactly one superstep."""
+    ckpt = tmp_path / "c"
+    init, step = _counter_step(spark)
+    runner = SuperstepRunner(
+        spark, checkpoint_dir=ckpt, max_iterations=3, async_writeback=True
+    )
+    runner.run(init, step, halt_decide=lambda m, i: i >= 2)
+    man = _read_manifest(ckpt)
+    import shutil
+
+    shutil.rmtree(man[-1]["path"])  # "crash" before iter 2 became durable
+    runner2 = SuperstepRunner(spark, checkpoint_dir=ckpt, max_iterations=3)
+    res = runner2.run(init, step, halt_decide=lambda m, i: i >= 2, resume=True)
+    assert res.resumed_from == 1
+    assert [it.iteration for it in res.iterations] == [2]
+    man2 = _read_manifest(ckpt)
+    # the re-run iteration produced the same state as the lost one
+    assert man2[-1]["fingerprint"] == man[2]["fingerprint"]
+
+
+def test_async_writer_error_surfaces(spark, tmp_path, monkeypatch):
+    init, step = _counter_step(spark)
+    runner = SuperstepRunner(
+        spark, checkpoint_dir=tmp_path / "c", max_iterations=3, async_writeback=True
+    )
+
+    def boom(path):
+        raise RuntimeError("footer read failed")
+
+    monkeypatch.setattr(runner, "_partition_rows", boom)
+    with pytest.raises(RuntimeError, match="footer read failed"):
+        runner.run(init, step, halt_decide=lambda m, i: i >= 2)
