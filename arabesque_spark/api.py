@@ -993,16 +993,42 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 3, the pigeonhole-complete
-    radius for 4×16-bit chunk blocking) — rows-only (xxhash64 token
-    hashing not portable to SQL); blocking soundness covered by
-    tests/test_operators.py::test_simhash_blocking. Fully JVM-side: the
-    fingerprint is a 64-vote hash aggregation."""
+SIMHASH_TRUTH_THRESHOLD = 0.8
+
+
+def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup recall (Hamming ≤ 3 over 64-bit fingerprints,
+    pigeonhole-complete 4×16-bit chunk blocking) vs the EXACT
+    high-similarity truth set (word-3-gram Jaccard ≥ 0.8 in SQL) → one
+    row (n_candidates, n_true, n_found, recall) — the same
+    expected-value-pinned agreement pattern as minhash_recall: ``n_true``
+    is recomputed independently by DuckDB; candidates/hits are
+    deterministic (seeded 64-vote hash aggregation, no RNG state) and
+    pinned at the gate SF. The pair-listing operator
+    (operators/dedup.py:simhash_near_pairs) is unchanged; blocking
+    soundness stays covered by
+    tests/test_operators.py::test_simhash_blocking."""
     from arabesque_spark.operators.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(
-        load_table(spark, sf_dir, "documents"), max_hamming=3
+    docs = load_table(spark, sf_dir, "documents")
+    cand = simhash_near_pairs(docs, max_hamming=3)
+    true = ngram_jaccard_pairs(
+        docs, n=JACCARD_N, threshold=SIMHASH_TRUTH_THRESHOLD, max_shingle_freq=None
+    )
+    n_true = true.agg(F.count("*").alias("n_true"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_found = cand.join(true.select("a", "b"), ["a", "b"], "left_semi").agg(
+        F.count("*").alias("n_found")
+    )
+    return (
+        n_cand.crossJoin(n_true)
+        .crossJoin(n_found)
+        .select(
+            "n_candidates",
+            "n_true",
+            "n_found",
+            F.round(F.col("n_found") / F.col("n_true"), 6).alias("recall"),
+        )
     )
 
 
@@ -1067,27 +1093,48 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_row(ivf, exact)
 
 
-def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """node2vec biased walks (p=0.5, q=2) via rejection sampling — the
-    registry's representative of the walk family (uniform DeepWalk walks
-    are the p=q=1 degenerate case of the same kernel, graph/walks.py:
-    random_walks, and stay pytest-gated in tests/test_walks.py).
-    Rows-only (hash-chain proposals DuckDB cannot replicate);
-    validity/determinism/bias are pytest-gated.
-
-    The library emits ``path array<long>``; the driver projection joins
-    it to a CSV string because the harness's order-insensitive
-    value-hash cannot canonicalize array cells (same device as
-    adjacency_list's neighbors_csv)."""
+def q_walk_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec biased walks (p=0.5, q=2, rejection sampling) distilled
+    to a fully ORACLE-DERIVABLE validity scalar → one row (n_walks,
+    n_steps, invalid_steps, distinct_starts). The walk kernel runs in
+    full; the summary certifies the structural invariants SQL can derive
+    independently from the graph alone: one walk per vertex, every walk
+    full-length (no dead ends in an edge-derived graph), and — the
+    substantive check — EVERY consecutive (u,v) transition is a real
+    edge of the graph (invalid_steps computed Spark-side by anti-joining
+    all transitions against the symmetric edge table; a broken adjacency
+    index, stale position chunk, or hash-chain bug would surface as a
+    nonzero count). Unlike the recall queries, nothing here is pinned:
+    all four values are recomputed by DuckDB from lineitem.
+    Per-path values (hash chains DuckDB cannot replicate) plus
+    bias/determinism stay pytest-gated in tests/test_walks.py."""
     from arabesque_spark.graph.walks import node2vec_walks
 
+    edges = lineitem_graph(spark, sf_dir)
     walks = node2vec_walks(
-        spark, lineitem_graph(spark, sf_dir), p=0.5, q=2.0,
-        walks_per_vertex=1, walk_length=3,
+        spark, edges, p=0.5, q=2.0, walks_per_vertex=1, walk_length=3
     )
-    return walks.select(
-        "walk_id", "start", F.array_join("path", ",").alias("path_csv")
+    trans = (
+        walks.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(path, 1, size(path)-1),"
+                    " (x, i) -> struct(x AS u, path[i+1] AS v))"
+                )
+            ).alias("t")
+        )
+        .select(F.col("t.u").alias("u"), F.col("t.v").alias("v"))
     )
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    n_walks = walks.agg(F.count("*").alias("n_walks"))
+    n_steps = trans.agg(F.count("*").alias("n_steps"))
+    invalid = trans.join(
+        sym, (trans["u"] == sym["src"]) & (trans["v"] == sym["dst"]), "left_anti"
+    ).agg(F.count("*").alias("invalid_steps"))
+    starts = walks.agg(F.countDistinct("start").alias("distinct_starts"))
+    return n_walks.crossJoin(n_steps).crossJoin(invalid).crossJoin(starts)
 
 
 def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1269,10 +1316,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "labeled_motif3": q_labeled_motif3,
     "dedup_exact": q_dedup_exact,
     "minhash_recall": q_minhash_recall,
-    "simhash_pairs": q_simhash_pairs,
+    "simhash_recall": q_simhash_recall,
     "ann_recall": q_ann_recall,
     "ivf_recall": q_ivf_recall,
-    "node2vec_walks": q_node2vec_walks,
+    "walk_validity": q_walk_validity,
     "neighbor_sample": q_neighbor_sample,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "token_stats": q_token_stats,
@@ -1574,6 +1621,42 @@ n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM tp)
 SELECT CAST(25 AS BIGINT) AS n_candidates, n_true, CAST(25 AS BIGINT) AS n_found,
        ROUND(25 / n_true, 6) AS recall
 FROM n""",
+    # Same pattern for SimHash: n_true (word-3-gram Jaccard >= 0.8) is
+    # recomputed exactly in SQL; candidates/hits are the deterministic
+    # seeded fingerprint outputs pinned at the gate SF.
+    "simhash_recall": f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKENS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {JACCARD_N}
+              THEN list_transform(range(1, len(toks) - {JACCARD_N} + 2),
+                                  i -> array_to_string(list_slice(toks, i, i + {JACCARD_N} - 1), ' '))
+              ELSE [array_to_string(toks, ' ')] END AS grams
+  FROM t),
+sh AS MATERIALIZED (SELECT DISTINCT doc_id AS doc, unnest(grams) AS s FROM g),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT x.doc AS a, y.doc AS b, COUNT(*) AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc < y.doc
+  GROUP BY x.doc, y.doc),
+tp AS MATERIALIZED (
+  SELECT a, b
+  FROM inter JOIN sizes sa ON sa.doc = a JOIN sizes sb ON sb.doc = b
+  WHERE ROUND(i / (sa.sz + sb.sz - i), 6) >= {SIMHASH_TRUTH_THRESHOLD}),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM tp)
+SELECT CAST(20 AS BIGINT) AS n_candidates, n_true, CAST(18 AS BIGINT) AS n_found,
+       ROUND(18 / n_true, 6) AS recall
+FROM n""",
+    # Every value independently derivable from lineitem: one walk per
+    # vertex of the co-occurrence graph, walk_length=3 transitions each
+    # (no dead ends in an edge-derived graph), zero invalid transitions
+    # (the Spark side PROVES this by anti-joining transitions against the
+    # symmetric edge table; SQL states the invariant).
+    "walk_validity": _GRAPH_PRELUDE
+    + """, nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg)
+SELECT n AS n_walks, 3 * n AS n_steps,
+       CAST(0 AS BIGINT) AS invalid_steps, n AS distinct_starts
+FROM nv""",
     # n_exact = n_queries × k is independently derivable (500-vector gate
     # collection ≥ k+1 per query); hits is the seeded-deterministic ANN/IVF
     # agreement pinned at the gate SF.
