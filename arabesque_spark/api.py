@@ -1137,15 +1137,49 @@ def q_walk_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_walks.crossJoin(n_steps).crossJoin(invalid).crossJoin(starts)
 
 
-def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GNN minibatch neighborhood sampling (2 layers, fanout 3/2) —
-    rows-only (hash-chain sampling); block validity/determinism
-    pytest-gated (tests/test_walks.py)."""
+SAMPLE_FANOUTS = [3, 2]
+
+
+def q_sample_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNN minibatch neighborhood sampling (2 layers, fanout 3/2)
+    distilled to fully ORACLE-DERIVABLE validity invariants → one row
+    (n_roots, invalid_edges, bad_layer0, overfanout_groups) — the same
+    device as walk_validity: the sampling kernel runs in full, and the
+    summary certifies what SQL can derive from the graph alone. n_roots
+    is recomputed by DuckDB as LEAST(50, |V|) (every seed has deg ≥ 1,
+    so every root emits a layer-0 block); the zero columns are structural
+    invariants PROVEN Spark-side — every sampled (src, dst) is a real
+    edge (anti-join vs the symmetric edge table), every layer-0 block
+    hangs off its own root, and no (root, layer, src) group exceeds its
+    fanout. A broken position index, stale degree, or hash-chain bug
+    surfaces as a nonzero count. Per-block values (hash-chain picks
+    DuckDB cannot replicate) plus determinism stay pytest-gated in
+    tests/test_walks.py."""
     from arabesque_spark.graph.walks import sample_neighborhood
 
     edges = lineitem_graph(spark, sf_dir)
     seeds = degrees(edges).select("vid").orderBy("vid").limit(50)
-    return sample_neighborhood(spark, edges, seeds, fanouts=[3, 2])
+    blocks = sample_neighborhood(spark, edges, seeds, fanouts=SAMPLE_FANOUTS)
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    n_roots = blocks.agg(F.countDistinct("root").alias("n_roots"))
+    invalid = blocks.join(sym, ["src", "dst"], "left_anti").agg(
+        F.count("*").alias("invalid_edges")
+    )
+    bad_l0 = blocks.filter(
+        (F.col("layer") == 0) & (F.col("src") != F.col("root"))
+    ).agg(F.count("*").alias("bad_layer0"))
+    fanout_of = F.when(F.col("layer") == 0, F.lit(SAMPLE_FANOUTS[0])).otherwise(
+        F.lit(SAMPLE_FANOUTS[1])
+    )
+    overfan = (
+        blocks.groupBy("root", "layer", "src")
+        .agg(F.count("*").alias("n"), F.first(fanout_of).alias("fanout"))
+        .filter(F.col("n") > F.col("fanout"))
+        .agg(F.count("*").alias("overfanout_groups"))
+    )
+    return n_roots.crossJoin(invalid).crossJoin(bad_l0).crossJoin(overfan)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1226,14 +1260,25 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.events_hourly(spark, sf_dir)
 
 
-def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal pipeline end-to-end with REAL decoding: synthesize
+def q_media_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline end-to-end with REAL decoding — synthesize
     genuine binary containers (netpbm P6 images, concatenated-P6 video
-    streams, RIFF/WAV PCM16 audio) → batch decode via the
-    dependency-free codecs (operators/media_codecs.py) → frame sampling
-    → per-item feature stats. Rows-only: the decoded dims/features come
-    from binary parsing DuckDB cannot replicate; codec round-trips and
-    decode parity are pytest-verified (tests/test_operators.py)."""
+    streams, RIFF/WAV PCM16 audio), batch-decode via the dependency-free
+    codecs (operators/media_codecs.py), frame-sample — distilled to an
+    oracle-checked validity row (n_items, bad_dims, bad_sampling,
+    n_video, total_frames, feat_norm_sum). ``n_items`` is the synth
+    cardinality; ``bad_dims`` counts decoded rows whose dimensions fall
+    outside the encoder's parameter envelope (image w,h ∈ [8,32] / 1
+    frame; video w,h ∈ [8,16] / 2-8 frames; audio mono, rate/100 ∈
+    {80,160,441}, 64-512 samples) — a decoder bug (stride, header
+    offset, endianness) lands outside the envelope and surfaces here;
+    ``bad_sampling`` certifies frame_sample(every=8) emits exactly
+    ⌊(n_frames-1)/8⌋+1 indices per video. ``n_video`` / ``total_frames``
+    / ``feat_norm_sum`` are seed-deterministic (seed=7, per-item rng,
+    parallelism-invariant) and pinned — feat_norm_sum sums per-item
+    6-dp-rounded feature square-norms as decimal(20,6) so the total is
+    exact under any aggregation order. Per-item decode parity and codec
+    round-trips stay pytest-gated (tests/test_operators.py)."""
     from arabesque_spark.operators.multimodal import (
         decode_media,
         frame_sample,
@@ -1245,7 +1290,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     fs = frame_sample(dec, every=8).groupBy("media_id").agg(
         F.count("*").alias("n_sampled")
     )
-    return dec.join(fs, "media_id", "left").select(
+    per_item = dec.join(fs, "media_id", "left").select(
         "media_id",
         "kind",
         "width",
@@ -1257,7 +1302,41 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "features", F.lit(0.0), lambda a, x: a + (x * x).cast("double")
             ),
             6,
-        ).alias("feat_sq_norm"),
+        )
+        .cast("decimal(20,6)")
+        .alias("feat_sq_norm"),
+    )
+    dims_ok = (
+        F.when(
+            F.col("kind") == "image",
+            F.col("width").between(8, 32)
+            & F.col("height").between(8, 32)
+            & (F.col("n_frames") == 1),
+        )
+        .when(
+            F.col("kind") == "video",
+            F.col("width").between(8, 16)
+            & F.col("height").between(8, 16)
+            & F.col("n_frames").between(2, 8),
+        )
+        .otherwise(
+            (F.col("width") == 1)
+            & F.col("height").isin(80, 160, 441)
+            & F.col("n_frames").between(64, 512)
+        )
+    )
+    sampling_ok = F.when(
+        F.col("kind") == "video",
+        F.col("n_sampled")
+        == F.floor((F.col("n_frames") - 1) / 8).cast("int") + 1,
+    ).otherwise(F.col("n_sampled") == 0)
+    return per_item.agg(
+        F.count("*").alias("n_items"),
+        F.sum((~dims_ok).cast("long")).alias("bad_dims"),
+        F.sum((~sampling_ok).cast("long")).alias("bad_sampling"),
+        F.sum((F.col("kind") == "video").cast("long")).alias("n_video"),
+        F.sum("n_frames").alias("total_frames"),
+        F.sum("feat_sq_norm").alias("feat_norm_sum"),
     )
 
 
@@ -1288,7 +1367,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_degrees": q_graph_degrees,
     "graph_summary": q_graph_summary,
     "user_sessions": q_user_sessions,
-    "media_features": q_media_features,
+    "media_validity": q_media_validity,
     "triangles_total": q_triangles_total,
     "triangles_per_vertex": q_triangles_per_vertex,
     "motif3": q_motif3,
@@ -1320,7 +1399,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall": q_ann_recall,
     "ivf_recall": q_ivf_recall,
     "walk_validity": q_walk_validity,
-    "neighbor_sample": q_neighbor_sample,
+    "sample_validity": q_sample_validity,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "token_stats": q_token_stats,
     "skipgram_pairs": q_skipgram_pairs,
@@ -1657,6 +1736,27 @@ FROM n""",
 SELECT n AS n_walks, 3 * n AS n_steps,
        CAST(0 AS BIGINT) AS invalid_steps, n AS distinct_starts
 FROM nv""",
+    # n_roots derivable (LEAST(50, |V|): every seed has deg >= 1 so every
+    # root emits a layer-0 block); the zeros are structural invariants
+    # PROVEN Spark-side (real-edge anti-join, layer-0 root check, fanout
+    # cap per group); SQL states them.
+    "sample_validity": _GRAPH_PRELUDE
+    + """
+SELECT LEAST(CAST(50 AS BIGINT), CAST(COUNT(*) AS BIGINT)) AS n_roots,
+       CAST(0 AS BIGINT) AS invalid_edges, CAST(0 AS BIGINT) AS bad_layer0,
+       CAST(0 AS BIGINT) AS overfanout_groups
+FROM deg""",
+    # The multimodal pipeline is sf-independent (fixed synth n=256,
+    # seed=7, per-item rng): n_items is the synth cardinality, the zero
+    # columns are decode-envelope / frame-sampling invariants proven
+    # Spark-side over the REAL codec path, and n_video / total_frames /
+    # feat_norm_sum are seed-deterministic constants (decimal(20,6)
+    # per-item rounding makes the sum exact under any aggregation order).
+    "media_validity": """
+SELECT CAST(256 AS BIGINT) AS n_items, CAST(0 AS BIGINT) AS bad_dims,
+       CAST(0 AS BIGINT) AS bad_sampling, CAST(90 AS BIGINT) AS n_video,
+       CAST(24480 AS BIGINT) AS total_frames,
+       CAST(266.676606 AS DECIMAL(30,6)) AS feat_norm_sum""",
     # n_exact = n_queries × k is independently derivable (500-vector gate
     # collection ≥ k+1 per query); hits is the seeded-deterministic ANN/IVF
     # agreement pinned at the gate SF.
