@@ -37,8 +37,11 @@ edges (ea<eb, sup = current support, t* null); kind 1 rows are the
 edge-indexed triangle incidence (one row per (triangle, edge): (ea,eb)
 the edge, (ta<tb<tc) the triangle, sup null). Edges in no triangle are
 dropped at init (support 0 < k−2 always). The halt rides the
-materialization job's observed row count: any removal strictly shrinks
-the state, so an unchanged count is the fixpoint.
+materialization job's ``observe`` metrics: the job that writes the
+round's state also counts the surviving edges still below threshold, so
+a zero "pending" count detects the fixpoint WITHOUT spending the extra
+no-op round a row-count comparison needs (one full round saved per
+run, and no cross-iteration driver state to reconstruct on resume).
 """
 
 from __future__ import annotations
@@ -94,7 +97,6 @@ def k_truss(
     if k < 3:
         raise ValueError("k_truss needs k >= 3 (k-2 triangles per edge)")
     thr = k - 2
-    prev_rows: list[int | None] = [None]
 
     def step(state: DataFrame, i: int):
         if i == 0:
@@ -145,12 +147,18 @@ def k_truss(
         new_te = te.join(killed, ["ta", "tb", "tc"], "left_anti")
         return _edge_rows(new_e).unionByName(_te_rows(new_te)), {"k": k}
 
+    # fused halt: the materialization job observes how many surviving
+    # edges are still below threshold — zero pending means the NEXT round
+    # would remove nothing, so the fixpoint is detected without spending
+    # that round (and without cross-iteration driver state, which also
+    # makes resume decisions stateless). sup is null on kind-1 rows;
+    # (kind=0 AND sup<thr) is false there, so the cast contributes 0.
+    pending = F.sum(
+        ((F.col("kind") == 0) & (F.col("sup") < F.lit(thr))).cast("long")
+    )
+
     def halt_decide(m: dict, i: int) -> bool:
-        rows = m["rows"]
-        # i == 0 only initializes support; rows == prev is meaningless there
-        done = rows == 0 or (i > 0 and rows == prev_rows[0])
-        prev_rows[0] = rows
-        return done
+        return m["rows"] == 0 or (m.get("pending") or 0) == 0
 
     runner = SuperstepRunner(
         spark, checkpoint_dir=checkpoint_dir, max_iterations=max_iterations
@@ -168,7 +176,7 @@ def k_truss(
         initial,
         step,
         resume=resume,
-        halt_exprs={},
+        halt_exprs={"pending": pending},
         halt_decide=halt_decide,
     )
     return RunResult(
