@@ -1211,7 +1211,13 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quality_score(load_table(spark, sf_dir, "documents"))
+    """Heuristic quality score joined with the Gopher-style repetition
+    signals (operators/text.py:repetition_stats) — one row per document,
+    every column 6-dp- or integer-exact vs the SQL twin."""
+    from arabesque_spark.operators.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_score(docs).join(repetition_stats(docs), "doc_id")
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1787,18 +1793,45 @@ SELECT doc_id,
        CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS INTEGER) AS stop_cnt
 FROM t""",
     "quality_score": f"""
-WITH t AS (SELECT doc_id, {_DOC_TOKENS} AS toks FROM documents),
+WITH t AS MATERIALIZED (
+  SELECT doc_id, {_DOC_TOKENS} AS toks FROM documents),
 s AS (SELECT doc_id,
              len(toks) AS n_tokens,
              len(list_distinct(toks)) AS n_uniq,
              len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS stop_cnt
-      FROM t)
-SELECT doc_id,
+      FROM t),
+q AS (SELECT doc_id,
        ROUND(least(1.0, CAST(n_tokens AS DOUBLE) / 64.0)
              * (n_uniq / CAST(n_tokens AS DOUBLE))
              * (0.5 + 0.5 * least(1.0, stop_cnt / greatest(CAST(n_tokens AS DOUBLE) * 0.05, 1.0))),
              6) AS quality
-FROM s""",
+      FROM s),
+g AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS big,
+         list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS tri,
+         len(toks) AS n_tokens,
+         list_sum(list_transform(toks, x -> length(x))) AS char_sum
+  FROM t),
+bc AS (SELECT doc_id, COUNT(*) AS c FROM (SELECT doc_id, unnest(big) AS bg FROM g)
+       GROUP BY doc_id, bg),
+top AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS tot_c FROM bc GROUP BY doc_id),
+r AS (
+  SELECT g.doc_id,
+         CAST(len(big) AS INTEGER) AS n_bigrams,
+         COALESCE(ROUND(top_c / CAST(tot_c AS DOUBLE), 6), 0.0) AS top_bigram_frac,
+         CASE WHEN len(big) <= 0 THEN 0.0
+              ELSE ROUND((len(big) - len(list_distinct(big))) / CAST(len(big) AS DOUBLE), 6)
+         END AS dup_bigram_frac,
+         CASE WHEN len(tri) <= 0 THEN 0.0
+              ELSE ROUND((len(tri) - len(list_distinct(tri))) / CAST(len(tri) AS DOUBLE), 6)
+         END AS dup_trigram_frac,
+         ROUND(char_sum / CAST(n_tokens AS DOUBLE), 6) AS mean_word_len
+  FROM g LEFT JOIN top ON g.doc_id = top.doc_id)
+SELECT q.doc_id, quality, n_bigrams, top_bigram_frac, dup_bigram_frac,
+       dup_trigram_frac, mean_word_len
+FROM q JOIN r ON q.doc_id = r.doc_id""",
     "lang_id": f"""
 WITH t AS (SELECT doc_id, {_DOC_TOKENS} AS toks FROM documents),
 h AS (SELECT doc_id,

@@ -62,6 +62,69 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -
     )
 
 
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bigrams, top_bigram_frac, dup_bigram_frac,
+    dup_trigram_frac, mean_word_len) — Gopher-style repetition / quality
+    signals (the "repetitious text" filters of Rae et al. 2021 §A1.1,
+    adapted to single-line documents): the fraction of all word-bigram
+    occurrences taken by the single most frequent bigram, the fraction
+    of bigram / trigram occurrences that repeat an earlier one, and mean
+    word length. Everything is JVM-side: the duplicate fractions and
+    word lengths are pure array expressions; the top-bigram mode is one
+    explode + two map-side-combinable hash aggregations (never a window
+    over the corpus). Docs too short for an n-gram get 0.0 fractions.
+    All six columns are integer- or 6-dp-exact with an ANSI-SQL twin."""
+    toks = tokens_col(text)
+    base = docs.select(F.col(id_col), toks.alias("t"))
+    big = F.expr(
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+        " (x, i) -> concat(x, ' ', element_at(t, i + 2)))"
+    )
+    tri = F.expr(
+        "transform(slice(t, 1, greatest(size(t) - 2, 0)),"
+        " (x, i) -> concat(x, ' ', element_at(t, i + 2), ' ', element_at(t, i + 3)))"
+    )
+
+    def dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(n <= 0, F.lit(0.0)).otherwise(
+            F.round((n - F.size(F.array_distinct(arr))) / n.cast("double"), 6)
+        )
+
+    per_doc = base.select(
+        id_col,
+        F.size("t").alias("n_tokens"),
+        big.alias("big"),
+        dup_frac(big).alias("dup_bigram_frac"),
+        dup_frac(tri).alias("dup_trigram_frac"),
+        F.aggregate("t", F.lit(0), lambda a, x: a + F.length(x)).alias("char_sum"),
+    )
+    top = (
+        per_doc.select(id_col, F.explode("big").alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("tot_c"))
+    )
+    return (
+        per_doc.join(top, id_col, "left")
+        .select(
+            id_col,
+            F.size("big").alias("n_bigrams"),
+            F.coalesce(
+                F.round(F.col("top_c") / F.col("tot_c").cast("double"), 6), F.lit(0.0)
+            ).alias("top_bigram_frac"),
+            "dup_bigram_frac",
+            "dup_trigram_frac",
+            F.round(F.col("char_sum") / F.col("n_tokens").cast("double"), 6).alias(
+                "mean_word_len"
+            ),
+        )
+    )
+
+
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
     """(doc_id, pred_lang) — marker-word hit count, fixed priority tie-break
     (en > de > es > fr > und). Deterministic by construction."""

@@ -130,6 +130,36 @@ def test_text_operators_basic(docs):
     assert 0 <= q[0] <= 1 and q[6] < q[0]
 
 
+def test_repetition_stats_hand_computed(spark):
+    from arabesque_spark.operators.text import repetition_stats
+
+    d = spark.createDataFrame(
+        [
+            (0, "a b a b a"),  # bigrams: ab,ba,ab,ba; trigrams: aba,bab,aba
+            (1, "x"),  # too short for any n-gram
+            (2, "ab cd"),  # single bigram
+            (3, "aa bb cc dd"),  # all n-grams unique
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(d).collect()}
+    r0 = got[0]
+    assert r0["n_bigrams"] == 4
+    assert r0["top_bigram_frac"] == 0.5  # "a b" twice of 4
+    assert r0["dup_bigram_frac"] == 0.5  # 2 repeats of 4
+    assert r0["dup_trigram_frac"] == 0.333333  # "a b a" repeats once of 3
+    assert r0["mean_word_len"] == 1.0
+    r1 = got[1]
+    assert r1["n_bigrams"] == 0
+    assert r1["top_bigram_frac"] == 0.0
+    assert r1["dup_bigram_frac"] == 0.0 and r1["dup_trigram_frac"] == 0.0
+    assert r1["mean_word_len"] == 1.0
+    assert got[2]["top_bigram_frac"] == 1.0 and got[2]["dup_bigram_frac"] == 0.0
+    assert got[2]["mean_word_len"] == 2.0
+    assert got[3]["top_bigram_frac"] == 0.333333
+    assert got[3]["dup_trigram_frac"] == 0.0
+
+
 def test_multimodal_plumbing(spark):
     media = synth_media(spark, n=48)
     assert media.count() == 48
