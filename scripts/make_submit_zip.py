@@ -1,0 +1,64 @@
+"""Package the engine for `spark-submit --py-files` cluster launches.
+
+The north-rule deployment shape (BASELINE.json: "run via spark-submit
+--py-files on a multi-executor cluster") ships the library as a zip on
+every executor's PYTHONPATH plus a tiny driver script. This builds both:
+
+    dist/arabesque_spark.zip   the library, import-rooted at the package
+    dist/submit_main.py        driver: delegates to arabesque_spark.cli
+
+Launch (any master — YARN / k8s / standalone / local):
+
+    spark-submit --py-files dist/arabesque_spark.zip dist/submit_main.py \
+        pagerank --edges /data/graph/edges --checkpoint /ckpt/pr --out /out/ranks
+
+Only .py files are zipped (no tests, no __pycache__); the zip root is
+the package directory itself, as --py-files requires.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DIST = os.path.join(REPO, "dist")
+
+SUBMIT_MAIN = '''\
+"""spark-submit driver for arabesque_spark (shipped via --py-files).
+
+spark-submit puts the accompanying zip on the driver and executor
+PYTHONPATH before this script runs, so the plain import below works on
+a bare cluster node. All orchestration lives in the library CLI.
+"""
+import sys
+
+from arabesque_spark.cli import main
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
+'''
+
+
+def build() -> str:
+    os.makedirs(DIST, exist_ok=True)
+    zpath = os.path.join(DIST, "arabesque_spark.zip")
+    n = 0
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(REPO, "arabesque_spark")
+        for root, _dirs, files in os.walk(pkg):
+            for f in sorted(files):
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(root, f)
+                z.write(full, os.path.relpath(full, REPO))
+                n += 1
+    with open(os.path.join(DIST, "submit_main.py"), "w") as f:
+        f.write(SUBMIT_MAIN)
+    print(f"wrote {zpath} ({n} files) and dist/submit_main.py")
+    return zpath
+
+
+if __name__ == "__main__":
+    sys.exit(0 if build() else 1)
