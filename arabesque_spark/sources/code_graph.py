@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from arabesque_spark.graph.build import canonical_edges, dense_vertex_ids
@@ -40,12 +40,28 @@ def _group_edges(
     """Edges within each group: full clique if |group| ≤ limit, else star.
 
     ``members`` must be distinct (group, member) rows.
+
+    One window over ``group_col`` yields both the group size and the
+    group minimum, so the star branch is a pure projection (no
+    aggregate, no join) and the clique branch is a single self-join
+    whose both sides share the window's exchange. The groupBy+join
+    alternative costs the same E-scale sort on the group key at scale
+    (the per-group count table is group-cardinality-sized, far beyond
+    broadcast at 10^12 files, so the size join is itself a sort-merge
+    on E) plus an extra aggregation; the window does it in one pass.
+    A pathological group (a sha256 shared by 10^6 files) is one
+    window partition in one task — the same row locality the
+    sort-merge join would exhibit — and count/min windows are O(1)
+    memory per task.
     """
-    sized = members.join(
-        members.groupBy(group_col).agg(F.count("*").alias("gsz")), group_col
+    w = Window.partitionBy(group_col)
+    sized = members.select(
+        group_col,
+        member_col,
+        F.count("*").over(w).alias("gsz"),
+        F.min(member_col).over(w).alias("m"),
     )
-    small = sized.filter(F.col("gsz") <= pairwise_limit).drop("gsz")
-    big = sized.filter(F.col("gsz") > pairwise_limit).drop("gsz")
+    small = sized.filter(F.col("gsz") <= pairwise_limit)
 
     a, b = small.alias("a"), small.alias("b")
     clique = a.join(
@@ -56,9 +72,8 @@ def _group_edges(
         F.col(f"a.{member_col}").alias("src"), F.col(f"b.{member_col}").alias("dst")
     )
 
-    mins = big.groupBy(group_col).agg(F.min(member_col).alias("m"))
     star = (
-        big.join(mins, group_col)
+        sized.filter(F.col("gsz") > pairwise_limit)
         .filter(F.col(member_col) != F.col("m"))
         .select(F.col("m").alias("src"), F.col(member_col).alias("dst"))
     )
