@@ -1,0 +1,152 @@
+"""BPE vocabulary learning vs a pure-Python reference implementation."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from arabesque_spark.operators.bpe import (
+    END_OF_WORD,
+    bpe_encode,
+    bpe_learn,
+    word_frequencies,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+# ---- reference implementation (Sennrich et al. 2016, greedy merges) ----
+
+def _ref_word_freqs(texts):
+    c = Counter()
+    for t in texts:
+        for w in t.split():
+            if w:
+                c[w] += 1
+    return c
+
+
+def _ref_pair_counts(vocab):
+    pc = Counter()
+    for syms, freq in vocab:
+        for i in range(len(syms) - 1):
+            pc[(syms[i], syms[i + 1])] += freq
+    return pc
+
+
+def _ref_apply(syms, left, right):
+    out, i = [], 0
+    while i < len(syms):
+        if i < len(syms) - 1 and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _ref_bpe(texts, num_merges, min_frequency=2):
+    vocab = [
+        (list(w) + [END_OF_WORD], f) for w, f in sorted(_ref_word_freqs(texts).items())
+    ]
+    merges = []
+    for rank in range(num_merges):
+        pc = _ref_pair_counts(vocab)
+        if not pc:
+            break
+        # max count, ties broken by lexicographically smallest pair
+        (left, right), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_frequency:
+            break
+        merges.append((rank, left, right, cnt))
+        vocab = [(_ref_apply(s, left, right), f) for s, f in vocab]
+    return merges
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new wider wide wide",
+    "low new wide lowest",
+    "a ab abc a ab a",
+]
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"
+    )
+
+
+def test_word_frequencies(spark, corpus):
+    got = {r["word"]: r["freq"] for r in word_frequencies(corpus).collect()}
+    assert got["low"] == 4 and got["wide"] == 3 and got["abc"] == 1
+
+
+def test_bpe_learn_matches_reference(spark, corpus):
+    want = _ref_bpe(TEXTS, num_merges=12)
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_freq"])
+        for r in bpe_learn(spark, corpus, num_merges=12).orderBy("rank").collect()
+    ]
+    assert got == want
+    assert len(got) > 3  # the fixture genuinely exercises several merges
+
+
+def test_bpe_learn_partitioning_invariant(spark, corpus):
+    a = [
+        tuple(r)
+        for r in bpe_learn(spark, corpus, num_merges=6).orderBy("rank").collect()
+    ]
+    b = [
+        tuple(r)
+        for r in bpe_learn(spark, corpus.repartition(7), num_merges=6)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert a == b
+
+
+def test_bpe_learn_stops_early(spark):
+    # every word unique once -> no pair reaches min_frequency=2 after the
+    # shared-prefix merges run dry; must stop before num_merges
+    d = spark.createDataFrame([(0, "qq zz")], "doc_id long, text string")
+    merges = bpe_learn(spark, d, num_merges=50).collect()
+    assert len(merges) < 50
+    # "qq" and "zz" each have a repeated-char pair of freq 1 only; with
+    # min_frequency=2 nothing merges at all
+    assert len(merges) == 0
+
+
+def test_bpe_encode_counts(spark, corpus):
+    merges = bpe_learn(spark, corpus, num_merges=12)
+    got = {r["doc_id"]: r for r in bpe_encode(corpus, merges).collect()}
+    # reference encode: replay merges in rank order per word
+    rules = [
+        (r["left"], r["right"]) for r in merges.orderBy("rank").collect()
+    ]
+    for doc_id, text in enumerate(TEXTS):
+        n_sub = 0
+        for w in text.split():
+            syms = list(w) + [END_OF_WORD]
+            for left, right in rules:
+                syms = _ref_apply(syms, left, right)
+            n_sub += len(syms)
+        assert got[doc_id]["n_bpe_tokens"] == n_sub
+        assert got[doc_id]["n_words"] == len(text.split())
+    # merges compress: every doc should need fewer subwords than chars
+    chars = {i: sum(len(w) + 1 for w in t.split()) for i, t in enumerate(TEXTS)}
+    assert all(got[i]["n_bpe_tokens"] < chars[i] for i in got)
+
+
+def test_merge_fold_non_overlapping(spark):
+    # "aaa" under merge (a,a): greedy left-to-right gives [aa, a, </w>]
+    from arabesque_spark.operators.bpe import _initial_symbols, _merge_pair
+
+    df = spark.createDataFrame([("aaa",)], "word string").select(
+        _merge_pair(_initial_symbols(F.col("word")), "a", "a").alias("s")
+    )
+    assert df.collect()[0]["s"] == ["aa", "a", END_OF_WORD]
