@@ -28,7 +28,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -332,4 +332,44 @@ def simhash_near_pairs(
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return cand.select("a", "b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
+    )
+
+
+def dedup_clusters(
+    spark: SparkSession,
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, cluster, keep) — transitive near-dup clustering.
+
+    Pairwise near-dup relations (from ANY of this module's pair
+    generators, or a union of them) are transitive in intent: if A≈B and
+    B≈C the three are one duplicate cluster even when (A, C) never met in
+    an LSH bucket. This closes the relation by running the GRAPH ENGINE's
+    connected components over the pair edges (components.py — the
+    two-star O(log n)-round kernel, the same code path the link-graph
+    analytics use), then keeps the minimum doc id per cluster — the
+    deterministic survivor rule shared with exact_dedup.
+
+    Scale: the pair table is the near-dup candidate set (orders of
+    magnitude smaller than the corpus when the generators' frequency
+    caps are on); docs never join anything bigger than themselves.
+    Singleton documents (no near-dup edge) keep their own id as cluster
+    and survive — via one left join against the component table, NOT by
+    feeding V-scale isolated vertices through the CC iteration.
+    """
+    from arabesque_spark.graph.build import canonical_edges
+    from arabesque_spark.graph.components import connected_components
+
+    edges = canonical_edges(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    comp = connected_components(spark, edges).select(
+        F.col("vid").alias(id_col), "component"
+    )
+    return docs.select(id_col).join(comp, id_col, "left").select(
+        id_col,
+        F.coalesce("component", F.col(id_col)).alias("cluster"),
+        (F.coalesce("component", F.col(id_col)) == F.col(id_col)).alias("keep"),
     )

@@ -1,0 +1,160 @@
+"""Sequence packing: fill fixed-capacity training sequences with documents.
+
+The pre-training batching stage of an LLM data pipeline: given per-doc
+token lengths and a sequence capacity (e.g. 2048), assign every doc to a
+pack so that each pack's total length ≤ capacity and the padding
+fraction is small — best-fit-decreasing quality without a sequential
+pass over the corpus.
+
+Scale design (the histogram trick, cf. Graphcore's histogram-packing —
+Krell et al. 2021 — which this follows in shape with a BFD solver):
+
+* docs of equal length are interchangeable, so the packing PROBLEM only
+  depends on the length histogram — at most ``capacity`` rows no matter
+  how many documents exist. ONE corpus-scale aggregation builds it.
+* the driver runs best-fit-decreasing over the histogram, producing
+  STRATEGIES: multisets of lengths that fill one pack, each with a
+  repeat count (how many packs use it). Strategy count is bounded by
+  the distinct composition shapes BFD creates — small for real length
+  distributions; ``quantize`` coarsens lengths first if a pathological
+  distribution would blow it up (docs are then packed by their rounded-
+  UP length, strictly conservative for the capacity invariant).
+* assignment back to actual docs is pure arithmetic against a broadcast
+  SLOT TABLE (one row per (length, strategy)): the j-th doc of length L
+  (row_number within its length, ordered by doc id — deterministic at
+  any parallelism) lands in pack ``base + (j - lo) % n`` of the strategy
+  owning slot j. No driver-side per-doc data, no sequential pass; the
+  only per-doc shuffle is the row_number window on the length key.
+
+Returns one row per doc: (doc_id, length, pack_id). Docs longer than
+``capacity`` are rejected with a loud error (upstream should truncate or
+split; silently clipping would corrupt the capacity invariant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bfd_strategies(hist: dict[int, int], capacity: int) -> list[tuple[tuple[int, ...], int]]:
+    """Best-fit-decreasing over a length histogram.
+
+    Returns [(lengths_multiset_desc, n_packs)] — the pack compositions
+    BFD produces and how many packs use each. Classes of identical
+    composition are processed in bulk, so the loop cost depends on the
+    number of distinct compositions, never the number of docs. Ties on
+    remaining space break by composition (deterministic).
+    """
+    # open packs grouped by composition; composition -> count
+    open_packs: dict[tuple[int, ...], int] = {}
+    for length in sorted(hist, reverse=True):
+        c = hist[length]
+        while c > 0:
+            # smallest remaining space that still fits (best fit)
+            best, best_rem = None, None
+            for comp in sorted(open_packs):
+                rem = capacity - sum(comp)
+                if rem >= length and (best_rem is None or rem < best_rem):
+                    best, best_rem = comp, rem
+            if best is None:
+                # nothing fits: per-item BFD opens a new pack and keeps
+                # filling it with this length until full — so new packs
+                # carry q = capacity//length copies each, plus one
+                # partial pack for the remainder
+                q = capacity // length
+                full, part = divmod(c, q)
+                if full:
+                    comp = (length,) * q
+                    open_packs[comp] = open_packs.get(comp, 0) + full
+                if part:
+                    comp = (length,) * part
+                    open_packs[comp] = open_packs.get(comp, 0) + 1
+                c = 0
+            else:
+                n = open_packs[best]
+                m = min(c, n)
+                new = tuple(sorted(best + (length,), reverse=True))
+                if m == n:
+                    del open_packs[best]
+                else:
+                    open_packs[best] = n - m
+                open_packs[new] = open_packs.get(new, 0) + m
+                c -= m
+    return sorted(open_packs.items())
+
+
+def pack_sequences(
+    docs_len: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    len_col: str = "length",
+    quantize: int = 1,
+    max_strategies: int = 100_000,
+) -> DataFrame:
+    """(doc_id, length, pack_id) — every pack's Σlength ≤ capacity.
+
+    ``docs_len`` is (id, length) — from token_stats / bpe_encode or any
+    length source. ``quantize`` > 1 rounds lengths UP to the next
+    multiple before packing (conservative; shrinks the histogram and
+    the strategy space for adversarial distributions)."""
+    if quantize < 1:
+        raise ValueError("quantize must be >= 1")
+    eff = (F.ceil(F.col(len_col) / quantize) * quantize).cast("int")
+    d = docs_len.select(
+        F.col(id_col), F.col(len_col).alias("length"), eff.alias("eff_len")
+    )
+    hist_rows = d.groupBy("eff_len").agg(F.count("*").alias("c")).collect()
+    hist = {int(r["eff_len"]): int(r["c"]) for r in hist_rows}
+    if hist and max(hist) > capacity:
+        raise ValueError(
+            f"doc length {max(hist)} exceeds capacity {capacity}: truncate or "
+            "split upstream (silent clipping would corrupt the pack invariant)"
+        )
+
+    strategies = _bfd_strategies(hist, capacity)
+    if len(strategies) > max_strategies:
+        raise ValueError(
+            f"{len(strategies)} BFD strategies exceed max_strategies="
+            f"{max_strategies}; raise `quantize` to coarsen the histogram"
+        )
+
+    # slot table: per (length, strategy) — slots [lo, hi) of that length's
+    # doc sequence belong to this strategy's packs, round-robin over n
+    slot_rows = []
+    pack_base = 0
+    offsets: dict[int, int] = {}
+    for comp, n in strategies:
+        for length, mult in sorted(
+            ((ln, comp.count(ln)) for ln in set(comp)), reverse=True
+        ):
+            lo = offsets.get(length, 0)
+            hi = lo + mult * n
+            offsets[length] = hi
+            slot_rows.append((length, lo, hi, pack_base, n))
+        pack_base += n
+    spark = docs_len.sparkSession
+    slots = F.broadcast(
+        spark.createDataFrame(
+            slot_rows or [(0, 0, 0, 0, 1)],
+            "eff_len int, lo long, hi long, base long, n long",
+        )
+    )
+
+    j = F.row_number().over(
+        Window.partitionBy("eff_len").orderBy(id_col)
+    ) - F.lit(1)
+    ranked = d.withColumn("j", j)
+    return (
+        ranked.join(
+            slots,
+            (ranked["eff_len"] == slots["eff_len"])
+            & (F.col("j") >= F.col("lo"))
+            & (F.col("j") < F.col("hi")),
+        )
+        .select(
+            id_col,
+            "length",
+            (F.col("base") + (F.col("j") - F.col("lo")) % F.col("n")).alias("pack_id"),
+        )
+    )

@@ -43,6 +43,23 @@ def test_exact_dedup(docs):
     assert keep == {0: True, 1: True, 2: True, 3: True, 4: False, 5: True, 6: True}
 
 
+def test_dedup_clusters_transitive(spark, docs):
+    from arabesque_spark.operators.dedup import dedup_clusters
+
+    # A~B, B~C (A,C never compared — the LSH-miss case), plus 5~6;
+    # 2 and 3 are singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 4), (5, 6)], "a long, b long"
+    )
+    got = {r["doc_id"]: (r["cluster"], r["keep"]) for r in
+           dedup_clusters(spark, docs, pairs).collect()}
+    assert got == {
+        0: (0, True), 1: (0, False), 4: (0, False),   # transitive closure
+        5: (5, True), 6: (5, False),
+        2: (2, True), 3: (3, True),                   # singletons survive
+    }
+
+
 def test_ngram_jaccard_exact_values(docs):
     pairs = {
         (r["a"], r["b"]): r["jaccard"]

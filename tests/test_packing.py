@@ -1,0 +1,74 @@
+"""Sequence packing: capacity invariants, determinism, BFD quality."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from arabesque_spark.operators.packing import _bfd_strategies, pack_sequences
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _check(df, lengths, capacity):
+    rows = df.collect()
+    assert len(rows) == len(lengths)  # every doc assigned exactly once
+    assert len({r["doc_id"] for r in rows}) == len(lengths)
+    packs = {}
+    for r in rows:
+        assert r["length"] == lengths[r["doc_id"]]
+        packs.setdefault(r["pack_id"], 0)
+        packs[r["pack_id"]] += r["length"]
+    assert all(s <= capacity for s in packs.values())
+    return packs
+
+
+def test_pack_hand_case(spark):
+    # capacity 10: [7,3] [6,4] [5,5] [2,2,2] is a perfect BFD packing
+    lengths = {0: 7, 1: 6, 2: 5, 3: 5, 4: 4, 5: 3, 6: 2, 7: 2, 8: 2}
+    d = spark.createDataFrame(list(lengths.items()), "doc_id long, length int")
+    packs = _check(pack_sequences(d, capacity=10), lengths, 10)
+    assert len(packs) == 4
+    assert sorted(packs.values()) == [6, 10, 10, 10]
+
+
+def test_pack_lower_bound_and_padding(spark):
+    lengths = {i: (i * 37) % 90 + 10 for i in range(300)}
+    d = spark.createDataFrame(list(lengths.items()), "doc_id long, length int")
+    capacity = 128
+    packs = _check(pack_sequences(d, capacity), lengths, capacity)
+    lower = math.ceil(sum(lengths.values()) / capacity)
+    assert lower <= len(packs) <= math.ceil(lower * 1.15)  # near-optimal
+
+
+def test_pack_partitioning_invariant(spark):
+    lengths = {i: (i * 13) % 50 + 1 for i in range(200)}
+    d = spark.createDataFrame(list(lengths.items()), "doc_id long, length int")
+    a = sorted(tuple(r) for r in pack_sequences(d, 64).collect())
+    b = sorted(tuple(r) for r in pack_sequences(d.repartition(9), 64).collect())
+    assert a == b
+
+
+def test_pack_oversize_rejected(spark):
+    d = spark.createDataFrame([(0, 10), (1, 200)], "doc_id long, length int")
+    with pytest.raises(ValueError, match="exceeds capacity"):
+        pack_sequences(d, capacity=128)
+
+
+def test_pack_quantize_conservative(spark):
+    lengths = {i: i % 97 + 1 for i in range(150)}
+    d = spark.createDataFrame(list(lengths.items()), "doc_id long, length int")
+    packs = _check(pack_sequences(d, 128, quantize=16), lengths, 128)
+    # quantized packing still respects TRUE lengths (rounded-up is stricter)
+    assert len(packs) >= math.ceil(sum(lengths.values()) / 128)
+
+
+def test_bfd_solver_exact_small():
+    # classic: 5,5,4,3,3 into capacity 10 -> [5,5] [4,3,3] = 2 packs
+    strategies = _bfd_strategies({5: 2, 4: 1, 3: 2}, 10)
+    total_packs = sum(n for _, n in strategies)
+    assert total_packs == 2
+    comps = sorted(comp for comp, _ in strategies)
+    assert comps == [(4, 3, 3), (5, 5)]
