@@ -373,3 +373,47 @@ def dedup_clusters(
         F.coalesce("component", F.col(id_col)).alias("cluster"),
         (F.coalesce("component", F.col(id_col)) == F.col(id_col)).alias("keep"),
     )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """(doc_id, bench_id, overlap, bench_sz, frac) — benchmark-contamination
+    scan: for every (corpus doc, benchmark item) sharing ≥ 1 word-n-gram,
+    the count of shared distinct n-grams and the fraction of the
+    benchmark item's n-grams found in that doc.
+
+    The standard decontamination primitive for training-data pipelines
+    (n = 8..13 word-grams is the usual leakage signal — long enough that
+    chance collision is negligible). Scale shape: the BENCHMARK side is
+    the small one (eval suites are thousands of items, the corpus is the
+    10^12 side), so its exploded shingle table broadcasts; the corpus is
+    touched by exactly one shingle explode + one broadcast-hash join +
+    one aggregation — no corpus self-join, no shuffle of corpus text.
+    Callers drop rows below their threshold (e.g. frac >= 0.5, or
+    overlap >= 1 for strict n-gram-hit decontamination).
+    """
+    c_sh = corpus.select(
+        F.col(id_col), F.explode(shingles_col(n, text)).alias("s")
+    )
+    b_sh = benchmark.select(
+        F.col(bench_id_col), F.explode(shingles_col(n, text)).alias("s")
+    )
+    b_sizes = b_sh.groupBy(bench_id_col).agg(F.count("*").alias("bench_sz"))
+    hits = (
+        c_sh.join(F.broadcast(b_sh), "s")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count("*").alias("overlap"))
+    )
+    return hits.join(F.broadcast(b_sizes), bench_id_col).select(
+        id_col,
+        bench_id_col,
+        "overlap",
+        "bench_sz",
+        F.round(F.col("overlap") / F.col("bench_sz"), 6).alias("frac"),
+    )

@@ -43,6 +43,29 @@ def test_exact_dedup(docs):
     assert keep == {0: True, 1: True, 2: True, 3: True, 4: False, 5: True, 6: True}
 
 
+def test_contamination_check(spark, docs):
+    from arabesque_spark.operators.dedup import contamination_check
+
+    bench = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps"),   # 5 tokens -> 3 tri-grams, all in docs 0/1/4
+            (101, "completely different content"), # 1 tri-gram, in doc 3
+            (102, "zzz yyy xxx www"),              # no overlap anywhere
+        ],
+        "bench_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["bench_id"]): (r["overlap"], r["bench_sz"], r["frac"])
+        for r in contamination_check(docs, bench, n=3).collect()
+    }
+    assert got[(0, 100)] == (3, 3, 1.0)
+    assert got[(4, 100)] == (3, 3, 1.0)   # exact dup of 0
+    assert got[(1, 100)] == (3, 3, 1.0)   # near-dup shares the prefix
+    assert got[(3, 101)] == (1, 1, 1.0)
+    assert not any(b == 102 for _, b in got)  # clean benchmark absent
+    assert (2, 100) not in got  # German doc shares nothing
+
+
 def test_dedup_clusters_transitive(spark, docs):
     from arabesque_spark.operators.dedup import dedup_clusters
 
