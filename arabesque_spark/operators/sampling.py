@@ -1,0 +1,68 @@
+"""Deterministic corpus splitting and sampling.
+
+``F.rand()`` is seed-deterministic only per partition LAYOUT — a
+repartition, AQE coalesce, or task retry silently reshuffles which rows
+land in train vs test. At pipeline scale that is a reproducibility and
+leakage hazard (the same doc in train on one run, test on the next), so
+these primitives derive every decision from a hash of the ROW KEY alone:
+any run, any parallelism, any engine produces the same assignment, and
+the split can be recomputed from the key without storing it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def _bucket(id_col: str, seed: int) -> Column:
+    """Uniform bucket in [0, 1e6) from the row key — xxhash64 is uniform
+    enough across buckets for split purposes and stays JVM-side."""
+    return F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(_BUCKETS))
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, float],
+    seed: int = 17,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Append a ``split`` column assigning each row to exactly one named
+    split with probability ~weight (weights must sum to 1 within 1e-9).
+
+    Assignment depends only on (seed, id): disjoint, exhaustive, and
+    stable across runs/partitioning/engines by construction.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1 (got {total})")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("split weights must be non-negative")
+    b = _bucket(id_col, seed)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = b < int(round(cum * _BUCKETS))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return docs.withColumn("split", split)
+
+
+def deterministic_sample(
+    docs: DataFrame,
+    fraction: float,
+    seed: int = 17,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by row-key hash — the stable
+    analog of ``df.sample``: re-running, repartitioning, or retrying
+    tasks cannot change the kept set, and supersets nest (a 0.1 sample
+    is a subset of the 0.2 sample at the same seed)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1] (got {fraction})")
+    return docs.filter(_bucket(id_col, seed) < int(round(fraction * _BUCKETS)))

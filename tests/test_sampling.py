@@ -1,0 +1,46 @@
+"""Deterministic split/sample: stability, disjointness, nesting."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from arabesque_spark.operators.sampling import deterministic_sample, hash_split
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+@pytest.fixture()
+def ids(spark):
+    return spark.range(10_000).withColumnRenamed("id", "doc_id")
+
+
+def test_hash_split_exhaustive_disjoint_stable(spark, ids):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in hash_split(ids, w).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(ids.repartition(13), w).collect()}
+    assert a == b  # partitioning cannot move a row between splits
+    assert len(a) == 10_000  # exhaustive, exactly one split per row
+    counts = {s: list(a.values()).count(s) for s in w}
+    for name, weight in w.items():
+        assert abs(counts[name] / 10_000 - weight) < 0.02
+
+
+def test_hash_split_validates_weights(spark, ids):
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(ids, {"a": 0.5, "b": 0.6})
+
+
+def test_deterministic_sample_nests(spark, ids):
+    s10 = {r["doc_id"] for r in deterministic_sample(ids, 0.1).collect()}
+    s20 = {r["doc_id"] for r in deterministic_sample(ids, 0.2).collect()}
+    assert s10 <= s20  # samples nest at the same seed
+    assert abs(len(s10) / 10_000 - 0.1) < 0.02
+    again = {r["doc_id"] for r in deterministic_sample(ids.repartition(7), 0.1).collect()}
+    assert again == s10
+
+
+def test_sample_seed_changes_selection(spark, ids):
+    s_a = {r["doc_id"] for r in deterministic_sample(ids, 0.5, seed=1).collect()}
+    s_b = {r["doc_id"] for r in deterministic_sample(ids, 0.5, seed=2).collect()}
+    assert s_a != s_b
