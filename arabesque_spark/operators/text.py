@@ -265,3 +265,86 @@ def pmi_pairs(
         )
     )
     return scored
+
+
+BOS = "<s>"
+
+
+def bigram_lm_score(
+    train: DataFrame,
+    score: DataFrame,
+    alpha: float = 0.4,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob) — score ``score`` docs under a
+    bigram language model with Stupid Backoff estimated from ``train``.
+
+    The CCNet-style quality filter shape (LM log-prob separates fluent
+    text from boilerplate/noise), with the LM trained distributively:
+    counts are two corpus-scale aggregations (bigram and unigram tables);
+    scoring joins each scored doc's bigrams against the bigram table
+    (left join — unseen bigrams back off) and the unigram table, then
+    averages log P per doc. Stupid Backoff (Brants et al. 2007):
+    S(w|v) = count(v,w)/count(v) if seen, else alpha * count(w)/N — the
+    large-corpus standard precisely because it needs only counts, no
+    discounting state, so it stays two joins at any scale. OOV words get
+    alpha/N (an unseen-unigram floor). Scores are 6-dp-rounded; BOS is
+    prepended so the first word is conditioned too.
+
+    Train and score may be the same DataFrame (self-scoring for corpus
+    filtering) or different (held-out scoring).
+    """
+    def _with_t(d: DataFrame) -> DataFrame:
+        return d.withColumn("t", F.concat(F.array(F.lit(BOS)), tokens_col(text)))
+
+    tb = _with_t(train)
+    big = (
+        tb.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t) - 1),"
+                    " (x, i) -> struct(x AS v, element_at(t, i + 2) AS w))"
+                )
+            ).alias("b")
+        )
+        .groupBy("b.v", "b.w")
+        .agg(F.count("*").alias("cvw"))
+    )
+    uni = (
+        tb.select(F.explode("t").alias("u"))
+        .groupBy("u")
+        .agg(F.count("*").alias("cu"))
+    )
+    n_total = tb.select(F.explode("t").alias("u")).count()
+
+    sb = _with_t(score).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, size(t) - 1),"
+                " (x, i) -> struct(x AS v, element_at(t, i + 2) AS w))"
+            )
+        ).alias("b"),
+    ).select(id_col, F.col("b.v").alias("v"), F.col("b.w").alias("w"))
+
+    prob = (
+        sb.join(big, ["v", "w"], "left")
+        .join(uni.withColumnRenamed("u", "v").withColumnRenamed("cu", "cv"), "v", "left")
+        .join(uni.withColumnRenamed("u", "w").withColumnRenamed("cu", "cw"), "w", "left")
+        .select(
+            id_col,
+            F.when(
+                F.col("cvw").isNotNull() & F.col("cv").isNotNull(),
+                F.col("cvw") / F.col("cv"),
+            )
+            .otherwise(
+                F.lit(alpha) * F.coalesce(F.col("cw"), F.lit(1)) / F.lit(n_total)
+            )
+            .alias("p"),
+        )
+    )
+    return prob.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg(F.log("p")), 6).alias("avg_logprob"),
+    )

@@ -142,6 +142,33 @@ def test_bpe_encode_counts(spark, corpus):
     assert all(got[i]["n_bpe_tokens"] < chars[i] for i in got)
 
 
+def test_bigram_lm_score(spark):
+    from math import log
+
+    from arabesque_spark.operators.text import bigram_lm_score
+
+    train = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(10, "a b"), (11, "c a"), (12, "zz")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in bigram_lm_score(train, score).collect()}
+    # train counts (BOS-prefixed): unigrams <s>:2 a:3 b:3 c:1, N=9
+    # bigrams (<s>,a):2 (a,b):3 (b,a):1 (b,c):1
+    # doc 10 "a b": P(a|<s>)=2/2, P(b|a)=3/3 -> avg log p = 0
+    assert got[10]["n_tokens"] == 2
+    assert got[10]["avg_logprob"] == 0.0
+    # doc 11 "c a": (<s>,c) unseen -> 0.4*c(c)/9 = 0.4/9;
+    #               (c,a) unseen -> 0.4*c(a)/9 = 1.2/9
+    want = round((log(0.4 / 9) + log(1.2 / 9)) / 2, 6)
+    assert abs(got[11]["avg_logprob"] - want) < 1e-6
+    # doc 12 "zz": OOV both sides -> 0.4*1/9 floor
+    assert abs(got[12]["avg_logprob"] - round(log(0.4 / 9), 6)) < 1e-6
+    # fluent text scores higher than OOV noise
+    assert got[10]["avg_logprob"] > got[12]["avg_logprob"]
+
+
 def test_merge_fold_non_overlapping(spark):
     # "aaa" under merge (a,a): greedy left-to-right gives [aa, a, </w>]
     from arabesque_spark.operators.bpe import _initial_symbols, _merge_pair
