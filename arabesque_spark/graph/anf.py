@@ -1,0 +1,213 @@
+"""Approximate neighborhood function + effective diameter (ANF).
+
+The neighborhood function NF(h) = Σ_v |{u : dist(u,v) ≤ h}| is the
+standard whole-graph distance profile for web-scale link graphs —
+effective diameter, connectivity mass, hop-plot — where exact all-pairs
+BFS is O(V·E) and out of the question. This implements the
+Flajolet-Martin-sketch algorithm of Palmer, Gibbons & Faloutsos
+("ANF: a fast and scalable tool for data mining in massive graphs",
+KDD'02; HyperANF, Boldi et al. WWW'11, is the same iteration with HLL
+registers): every vertex carries K fixed-size bitmasks approximating
+the SET of vertices within distance h, and one superstep replaces each
+vertex's sketch with the OR of its own and its neighbors' sketches —
+OR-merge is exactly set union on the sketch domain.
+
+Reference parity: the reference has no neighborhood-function analog;
+this extends the engine's centrality surface (bfs.py landmark
+distances are exact-but-sampled; ANF is all-vertices-but-approximate —
+the two standard points in that trade space).
+
+Spark mapping — why this shape scales:
+
+* Sketch state is ONE row per vertex: ``(vid, masks array<long>)``,
+  K longs, no per-vertex neighbor lists ever materialized.
+* The OR-merge aggregation is ``bit_or`` per array slot — a native
+  JVM aggregate that is associative+commutative, so Spark applies
+  partial (map-side) aggregation: per-superstep shuffle bytes are
+  O(distinct vids per map partition · K), not O(E · K). No UDFs.
+* The symmetric edge table is repartitioned by ``src`` and sorted
+  once before persisting (same discipline as pagerank.py:86-96), so
+  the E-scale side of the per-superstep join moves zero bytes.
+* Per-level NF estimates and the convergence fingerprint ride the
+  state-materialization job via ``observe`` (SuperstepRunner's
+  halt_exprs protocol) — zero extra jobs per superstep.
+* Monotone convergence: masks only gain bits, so a stable fingerprint
+  means EVERY ball has stopped growing — the iteration has provably
+  reached the (true, not effective) diameter of every component.
+
+Estimator: with R̄(v) = mean over the K masks of the lowest-zero-bit
+index, |ball(v,h)| ≈ 2^R̄(v) / 0.77351 (FM bias correction); NF(h)
+sums that over vertices. Standard error decays ~1/√K; K=16-64 gives
+the few-percent accuracy the hop-plot use case needs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arabesque_spark.engine.superstep import RunResult, SuperstepRunner
+from arabesque_spark.graph.build import symmetric_edges
+
+# Flajolet-Martin bias constant: E[2^R] ≈ φ·n for a set of n elements.
+FM_PHI = 0.77351
+
+
+def _init_masks(vid: Column, num_masks: int, seed: int) -> Column:
+    """K one-bit masks per vertex: mask k sets bit b with P(b)=2^-(b+1)
+    (the FM geometric cell), derived from the trailing-zero count of a
+    salted xxhash64 — deterministic in (seed, vid, k), no RNG state."""
+    masks = []
+    for k in range(num_masks):
+        h = F.xxhash64(F.lit(seed), vid, F.lit(k))
+        # trailing zeros of a uniform 64-bit value are Geometric(1/2):
+        # tz = popcount((h & -h) - 1); h == 0 (P = 2^-64) pins the top bit
+        tz = F.when(h == 0, F.lit(63)).otherwise(
+            F.bit_count(h.bitwiseAND(-h) - F.lit(1))
+        )
+        bit = F.least(tz, F.lit(62))  # keep 1<<bit positive in a long
+        # F.shiftleft only takes a literal int shift; call the SQL
+        # function directly to shift by a per-row column
+        masks.append(
+            F.call_function("shiftleft", F.lit(1).cast("long"), bit.cast("int"))
+        )
+    return F.array(*masks)
+
+
+def _ball_estimate(masks: Column, num_masks: int) -> Column:
+    """Per-row FM estimate of |ball(v)| from the K masks: 2^mean(R)/φ,
+    R = index of the lowest zero bit = popcount(m XOR (m+1)) - 1."""
+    r_sum = None
+    for k in range(num_masks):
+        m = masks[k]
+        r = F.bit_count(m.bitwiseXOR(m + F.lit(1))) - F.lit(1)
+        r_sum = r if r_sum is None else r_sum + r
+    mean_r = r_sum.cast("double") / F.lit(float(num_masks))
+    return F.pow(F.lit(2.0), mean_r) / F.lit(FM_PHI)
+
+
+@dataclass
+class ANFResult:
+    """Neighborhood-function run: per-level estimates + final sketches."""
+
+    state: DataFrame  # (vid, masks array<long>) at the last level run
+    levels: list[tuple[int, float]]  # (h, NF(h) estimate), h = 1..
+    n_vertices: int  # NF(0), exact
+    num_masks: int
+    converged: bool  # True ⇒ every component's diameter was reached
+    run: RunResult
+
+    def ball_sizes(self) -> DataFrame:
+        """(vid, ball_size) — estimated |{u : dist(u,v) ≤ h_last}|."""
+        return self.state.select(
+            "vid", _ball_estimate(F.col("masks"), self.num_masks).alias("ball_size")
+        )
+
+    def effective_diameter(self, q: float = 0.9) -> float:
+        """Smallest (interpolated) h with NF(h) ≥ q · NF(h_max) — the
+        standard hop-plot summary (HyperANF §5). Level 0 counts as
+        NF(0) = |V| exact."""
+        if not self.levels:
+            return 0.0
+        target = q * self.levels[-1][1]
+        prev_h, prev_nf = 0, float(self.n_vertices)
+        for h, nf in self.levels:
+            if nf >= target:
+                if nf <= prev_nf:  # flat tail (already converged)
+                    return float(prev_h)
+                return prev_h + (target - prev_nf) / (nf - prev_nf)
+            prev_h, prev_nf = h, nf
+        return float(self.levels[-1][0])
+
+
+def neighborhood_function(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_h: int = 16,
+    num_masks: int = 16,
+    seed: int = 42,
+    num_partitions: int | None = None,
+    checkpoint_dir: str | Path | None = None,
+    resume: bool = False,
+) -> ANFResult:
+    """Estimate NF(h) for h = 1..max_h (stopping early at the exact
+    diameter fixpoint) over the undirected link graph ``edges``.
+
+    One superstep = one sort-merge join (static edge side, zero bytes
+    moved) + one hash aggregate (``bit_or`` per mask slot, map-side
+    combinable). State is V rows × (K+1) columns; resumable via the
+    standard checkpoint manifest like every other iterative op.
+    """
+    if num_masks < 1:
+        raise ValueError("neighborhood_function: num_masks must be >= 1")
+    n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    K = num_masks
+
+    sym = (
+        symmetric_edges(edges)
+        .repartition(n_parts, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    sym.count()  # one-time build cost, not charged to the first superstep
+
+    verts = sym.select(F.col("src").alias("vid")).dropDuplicates(["vid"])
+    state0 = verts.select("vid", _init_masks(F.col("vid"), K, seed).alias("masks"))
+    n_vertices = verts.count()
+
+    slot_cols = [f"_m{k}" for k in range(K)]
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
+        contrib = sym.join(state, sym["src"] == state["vid"]).select(
+            F.col("dst").alias("vid"), state["masks"]
+        )
+        flat = state.unionByName(contrib).select(
+            "vid", *[F.col("masks")[k].alias(c) for k, c in enumerate(slot_cols)]
+        )
+        merged = flat.groupBy("vid").agg(
+            *[F.bit_or(c).alias(c) for c in slot_cols]
+        )
+        new_state = merged.select("vid", F.array(*slot_cols).alias("masks"))
+        return new_state, {"level": i + 1}
+
+    prev_fp: dict = {"fp": None}
+
+    def halt_decide(m: dict, i: int) -> bool:
+        # masks are monotone under OR: identical fingerprint ⇒ no ball
+        # grew ⇒ the true diameter of every component is reached
+        fp = (m["rows"], m["mask_fp"] or 0)
+        stable = fp == prev_fp["fp"]
+        prev_fp["fp"] = fp
+        return stable
+
+    runner = SuperstepRunner(
+        spark, checkpoint_dir=checkpoint_dir, max_iterations=max_h
+    )
+    result = runner.run(
+        state0,
+        step,
+        resume=resume,
+        halt_exprs={
+            "nf": F.sum(_ball_estimate(F.col("masks"), K)),
+            "mask_fp": F.sum(F.xxhash64("vid", "masks").cast("decimal(38,0)")),
+        },
+        halt_decide=halt_decide,
+    )
+    sym.unpersist()
+
+    levels = [
+        (it.iteration + 1, float(it.metrics["nf"]))
+        for it in result.iterations
+        if it.metrics.get("nf") is not None
+    ]
+    return ANFResult(
+        state=result.state,
+        levels=levels,
+        n_vertices=n_vertices,
+        num_masks=K,
+        converged=result.converged,
+        run=result,
+    )

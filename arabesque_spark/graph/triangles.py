@@ -182,3 +182,45 @@ def triangle_count_sampled(
     )
     sampled = edges.filter(keep)
     return round(triangle_count(spark, sampled) / (p ** 3))
+
+
+def clustering_coefficients(
+    spark: SparkSession, edges: DataFrame, degree_oriented: bool = True
+) -> DataFrame:
+    """(vid, degree, triangles, lcc) — local clustering coefficient
+    lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), 0 for degree-<2 vertices.
+
+    Composition of existing primitives: one triangle enumeration (the
+    O(E^1.5) compact-forward plan) + the V-scale degree table, joined
+    left so triangle-free vertices keep lcc 0 — full vertex coverage,
+    matching the exact definition (Watts-Strogatz). Both inputs are
+    V-scale aggregates; the join broadcasts or shuffles V rows, never E.
+    """
+    deg = degrees(edges).withColumnRenamed("deg", "degree")
+    tri = triangle_counts_per_vertex(spark, edges, degree_oriented)
+    wedges = F.col("degree").cast("double") * (F.col("degree") - 1) / 2.0
+    return (
+        deg.join(tri, "vid", "left")
+        .select(
+            "vid",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.when(F.col("degree") < 2, F.lit(0.0))
+            .otherwise(F.coalesce("triangles", F.lit(0)) / wedges)
+            .alias("lcc"),
+        )
+    )
+
+
+def global_clustering_coefficient(spark: SparkSession, edges: DataFrame) -> float:
+    """Transitivity = 3·(number of triangles) / (number of wedges) —
+    the one-scalar closure summary. Wedge count Σ_v C(deg v, 2) is a
+    V-scale aggregate; triangles reuse the exact compact-forward count."""
+    deg = degrees(edges)
+    wedges_row = deg.agg(
+        F.sum((F.col("deg").cast("decimal(38,0)") * (F.col("deg") - 1)) / 2).alias("w")
+    ).collect()[0]
+    wedges = int(wedges_row["w"] or 0)
+    if wedges == 0:
+        return 0.0
+    return 3.0 * triangle_count(spark, edges) / wedges

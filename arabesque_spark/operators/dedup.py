@@ -417,3 +417,85 @@ def contamination_check(
         "bench_sz",
         F.round(F.col("overlap") / F.col("bench_sz"), 6).alias("frac"),
     )
+
+
+def boilerplate_paragraphs(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """(para_hash, n_docs, sample) — paragraphs (blank-line-delimited
+    blocks) repeated across ≥ ``min_docs`` DISTINCT documents: headers,
+    footers, license banners, nav chrome — the classic boilerplate
+    signal (C4/RefinedWeb line-dedup, applied at paragraph granularity).
+
+    Scale shape: one explode to paragraph rows, then a groupBy on the
+    64-bit paragraph hash counting distinct docs — the paragraph TEXT
+    is reduced to (hash, one min-sample) so the shuffle carries hashes,
+    not the corpus. Map-side combine applies to both aggregates.
+    """
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text), r"\n{2,}")).alias("para"),
+    ).withColumn("para", F.trim(F.col("para"))).filter(F.col("para") != "")
+    return (
+        paras.select("doc_id", F.xxhash64("para").alias("para_hash"), "para")
+        .groupBy("para_hash")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("para").alias("sample"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Documents with cross-corpus-repeated paragraphs stripped:
+    (doc_id, text) where ``text`` is the original's paragraphs minus
+    those flagged by :func:`boilerplate_paragraphs`, original order
+    preserved, re-joined with blank lines. Documents reduced to nothing
+    keep an empty-string row (callers filter on length downstream).
+
+    Order preservation without a window: paragraph position rides the
+    rows (posexplode), and each document reassembles via
+    ``array_sort(collect_list(struct(pos, para)))`` — the sort is
+    per-document inside the aggregation buffer, bounded by document
+    size, never a global shuffle-sort. The flagged-hash table is
+    boilerplate-scale (≪ corpus) → broadcast anti-join.
+    """
+    flagged = boilerplate_paragraphs(docs, min_docs, id_col, text).select("para_hash")
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text), r"\n{2,}")).alias("pos", "para"),
+    ).withColumn("clean", F.trim(F.col("para")))
+    kept = paras.filter(F.col("clean") != "").join(
+        F.broadcast(flagged),
+        F.xxhash64(F.col("clean")) == flagged["para_hash"],
+        "left_anti",
+    )
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("clean").alias("para")))
+            ).alias("ps")
+        )
+        .select(
+            "doc_id",
+            F.array_join(F.transform(F.col("ps"), lambda s: s["para"]), "\n\n").alias(
+                "text"
+            ),
+        )
+    )
+    # docs whose every paragraph was stripped (or were empty) stay present
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(rebuilt, "doc_id", "left")
+        .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    )

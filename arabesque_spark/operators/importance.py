@@ -1,0 +1,183 @@
+"""DSIR-style importance resampling: select raw-corpus documents that
+look like a target corpus (Xie et al., "Data Selection for Language
+Models via Importance Resampling", NeurIPS 2023).
+
+The recipe, re-expressed as three corpus-scale aggregations:
+
+1. featurize every document into hashed word-n-gram buckets (a fixed
+   ``num_buckets``-dim bag-of-hashed-ngrams — the DSIR feature space);
+2. fit two unigram-over-buckets models — target corpus vs raw corpus —
+   smoothed; the per-bucket log probability ratio is the importance
+   score of that feature. The model is ``num_buckets`` rows (10^4-ish),
+   independent of corpus size → broadcast;
+3. per-document importance weight = Σ over its bucket occurrences of
+   the log ratio; resample = top-k by weight + deterministic Gumbel
+   noise (hash-derived, not RNG state: the same doc draws the same
+   noise at any parallelism, so the selected set is reproducible and
+   retry-safe — the same discipline as operators/sampling.py).
+
+Scale shape: the raw corpus is touched by exactly one explode + one
+broadcast join + one groupBy; the only full orderings are
+TakeOrderedAndProject top-ks. No UDFs, no driver-side corpus state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from arabesque_spark.operators.text import tokens_col
+
+
+def hashed_ngram_buckets(
+    docs: DataFrame,
+    n: int = 2,
+    num_buckets: int = 10_000,
+    id_col: str = "doc_id",
+    text: str = "text",
+    seed: int = 23,
+) -> DataFrame:
+    """(doc_id, bucket) — one row per word-n-gram OCCURRENCE, hashed into
+    [0, num_buckets). Multiplicity is kept (bag, not set): DSIR's
+    features are counts."""
+    toks = F.filter(tokens_col(text), lambda t: t != "")
+    grams = F.when(
+        F.size(F.col("_toks")) >= n,
+        F.expr(
+            f"transform(sequence(0, size(_toks) - {n}), "
+            f"i -> concat_ws(' ', slice(_toks, i + 1, {n})))"
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .select(
+            "doc_id",
+            F.pmod(F.xxhash64(F.lit(seed), F.col("gram")), F.lit(num_buckets)).alias(
+                "bucket"
+            ),
+        )
+    )
+
+
+def bucket_log_ratios(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int = 2,
+    num_buckets: int = 10_000,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text: str = "text",
+    seed: int = 23,
+) -> DataFrame:
+    """(bucket, log_ratio) — log p_target(bucket) − log p_raw(bucket),
+    Laplace-smoothed with ``alpha`` over the full bucket range. Exactly
+    ``num_buckets`` rows (absent buckets get the smoothed floor), so the
+    table broadcasts regardless of corpus size."""
+    t_cnt = (
+        hashed_ngram_buckets(target, n, num_buckets, id_col, text, seed)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("t_cnt"))
+    )
+    r_cnt = (
+        hashed_ngram_buckets(raw, n, num_buckets, id_col, text, seed)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("r_cnt"))
+    )
+    spark = raw.sparkSession
+    all_buckets = spark.range(num_buckets).select(F.col("id").alias("bucket"))
+    t_tot = F.sum("t_cnt_f").alias("t_tot")
+    r_tot = F.sum("r_cnt_f").alias("r_tot")
+    filled = (
+        all_buckets.join(t_cnt, "bucket", "left")
+        .join(r_cnt, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("t_cnt", F.lit(0)).cast("double").alias("t_cnt_f"),
+            F.coalesce("r_cnt", F.lit(0)).cast("double").alias("r_cnt_f"),
+        )
+    )
+    totals = filled.agg(t_tot, r_tot)
+    b = float(num_buckets)
+    return (
+        filled.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("t_cnt_f") + alpha) / (F.col("t_tot") + alpha * b))
+                - F.log((F.col("r_cnt_f") + alpha) / (F.col("r_tot") + alpha * b))
+            ).alias("log_ratio"),
+        )
+    )
+
+
+def importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int = 2,
+    num_buckets: int = 10_000,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text: str = "text",
+    seed: int = 23,
+) -> DataFrame:
+    """(doc_id, log_weight) for every raw document: the summed bucket
+    log ratios of its n-gram occurrences (documents with no n-gram get
+    weight 0 — indifferent, not excluded). One explode + one BROADCAST
+    join (the ratio table is num_buckets rows) + one groupBy."""
+    ratios = bucket_log_ratios(
+        raw, target, n, num_buckets, alpha, id_col, text, seed
+    )
+    occ = hashed_ngram_buckets(raw, n, num_buckets, id_col, text, seed)
+    summed = (
+        occ.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("log_ratio").alias("log_weight"))
+    )
+    return (
+        raw.select(F.col(id_col).alias("doc_id"))
+        .join(summed, "doc_id", "left")
+        .select("doc_id", F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"))
+    )
+
+
+def _gumbel(id_col: str, seed: int) -> Column:
+    """Deterministic standard Gumbel draw per row key: u from the hash
+    (strictly inside (0,1)), g = −ln(−ln u). Same key → same noise at
+    any parallelism; this is the Gumbel-top-k trick, equivalent to
+    sampling WITHOUT replacement ∝ softmax of the scores."""
+    m = 1_000_000_007
+    u = (F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(m)) + 1) / (m + 2.0)
+    return -F.log(-F.log(u))
+
+
+def importance_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    n: int = 2,
+    num_buckets: int = 10_000,
+    alpha: float = 1.0,
+    temperature: float = 1.0,
+    id_col: str = "doc_id",
+    text: str = "text",
+    seed: int = 23,
+) -> DataFrame:
+    """Top-k raw documents by log_weight/temperature + Gumbel(key) —
+    the DSIR selection step (Gumbel-top-k ⇔ importance sampling without
+    replacement). ``temperature → 0`` degenerates to hard top-k by
+    weight; deterministic in (corpus, params, seed) at any parallelism.
+    Returns (doc_id, log_weight, key) sorted by the perturbed score;
+    orderBy+limit compiles to TakeOrderedAndProject."""
+    if k < 1:
+        raise ValueError("importance_resample: k must be >= 1")
+    w = importance_weights(raw, target, n, num_buckets, alpha, id_col, text, seed)
+    scored = w.select(
+        "doc_id",
+        "log_weight",
+        (
+            F.col("log_weight") / F.lit(max(temperature, 1e-12))
+            + _gumbel("doc_id", seed)
+        ).alias("key"),
+    )
+    return scored.orderBy(F.col("key").desc(), F.col("doc_id")).limit(k)

@@ -1,0 +1,122 @@
+"""Keyword retrieval over a documents table: postings, IDF, BM25 top-k.
+
+The training-data-pipeline use case is quality-targeted *selection*:
+score every document in a 100-TB corpus against a term set (a topic
+whitelist, a "textbook-like" seed query, a contamination probe) and
+keep the top slice. That is a full-corpus batch score, not an online
+index lookup — so the operator IS the scan, expressed declaratively:
+
+* postings come from one explode + groupBy (map-side combinable,
+  (term, doc) keyed — no per-document state, no driver index);
+* document-frequency and corpus stats are term-/scalar-scale
+  aggregates; the query side is a handful of terms → broadcast;
+* the final top-k is orderBy+limit = TakeOrderedAndProject (per-
+  partition heaps + single small merge, never a full sort).
+
+Everything is JVM Column expressions; tokenization reuses the same
+whitespace contract as text.py so scores are reproducible in the
+DuckDB oracle SQL dialect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from arabesque_spark.operators.text import tokens_col
+
+
+def term_postings(
+    docs: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """(term, doc_id, tf) term frequencies — the exploded postings table.
+    One shuffle, partial aggregation applies (hot terms combine map-side)."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col(text)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def document_frequency(postings: DataFrame) -> DataFrame:
+    """(term, df) — number of documents containing each term."""
+    return postings.groupBy("term").agg(F.count("*").alias("df"))
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(doc_id, score) BM25 of every matching document against
+    ``query_terms`` (Robertson/Spärck Jones; the Lucene variant:
+    idf = ln(1 + (N − df + 0.5)/(df + 0.5)), so scores stay positive).
+
+    Plan: postings filtered to the query terms FIRST (a broadcast
+    isin over a literal list — Catalyst pushes it below the groupBy),
+    df joined on the term-scale side, N/avgdl attached as a broadcast
+    1-row crossJoin. Only documents containing ≥1 query term appear.
+    """
+    if not query_terms:
+        raise ValueError("bm25_scores: query_terms must be non-empty")
+    terms = sorted({t for t in query_terms if t})
+
+    # per-document length (in tokens) — V-scale
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.filter(tokens_col(text), lambda t: t != "")).alias("dl"),
+    )
+    # corpus scalars: N and average document length (1 row, broadcast)
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    posts = term_postings(docs, id_col, text).filter(F.col("term").isin(terms))
+    df_t = document_frequency(posts)  # df computed on the filtered postings
+    scored = (
+        posts.join(df_t, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("term_score"), 6).alias("score")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by BM25 score, ties broken by doc_id for
+    determinism at any parallelism. orderBy+limit compiles to
+    TakeOrderedAndProject — no full sort at corpus scale."""
+    return (
+        bm25_scores(docs, query_terms, id_col, text, k1, b)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )

@@ -1,0 +1,94 @@
+"""ANF neighborhood function: exact-NF parity on small graphs,
+determinism across parallelism, fixpoint halt, resume."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.anf import neighborhood_function
+from tests.reference_impls import adjacency_dict, er_graph
+
+
+def exact_nf(edges: list[tuple[int, int]], max_h: int) -> list[int]:
+    """Brute-force NF(h) for h = 1..max_h by per-vertex BFS."""
+    adj = adjacency_dict(edges)
+    vids = sorted(adj)
+    out = []
+    balls = {v: {v} for v in vids}
+    for _ in range(max_h):
+        balls = {
+            v: ball | {w for u in ball for w in adj[u]} for v, ball in balls.items()
+        }
+        out.append(sum(len(b) for b in balls.values()))
+    return out
+
+
+def test_anf_matches_exact_on_er_graph(spark):
+    edges = er_graph(120, 4.0, seed=7)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = neighborhood_function(spark, df, max_h=6, num_masks=64, seed=42)
+    truth = exact_nf(edges, 6)
+    assert len(res.levels) >= 3
+    for (h, est), exact in zip(res.levels, truth):
+        rel = abs(est - exact) / exact
+        assert rel < 0.25, f"h={h}: est {est:.0f} vs exact {exact} (rel {rel:.2f})"
+    # NF estimates are monotone in h (masks only gain bits)
+    nfs = [nf for _, nf in res.levels]
+    assert nfs == sorted(nfs)
+
+
+def test_anf_fixpoint_is_true_diameter(spark):
+    # K5 ∪ K3: diameter 1 in both components — NF(1) is already the
+    # fixpoint, so the run converges and the flat tail is detected
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    k3 = [(a, b) for a in range(10, 13) for b in range(a + 1, 13)]
+    df = spark.createDataFrame(k5 + k3, "src long, dst long")
+    res = neighborhood_function(spark, df, max_h=8, num_masks=64, seed=1)
+    assert res.converged
+    # exact NF(∞) = 5² + 3² = 34; sketches never cross components
+    final = res.levels[-1][1]
+    assert abs(final - 34) / 34 < 0.25
+    assert res.effective_diameter(q=0.9) <= 1.0
+
+
+def test_anf_deterministic_across_partitioning(spark):
+    edges = er_graph(80, 3.0, seed=3)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = neighborhood_function(spark, df, max_h=3, num_masks=16, seed=5)
+    b = neighborhood_function(
+        spark, df.repartition(7), max_h=3, num_masks=16, seed=5
+    )
+    # bit_or is fully commutative/associative: masks identical, not just close
+    rows_a = {r["vid"]: r["masks"] for r in a.state.collect()}
+    rows_b = {r["vid"]: r["masks"] for r in b.state.collect()}
+    assert rows_a == rows_b
+    assert a.levels == b.levels
+
+
+def test_anf_ball_sizes_cover_all_vertices(spark, test_graph):
+    res = neighborhood_function(spark, test_graph, max_h=4, num_masks=32, seed=9)
+    balls = res.ball_sizes()
+    assert balls.count() == 7
+    # golden graph is connected, diameter 3: every ball reaches all 7
+    assert res.converged
+    ests = [r["ball_size"] for r in balls.collect()]
+    for e in ests:
+        assert abs(e - 7) / 7 < 0.5
+
+
+def test_anf_resume_from_checkpoint(spark, tmp_path):
+    edges = er_graph(60, 3.0, seed=11)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    full = neighborhood_function(spark, df, max_h=4, num_masks=16, seed=2)
+    ck = str(tmp_path / "anf_ck")
+    # run 2 levels, then resume to completion in a "fresh" invocation
+    partial = neighborhood_function(
+        spark, df, max_h=2, num_masks=16, seed=2, checkpoint_dir=ck
+    )
+    assert len(partial.levels) == 2
+    resumed = neighborhood_function(
+        spark, df, max_h=4, num_masks=16, seed=2, checkpoint_dir=ck, resume=True
+    )
+    rows_full = {r["vid"]: r["masks"] for r in full.state.collect()}
+    rows_res = {r["vid"]: r["masks"] for r in resumed.state.collect()}
+    assert rows_full == rows_res

@@ -1,0 +1,106 @@
+"""DSIR importance resampling: hand-computed parity, selection sanity,
+determinism across parallelism."""
+
+from __future__ import annotations
+
+import math
+
+from arabesque_spark.operators.importance import (
+    bucket_log_ratios,
+    hashed_ngram_buckets,
+    importance_resample,
+    importance_weights,
+)
+
+TARGET = [
+    (100, "alpha beta alpha beta gamma"),
+    (101, "alpha beta delta"),
+]
+RAW = [
+    (1, "alpha beta alpha beta"),  # target-like
+    (2, "zig zag zig zag zig"),  # not target-like
+    (3, "alpha beta gamma delta"),  # target-like
+    (4, "completely unrelated words here"),
+    (5, ""),  # no bigram at all → weight 0
+]
+NB = 64  # small bucket space keeps the hand model readable
+
+
+def _buckets(spark, rows, n=2, nb=NB):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return [
+        (r["doc_id"], r["bucket"])
+        for r in hashed_ngram_buckets(df, n=n, num_buckets=nb).collect()
+    ]
+
+
+def test_ngram_bucket_counts(spark):
+    occ = _buckets(spark, RAW)
+    per_doc = {}
+    for d, _ in occ:
+        per_doc[d] = per_doc.get(d, 0) + 1
+    # n-gram OCCURRENCES: len(tokens) - 1 bigrams per doc
+    assert per_doc == {1: 3, 2: 4, 3: 3, 4: 3}
+
+
+def test_importance_weights_match_hand_model(spark):
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    target = spark.createDataFrame(TARGET, "doc_id long, text string")
+    # hand model from the SAME hashed occurrences (hash itself is the
+    # operator's; the probability algebra is recomputed independently)
+    t_occ = _buckets(spark, TARGET)
+    r_occ = _buckets(spark, RAW)
+    t_cnt: dict[int, int] = {}
+    for _, b in t_occ:
+        t_cnt[b] = t_cnt.get(b, 0) + 1
+    r_cnt: dict[int, int] = {}
+    for _, b in r_occ:
+        r_cnt[b] = r_cnt.get(b, 0) + 1
+    t_tot, r_tot = len(t_occ), len(r_occ)
+
+    def ratio(b):
+        return math.log((t_cnt.get(b, 0) + 1) / (t_tot + NB)) - math.log(
+            (r_cnt.get(b, 0) + 1) / (r_tot + NB)
+        )
+
+    want = {d: 0.0 for d, _ in RAW}
+    for d, b in r_occ:
+        want[d] += ratio(b)
+
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in importance_weights(raw, target, num_buckets=NB).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-9, (d, got[d], want[d])
+    # target-like docs outrank non-target-like ones
+    assert got[1] > got[2] and got[3] > got[2]
+    assert got[5] == 0.0
+
+
+def test_bucket_log_ratio_table_is_dense(spark):
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    target = spark.createDataFrame(TARGET, "doc_id long, text string")
+    tab = bucket_log_ratios(raw, target, num_buckets=NB)
+    assert tab.count() == NB  # broadcastable by construction
+
+
+def test_resample_deterministic_and_temperature_zero_is_topk(spark):
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    target = spark.createDataFrame(TARGET, "doc_id long, text string")
+    a = importance_resample(raw, target, k=2, num_buckets=NB, seed=7).collect()
+    b = importance_resample(
+        raw.repartition(5), target.repartition(3), k=2, num_buckets=NB, seed=7
+    ).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    # near-zero temperature: the perturbation is dominated → hard top-k
+    hard = importance_resample(
+        raw, target, k=2, num_buckets=NB, temperature=1e-9, seed=7
+    ).collect()
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in importance_weights(raw, target, num_buckets=NB).collect()
+    }
+    best2 = sorted(w, key=lambda d: (-w[d], d))[:2]
+    assert sorted(r["doc_id"] for r in hard) == sorted(best2)

@@ -1,0 +1,141 @@
+"""BM25 retrieval, boilerplate paragraph removal, clustering coefficients."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.triangles import (
+    clustering_coefficients,
+    global_clustering_coefficient,
+)
+from arabesque_spark.operators.dedup import boilerplate_paragraphs, remove_boilerplate
+from arabesque_spark.operators.retrieval import bm25_scores, bm25_topk, term_postings
+from tests.reference_impls import triangles_bruteforce
+
+
+# ---- BM25 ----------------------------------------------------------------
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown cat sat on the mat"),
+    (3, "a slow green turtle crosses the road"),
+    (4, "quick quick quick brown delivery service"),
+    (5, "nothing relevant whatsoever here"),
+]
+
+
+def bm25_reference(docs, terms, k1=1.2, b=0.75):
+    """Plain-Python BM25 with the Lucene idf variant."""
+    toks = {d: t.split() for d, t in docs}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    # df computed over the query-filtered postings (operator contract)
+    scores = {}
+    for term in set(terms):
+        df = sum(1 for t in toks.values() if term in t)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for d, t in toks.items():
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            s = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+            scores[d] = scores.get(d, 0.0) + s
+    return scores
+
+
+def test_bm25_matches_reference(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(df, ["quick", "brown"]).collect()
+    }
+    want = bm25_reference(DOCS, ["quick", "brown"])
+    assert set(got) == set(want)  # only matching docs appear
+    for d, s in want.items():
+        assert abs(got[d] - s) < 1e-5, (d, got[d], s)
+
+
+def test_bm25_topk_order_and_determinism(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    top = bm25_topk(df, ["quick", "brown"], k=2).collect()
+    want = bm25_reference(DOCS, ["quick", "brown"])
+    best = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert [r["doc_id"] for r in top] == [d for d, _ in best]
+    # repartition-invariant
+    top2 = bm25_topk(df.repartition(5), ["quick", "brown"], k=2).collect()
+    assert [r["doc_id"] for r in top2] == [r["doc_id"] for r in top]
+
+
+def test_term_postings_tf(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    tf = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in term_postings(df).filter(F.col("term") == "quick").collect()
+    }
+    assert tf == {("quick", 1): 1, ("quick", 2): 1, ("quick", 4): 3}
+
+
+# ---- boilerplate removal ---------------------------------------------------
+
+BOILER = "COPYRIGHT 2026 EXAMPLE CORP\nAll rights reserved."
+PDOCS = [
+    (1, f"{BOILER}\n\nunique body one\n\nsecond para one"),
+    (2, f"{BOILER}\n\nunique body two"),
+    (3, "standalone doc with no boilerplate"),
+    (4, f"intro four\n\n{BOILER}"),
+    (5, ""),
+]
+
+
+def test_boilerplate_paragraphs_flags_repeats(spark):
+    df = spark.createDataFrame(PDOCS, "doc_id long, text string")
+    flagged = boilerplate_paragraphs(df, min_docs=2).collect()
+    assert len(flagged) == 1
+    assert flagged[0]["n_docs"] == 3
+    assert flagged[0]["sample"] == BOILER
+
+
+def test_remove_boilerplate_preserves_order_and_coverage(spark):
+    df = spark.createDataFrame(PDOCS, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in remove_boilerplate(df, min_docs=2).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}  # every doc id survives
+    assert out[1] == "unique body one\n\nsecond para one"
+    assert out[2] == "unique body two"
+    assert out[3] == "standalone doc with no boilerplate"
+    assert out[4] == "intro four"
+    assert out[5] == ""
+    # repartition-invariant
+    out2 = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate(df.repartition(4), min_docs=2).collect()
+    }
+    assert out2 == out
+
+
+# ---- clustering coefficients -----------------------------------------------
+
+
+def test_clustering_coefficients_exact(spark, test_graph):
+    edges = [(r["src"], r["dst"]) for r in test_graph.collect()]
+    total, per_vertex = triangles_bruteforce(edges)
+    deg: dict[int, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    rows = clustering_coefficients(spark, test_graph).collect()
+    assert {r["vid"] for r in rows} == set(deg)  # full vertex coverage
+    for r in rows:
+        v = r["vid"]
+        assert r["degree"] == deg[v]
+        assert r["triangles"] == per_vertex.get(v, 0)
+        d = deg[v]
+        want = 0.0 if d < 2 else 2 * per_vertex.get(v, 0) / (d * (d - 1))
+        assert abs(r["lcc"] - want) < 1e-12
+
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    want_global = 3 * total / wedges
+    assert abs(global_clustering_coefficient(spark, test_graph) - want_global) < 1e-12
