@@ -211,3 +211,128 @@ def neighborhood_function(
         converged=result.converged,
         run=result,
     )
+
+
+def hyperball_centralities(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_h: int = 32,
+    num_masks: int = 32,
+    seed: int = 42,
+    num_partitions: int | None = None,
+    checkpoint_dir: str | Path | None = None,
+    resume: bool = False,
+) -> DataFrame:
+    """(vid, reachable, sum_dist, closeness, harmonic) for EVERY vertex —
+    the HyperBall algorithm (Boldi & Vigna, "In-Core Computation of
+    Geometric Centralities with HyperBall", 2013): geometric centralities
+    for all vertices from the same OR-merged distance sketches as
+    :func:`neighborhood_function`, telescoping per-level ball-size deltas
+    into distance sums instead of storing any distance:
+
+        sum_dist(v)  = Σ_h h · (|ball(v,h)| − |ball(v,h−1)|)
+        harmonic(v)  = Σ_h (1/h) · (same delta)
+        closeness(v) = (reachable(v) − 1) / sum_dist(v)   (0 if isolated)
+
+    The exact counterpart (`bfs.py` landmark distances) is
+    O(|sources|·V) state — exact but sampled; this is all-vertices with
+    FM error ~1/√K. State adds three doubles to the sketch row; the
+    per-superstep plan is the same single bit_or aggregation — the
+    running sums ride the OWN row through the merge (contribution rows
+    carry nulls, `max` picks the one non-null), so no extra join.
+
+    Deltas are clamped at 0: sketch estimates are monotone in
+    expectation but adjacent-level noise can dip negative; clamping
+    keeps sums monotone without biasing converged totals (the masks
+    themselves are exactly monotone).
+    """
+    if num_masks < 1:
+        raise ValueError("hyperball_centralities: num_masks must be >= 1")
+    n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    K = num_masks
+
+    sym = (
+        symmetric_edges(edges)
+        .repartition(n_parts, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    sym.count()
+
+    verts = sym.select(F.col("src").alias("vid")).dropDuplicates(["vid"])
+    init_masks = _init_masks(F.col("vid"), K, seed)
+    state0 = verts.select(
+        "vid",
+        init_masks.alias("masks"),
+        _ball_estimate(init_masks, K).alias("prev_est"),
+        F.lit(0.0).alias("sum_dist"),
+        F.lit(0.0).alias("harmonic"),
+    )
+
+    slot_cols = [f"_m{k}" for k in range(K)]
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
+        h = float(i + 1)
+        contrib = sym.join(state, sym["src"] == state["vid"]).select(
+            F.col("dst").alias("vid"),
+            state["masks"],
+            F.lit(None).cast("double").alias("prev_est"),
+            F.lit(None).cast("double").alias("sum_dist"),
+            F.lit(None).cast("double").alias("harmonic"),
+        )
+        flat = state.unionByName(contrib).select(
+            "vid",
+            "prev_est",
+            "sum_dist",
+            "harmonic",
+            *[F.col("masks")[k].alias(c) for k, c in enumerate(slot_cols)],
+        )
+        merged = flat.groupBy("vid").agg(
+            *[F.bit_or(c).alias(c) for c in slot_cols],
+            F.max("prev_est").alias("prev_est"),  # only the own row is non-null
+            F.max("sum_dist").alias("sum_dist"),
+            F.max("harmonic").alias("harmonic"),
+        )
+        masks = F.array(*slot_cols)
+        new_est = _ball_estimate(masks, K)
+        delta = F.greatest(new_est - F.col("prev_est"), F.lit(0.0))
+        new_state = merged.select(
+            "vid",
+            masks.alias("masks"),
+            new_est.alias("prev_est"),
+            (F.col("sum_dist") + F.lit(h) * delta).alias("sum_dist"),
+            (F.col("harmonic") + delta / F.lit(h)).alias("harmonic"),
+        )
+        return new_state, {"level": i + 1}
+
+    prev_fp: dict = {"fp": None}
+
+    def halt_decide(m: dict, i: int) -> bool:
+        fp = (m["rows"], m["mask_fp"] or 0)
+        stable = fp == prev_fp["fp"]
+        prev_fp["fp"] = fp
+        return stable
+
+    runner = SuperstepRunner(
+        spark, checkpoint_dir=checkpoint_dir, max_iterations=max_h
+    )
+    result = runner.run(
+        state0,
+        step,
+        resume=resume,
+        halt_exprs={
+            "mask_fp": F.sum(F.xxhash64("vid", "masks").cast("decimal(38,0)"))
+        },
+        halt_decide=halt_decide,
+    )
+    sym.unpersist()
+
+    return result.state.select(
+        "vid",
+        F.col("prev_est").alias("reachable"),
+        "sum_dist",
+        F.when(F.col("sum_dist") > 0, (F.col("prev_est") - 1) / F.col("sum_dist"))
+        .otherwise(F.lit(0.0))
+        .alias("closeness"),
+        "harmonic",
+    )

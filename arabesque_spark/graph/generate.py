@@ -1,0 +1,65 @@
+"""Distributed deterministic graph generation (R-MAT).
+
+Testing a link-graph engine at 10^12-file scale needs inputs that do
+not exist on disk: R-MAT (Chakrabarti, Zhan & Faloutsos, SDM'04 — the
+Graph500 generator) produces power-law graphs with genuine hubs from
+nothing but an edge index, so a 100-TB edge table is one
+``spark.range`` away. The reference ships driver-side generators
+(data/GenER2Qanat.java, data/UnlabelledGraphGenerator.java); this is
+their cluster-scale analog.
+
+Scale shape: every edge is a pure function of its index — ``range``
+partitions generate independently, ZERO shuffles, no RNG state (each
+quadrant decision hashes (seed, edge id, level), so any parallelism,
+any retry, any engine produces the identical graph). The recursive
+quadrant walk is unrolled into ``scale`` column expressions — all JVM,
+whole-stage-codegen friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Graph500 default quadrant probabilities (a, b, c, d)
+RMAT_A, RMAT_B, RMAT_C = 0.57, 0.19, 0.19  # d = 1 - a - b - c
+
+
+def rmat_edges(
+    spark: SparkSession,
+    scale: int,
+    edge_factor: int = 16,
+    seed: int = 1,
+    a: float = RMAT_A,
+    b: float = RMAT_B,
+    c: float = RMAT_C,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(src, dst) R-MAT multigraph: 2^scale vertices, edge_factor·2^scale
+    edges (self-loops and duplicates included, as Graph500 specifies —
+    pass through ``build.canonical_edges`` for the engine's canonical
+    simple graph). Deterministic in (scale, edge_factor, seed, a, b, c).
+    """
+    if not (2 <= scale <= 40):
+        raise ValueError("rmat_edges: scale must be in [2, 40]")
+    if min(a, b, c) < 0 or a + b + c >= 1:
+        raise ValueError("rmat_edges: need a,b,c >= 0 and a+b+c < 1")
+    n_edges = edge_factor << scale
+    parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    rows = spark.range(0, n_edges, 1, parts)
+
+    m = 1 << 30
+    src = F.lit(0).cast("long")
+    dst = F.lit(0).cast("long")
+    for level in range(scale):
+        u = (
+            F.pmod(F.xxhash64(F.lit(seed), F.col("id"), F.lit(level)), F.lit(m))
+            / float(m)
+        )
+        # quadrants: [0,a) stay/stay, [a,a+b) stay/down, [a+b,a+b+c)
+        # down/stay, rest down/down
+        src_bit = (u >= a + b).cast("long")
+        dst_bit = ((u >= a) & (u < a + b) | (u >= a + b + c)).cast("long")
+        src = src * 2 + src_bit
+        dst = dst * 2 + dst_bit
+    return rows.select(src.alias("src"), dst.alias("dst"))

@@ -1,0 +1,96 @@
+"""HyperBall centralities vs exact BFS; R-MAT generator properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.anf import hyperball_centralities
+from arabesque_spark.graph.build import canonical_edges
+from arabesque_spark.graph.generate import rmat_edges
+from tests.reference_impls import adjacency_dict, er_graph
+
+
+def exact_centralities(edges):
+    """Per-vertex (reachable, sum_dist, harmonic) by BFS."""
+    adj = adjacency_dict(edges)
+    out = {}
+    for s in adj:
+        dist = {s: 0}
+        frontier = [s]
+        d = 0
+        while frontier:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = d
+                        nxt.append(w)
+            frontier = nxt
+        sum_d = sum(dist.values())
+        harm = sum(1.0 / d for d in dist.values() if d > 0)
+        out[s] = (len(dist), sum_d, harm)
+    return out
+
+
+def test_hyperball_matches_exact_bfs(spark):
+    edges = er_graph(100, 4.0, seed=13)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["vid"]: (r["reachable"], r["sum_dist"], r["harmonic"], r["closeness"])
+        for r in hyperball_centralities(spark, df, num_masks=64, seed=4).collect()
+    }
+    want = exact_centralities(edges)
+    assert set(got) == set(want)
+    rel_sum, n = 0.0, 0
+    for v, (reach, sum_d, harm) in want.items():
+        g_reach, g_sum, g_harm, g_clo = got[v]
+        assert abs(g_reach - reach) / reach < 0.35
+        if sum_d > 0:
+            rel_sum += abs(g_sum - sum_d) / sum_d
+            n += 1
+            # closeness consistency with its own components
+            assert abs(g_clo - (g_reach - 1) / g_sum) < 1e-9
+        assert abs(g_harm - harm) / max(harm, 1.0) < 0.5
+    assert rel_sum / n < 0.25  # mean relative error on distance sums
+
+
+def test_hyperball_deterministic_and_isolated_safe(spark):
+    # two K3s: every vertex has reachable 3, sum_dist 2, harmonic 2
+    k3a = [(0, 1), (1, 2), (0, 2)]
+    k3b = [(10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(k3a + k3b, "src long, dst long")
+    rows1 = {r["vid"]: r for r in hyperball_centralities(spark, df, num_masks=64).collect()}
+    rows2 = {
+        r["vid"]: r
+        for r in hyperball_centralities(spark, df.repartition(5), num_masks=64).collect()
+    }
+    for v in rows1:
+        assert rows1[v]["sum_dist"] == rows2[v]["sum_dist"]
+        assert abs(rows1[v]["reachable"] - 3) < 1.2
+        # exact per-vertex distance sum is 2; sketch noise bounded
+        assert abs(rows1[v]["sum_dist"] - 2) < 1.5
+
+
+def test_rmat_deterministic_and_skewed(spark):
+    e1 = rmat_edges(spark, scale=10, edge_factor=8, seed=3, num_partitions=4)
+    e2 = rmat_edges(spark, scale=10, edge_factor=8, seed=3, num_partitions=13)
+    assert e1.count() == 8 * (1 << 10)
+    # identical multiset at any parallelism
+    fp1 = e1.agg(F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)"))).collect()[0][0]
+    fp2 = e2.agg(F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)"))).collect()[0][0]
+    assert fp1 == fp2
+    # bounds
+    mx = e1.agg(F.max(F.greatest("src", "dst")).alias("m")).collect()[0]["m"]
+    assert mx < (1 << 10)
+    # genuine skew: top degree far above median degree
+    deg = (
+        canonical_edges(e1)
+        .select(F.explode(F.array("src", "dst")).alias("v"))
+        .groupBy("v")
+        .count()
+    )
+    stats = deg.agg(
+        F.max("count").alias("mx"), F.expr("percentile_approx(count, 0.5)").alias("md")
+    ).collect()[0]
+    assert stats["mx"] > 10 * stats["md"]
