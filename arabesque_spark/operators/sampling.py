@@ -66,3 +66,78 @@ def deterministic_sample(
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1] (got {fraction})")
     return docs.filter(_bucket(id_col, seed) < int(round(fraction * _BUCKETS)))
+
+
+def mixture_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    group_col: str = "source",
+    text: str = "text",
+) -> DataFrame:
+    """(source, tokens, target_tokens, fraction) — the per-source keep
+    plan for assembling a ``token_budget``-token training mixture with
+    the given source weights (normalized to 1 over the listed sources).
+
+    ``fraction = min(1, target/available)`` — an under-provisioned
+    source is kept whole (the standard behavior; the achieved mixture
+    is then renormalizable downstream, and the shortfall is visible by
+    comparing ``tokens`` to ``target_tokens``). Sources absent from
+    ``weights`` get fraction 0. The plan is group-cardinality rows —
+    broadcastable no matter the corpus size.
+    """
+    if token_budget < 0:
+        raise ValueError("mixture_plan: token_budget must be >= 0")
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("mixture_plan: weights must sum to > 0")
+    from arabesque_spark.operators.text import tokens_col
+
+    n_tok = F.size(F.filter(tokens_col(text), lambda t: t != ""))
+    totals = docs.groupBy(group_col).agg(F.sum(n_tok).alias("tokens"))
+    # weight lookup as a literal CASE — the dict is driver-side config
+    target = None
+    for s, w in weights.items():
+        t = F.lit(float(w) / total_w * token_budget)
+        target = F.when(F.col(group_col) == s, t) if target is None else target.when(
+            F.col(group_col) == s, t
+        )
+    target = (F.lit(0.0) if target is None else target.otherwise(F.lit(0.0)))
+    return totals.select(
+        group_col,
+        "tokens",
+        F.round(target, 2).alias("target_tokens"),
+        F.round(
+            F.least(F.lit(1.0), target / F.greatest(F.col("tokens"), F.lit(1))), 6
+        ).alias("fraction"),
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    group_col: str = "source",
+    text: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 29,
+) -> DataFrame:
+    """Assemble a training mixture: keep each document with its source's
+    plan fraction, decided by the row-key hash — deterministic at any
+    parallelism, and nesting (a smaller budget's sample at the same
+    seed is a subset of a larger one's, source by source).
+
+    One aggregation for the plan (group-scale, broadcast back) + one
+    stateless filter over the corpus. Expected achieved tokens per
+    source = fraction · available; exactness is binomial in the doc
+    count (document-level sampling is the unit a dedup-safe pipeline
+    wants — splitting documents to hit budgets exactly is a packing
+    concern, see operators/packing.py).
+    """
+    plan = mixture_plan(docs, weights, token_budget, group_col, text)
+    keep = F.broadcast(plan.select(group_col, "fraction"))
+    return (
+        docs.join(keep, group_col)
+        .filter(_bucket(id_col, seed) < (F.col("fraction") * _BUCKETS).cast("long"))
+        .drop("fraction")
+    )

@@ -348,3 +348,45 @@ def bigram_lm_score(
         F.count("*").alias("n_tokens"),
         F.round(F.avg(F.log("p")), 6).alias("avg_logprob"),
     )
+
+
+# conservative PII patterns: precision over recall — a redaction pass at
+# corpus scale must not mangle code/prose on weak signals
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld (no spaces, 2+ letter TLD)
+    "EMAIL": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    # dotted-quad with 1-3 digit octets, word-bounded
+    "IP": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    # phone-like: optional +CC, then 7+ digits with - or space separators
+    # (dots deliberately excluded so dotted quads / versions never match;
+    # 415.555.0199-style numbers are traded away for precision)
+    "PHONE": r"(?<![\w.])\+?\d[\d\- ]{6,}\d(?![\w.])",
+}
+
+
+def redact_pii(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """(doc_id, text, n_email, n_ip, n_phone, …) — text with PII spans
+    replaced by ``<KIND>`` placeholder tokens, plus per-kind hit counts
+    (the audit column a pipeline logs/aggregates to decide whether a
+    source needs escalation).
+
+    Everything is JVM regexp_replace/regexp_count over the text column —
+    embarrassingly parallel, no shuffle at all. Patterns apply in
+    declaration order (email first so its digits never half-match the
+    phone rule). Counts are measured on the ORIGINAL text, before any
+    replacement, so they are independent of pattern order.
+    """
+    pats = patterns or PII_PATTERNS
+    counts = [
+        F.regexp_count(F.col(text), F.lit(p)).alias(f"n_{k.lower()}")
+        for k, p in pats.items()
+    ]
+    red = F.col(text)
+    for k, p in pats.items():
+        red = F.regexp_replace(red, p, f"<{k}>")
+    return docs.select(F.col(id_col), red.alias(text), *counts)

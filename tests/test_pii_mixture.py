@@ -1,0 +1,84 @@
+"""PII redaction and mixture sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arabesque_spark.operators.sampling import mixture_plan, mixture_sample
+from arabesque_spark.operators.text import redact_pii, tokens_col
+
+
+def test_redact_pii_patterns(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or 192.168.1.10 now"),
+            (2, "call +1 415-555-0199 twice: 415-555-0199"),
+            (3, "no pii here, just 3.14 and v1.2.3 and a@b"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert out[1]["text"] == "contact <EMAIL> or <IP> now"
+    assert out[1]["n_email"] == 1 and out[1]["n_ip"] == 1 and out[1]["n_phone"] == 0
+    assert out[2]["text"] == "call <PHONE> twice: <PHONE>"
+    assert out[2]["n_phone"] == 2
+    # precision: version numbers, decimals, and non-TLD @ stay untouched
+    assert out[3]["text"] == "no pii here, just 3.14 and v1.2.3 and a@b"
+    assert out[3]["n_email"] == 0 and out[3]["n_ip"] == 0 and out[3]["n_phone"] == 0
+    assert out[4]["text"] == ""
+
+
+def _mix_docs(spark, n_per_source=60, toks_per_doc=10):
+    rows = []
+    i = 0
+    for src in ["web", "code", "books"]:
+        for _ in range(n_per_source):
+            rows.append((i, " ".join(f"w{i}t{j}" for j in range(toks_per_doc)), src))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_mixture_plan_math(spark):
+    docs = _mix_docs(spark)  # 600 tokens per source
+    plan = {
+        r["source"]: r
+        for r in mixture_plan(
+            docs, {"web": 1.0, "code": 1.0}, token_budget=900
+        ).collect()
+    }
+    assert plan["web"]["tokens"] == 600
+    # 900 split evenly → 450 per listed source → fraction 0.75
+    assert abs(plan["web"]["fraction"] - 0.75) < 1e-6
+    assert abs(plan["code"]["fraction"] - 0.75) < 1e-6
+    assert plan["books"]["fraction"] == 0.0
+    # over-provisioned source is capped at 1
+    plan2 = {
+        r["source"]: r
+        for r in mixture_plan(docs, {"web": 1.0}, token_budget=10_000).collect()
+    }
+    assert plan2["web"]["fraction"] == 1.0
+
+
+def test_mixture_sample_budget_and_determinism(spark):
+    docs = _mix_docs(spark)
+    got = mixture_sample(docs, {"web": 2.0, "code": 1.0}, token_budget=600)
+    rows = got.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert "books" not in by_src  # unlisted source dropped
+    # targets: web 400 of 600 (frac 2/3), code 200 of 600 (frac 1/3);
+    # binomial noise over 60 docs → generous band
+    assert 25 <= len(by_src["web"]) <= 55
+    assert 10 <= len(by_src["code"]) <= 30
+    # deterministic at any parallelism
+    again = mixture_sample(
+        docs.repartition(7), {"web": 2.0, "code": 1.0}, token_budget=600
+    ).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in rows)
+    # nesting: smaller budget is a subset, source by source
+    small = mixture_sample(docs, {"web": 2.0, "code": 1.0}, token_budget=300).collect()
+    assert set(r["doc_id"] for r in small) <= set(r["doc_id"] for r in rows)
+    # schema untouched apart from the filter
+    assert set(got.columns) == {"doc_id", "text", "source"}
