@@ -1,0 +1,224 @@
+"""End-to-end LLM training-data pipeline over the documents table.
+
+Composes the operator families into the standard corpus-preparation
+sequence — every stage a library operator with its own tests/oracles,
+chained here to show they compose and to measure the funnel:
+
+  load → boilerplate removal → PII redaction → quality gate →
+  near-dup dedup (MinHash-LSH + transitive clusters) →
+  benchmark decontamination → DSIR target-likeness selection →
+  token-budget mixture assembly → BPE tokenize → sequence packing →
+  train/val/test split
+
+Prints one JSON line with per-stage (docs, tokens, wall_s) and writes
+it to BENCH/pipeline_demo_<sf>.json. Deterministic end to end: every
+decision is hash-derived, so any parallelism reproduces the same
+output sets (the split fingerprint is included to prove it).
+
+Usage: python scripts/pipeline_demo.py [sf_dir] [cpus]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from arabesque_spark.operators.bpe import bpe_encode, bpe_learn  # noqa: E402
+from arabesque_spark.operators.dedup import (  # noqa: E402
+    contamination_check,
+    dedup_clusters,
+    minhash_lsh_pairs,
+    remove_boilerplate,
+)
+from arabesque_spark.operators.importance import importance_weights  # noqa: E402
+from arabesque_spark.operators.packing import pack_sequences  # noqa: E402
+from arabesque_spark.operators.sampling import hash_split, mixture_sample  # noqa: E402
+from arabesque_spark.operators.text import (  # noqa: E402
+    quality_score,
+    redact_pii,
+    repetition_stats,
+    tokens_col,
+)
+from arabesque_spark.session import get_spark  # noqa: E402
+
+
+def measure(docs, text="text"):
+    row = docs.agg(
+        F.count("*").alias("docs"),
+        F.sum(F.size(F.filter(tokens_col(text), lambda t: t != ""))).alias("tokens"),
+    ).collect()[0]
+    return int(row["docs"]), int(row["tokens"] or 0)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    cpus = sys.argv[2] if len(sys.argv) > 2 else os.environ.get("SPARK_GRAFT_CPUS", "8")
+    spark = get_spark(
+        app_name="pipeline_demo", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    stages: list[dict] = []
+
+    def record(name, docs, t0):
+        d, tok = measure(docs)
+        stages.append(
+            {"stage": name, "docs": d, "tokens": tok, "wall_s": round(time.time() - t0, 2)}
+        )
+        print(f"# {name}: docs={d} tokens={tok} wall={stages[-1]['wall_s']}s",
+              file=sys.stderr, flush=True)
+        # pin each stage's survivors: downstream stages re-derive the whole
+        # chain otherwise (lineage grows multiplicatively through the
+        # iterative dedup/DSIR stages)
+        return docs.localCheckpoint(eager=True)
+
+    t0 = time.time()
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    attrs = raw.select("doc_id", "lang", "source")  # V-scale sidecar
+    corpus = record("load", raw.select("doc_id", "text"), t0)
+
+    # 1. strip cross-document boilerplate paragraphs
+    t0 = time.time()
+    corpus = record("boilerplate", remove_boilerplate(corpus, min_docs=3), t0)
+
+    # 2. PII redaction (audit counts dropped here; a real pipeline logs them)
+    t0 = time.time()
+    corpus = record("pii_redact", redact_pii(corpus).select("doc_id", "text"), t0)
+
+    # 3. quality gate: heuristic quality + Gopher repetition signals
+    t0 = time.time()
+    q = quality_score(corpus).join(
+        repetition_stats(corpus).select("doc_id", "dup_bigram_frac"), "doc_id"
+    )
+    keep_q = q.filter((F.col("quality") >= 0.05) & (F.col("dup_bigram_frac") <= 0.5))
+    corpus = record(
+        "quality_gate", corpus.join(keep_q.select("doc_id"), "doc_id", "left_semi"), t0
+    )
+
+    # 4. near-dup dedup: LSH pairs → transitive clusters → keep one per cluster
+    t0 = time.time()
+    pairs = minhash_lsh_pairs(corpus, k=64, bands=16, n=3, threshold=0.5)
+    clusters = dedup_clusters(spark, corpus, pairs)
+    corpus = record(
+        "near_dup",
+        corpus.join(clusters.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"),
+        t0,
+    )
+
+    # 5. decontamination vs a (synthetic, deterministic) benchmark: the 5
+    # lowest-id docs' first 120 chars stand in for eval items
+    t0 = time.time()
+    bench = (
+        corpus.orderBy("doc_id")
+        .limit(5)
+        .select(F.col("doc_id").alias("bench_id"), F.substring("text", 1, 120).alias("text"))
+    )
+    hits = contamination_check(corpus, bench, n=8).filter(F.col("frac") >= 0.5)
+    corpus = record(
+        "decontaminate",
+        corpus.join(hits.select("doc_id").distinct(), "doc_id", "left_anti"),
+        t0,
+    )
+
+    # 6. DSIR: keep the 70% of docs most like the 'src0'-source target slice
+    t0 = time.time()
+    target = corpus.join(
+        attrs.filter(F.col("source") == "src0").select("doc_id"), "doc_id", "left_semi"
+    )
+    w = importance_weights(corpus, target, n=2, num_buckets=4096)
+    n_before = corpus.count()
+    k = max(1, int(n_before * 0.7))
+    selected = w.orderBy(F.col("log_weight").desc(), "doc_id").limit(k)
+    corpus = record(
+        "dsir_select", corpus.join(selected.select("doc_id"), "doc_id", "left_semi"), t0
+    )
+
+    # 7. mixture assembly: uniform weights over surviving sources, budget =
+    # 60% of surviving tokens
+    t0 = time.time()
+    with_src = corpus.join(attrs.select("doc_id", "source"), "doc_id")
+    sources = [r["source"] for r in with_src.select("source").distinct().collect()]
+    _, toks_now = measure(corpus)
+    mixed = mixture_sample(
+        with_src, {s: 1.0 for s in sources}, token_budget=int(toks_now * 0.6)
+    )
+    corpus = record("mixture", mixed.select("doc_id", "text"), t0)
+
+    # 8. BPE tokenize: learn merges on the surviving corpus, encode
+    t0 = time.time()
+    merges = bpe_learn(spark, corpus, num_merges=48, min_frequency=2)
+    enc = bpe_encode(corpus, merges).select(
+        "doc_id", F.col("n_bpe_tokens").alias("length")
+    )
+    enc = enc.localCheckpoint(eager=True)
+    d, tok = measure(corpus)
+    bpe_tok = enc.agg(F.sum("length")).collect()[0][0]
+    stages.append(
+        {"stage": "bpe_encode", "docs": d, "tokens": int(bpe_tok),
+         "wall_s": round(time.time() - t0, 2), "merges": merges.count()}
+    )
+
+    # 9. pack BPE-length sequences into capacity-256 bins; documents
+    # longer than the capacity are split upstream into capacity-sized
+    # pieces first (the contract pack_sequences enforces — it refuses to
+    # clip silently)
+    t0 = time.time()
+    cap = 256
+    pieces = (
+        enc.select(
+            "doc_id",
+            "length",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.lit(1), F.ceil(F.col("length") / cap).cast("int")),
+                )
+            ).alias("p"),
+        )
+        .select(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit("#"), (F.col("p") - 1).cast("string")
+            ).alias("doc_id"),
+            F.least(F.lit(cap), F.col("length") - (F.col("p") - 1) * cap)
+            .cast("int")
+            .alias("length"),
+        )
+        .filter(F.col("length") > 0)
+    )
+    packed = pack_sequences(pieces, capacity=cap)
+    n_packs = packed.agg(F.count_distinct("pack_id")).collect()[0][0]
+    util = float(bpe_tok) / (int(n_packs) * 256)
+    stages.append(
+        {"stage": "pack", "docs": d, "packs": int(n_packs),
+         "utilization": round(util, 4), "wall_s": round(time.time() - t0, 2)}
+    )
+
+    # 10. leakage-proof split; fingerprint proves parallelism-invariance
+    t0 = time.time()
+    split = hash_split(corpus, {"train": 0.9, "val": 0.05, "test": 0.05})
+    counts = {
+        r["split"]: r["count"]
+        for r in split.groupBy("split").count().collect()
+    }
+    fp = split.agg(
+        F.sum(F.xxhash64("doc_id", "split").cast("decimal(38,0)"))
+    ).collect()[0][0]
+    stages.append(
+        {"stage": "split", "counts": counts, "fingerprint": str(fp),
+         "wall_s": round(time.time() - t0, 2)}
+    )
+
+    out = {"sf_dir": sf_dir, "cpus": int(cpus), "stages": stages}
+    line = json.dumps(out)
+    print(line)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    with open(f"/root/repo/BENCH/pipeline_demo_{tag}.json", "w") as fh:
+        fh.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
