@@ -1,0 +1,171 @@
+"""Betweenness centrality via Brandes source sampling.
+
+Brandes' algorithm ("A faster algorithm for betweenness centrality",
+2001) restated as two level-synchronous superstep passes per source
+batch — the standard scalable estimator (Brandes & Pich 2007): run the
+exact per-source computation from a SAMPLE of sources and scale by
+V/|S|; exact when the sample is every vertex.
+
+* **Forward pass** (shortest-path DAG): level-synchronous BFS carrying
+  σ = the number of shortest paths from the source. One level = frontier
+  ⋈ edges → groupBy(source, vid) SUM of predecessor σ (partial-agg
+  friendly), anti-join against discovered. Same state contract as
+  bfs.py: O(|sources| · V) rows — the landmark-bounded trade.
+* **Backward pass** (dependency accumulation): for levels d = maxd−1 … 1,
+  δ(v) = Σ over DAG successors w of (σ_v/σ_w)·(1 + δ_w). Each level is
+  one join of the d+1 frontier (with its finished δ) against the edge
+  table and one aggregation — the mirror image of the forward level,
+  same bounded shape. betweenness(v) = Σ_sources δ(v)/2 (undirected
+  pair convention), scaled by V/|S| when sampling.
+
+The forward pass runs on SuperstepRunner (checkpoint/resume, observed
+halt); the backward pass is a bounded driver loop over the forward
+levels (≤ diameter iterations), each level materialized via
+localCheckpoint to sever lineage. σ and δ are doubles — path counts
+grow combinatorially and the centrality estimator only needs their
+ratios.
+
+Reference parity: no betweenness in the reference; this completes the
+centrality surface (PageRank/harmonic/closeness/betweenness) the
+link-graph north rule's analytics sit in.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arabesque_spark.engine.superstep import SuperstepRunner
+from arabesque_spark.graph.build import symmetric_edges
+
+
+def _forward(
+    spark: SparkSession,
+    sym: DataFrame,
+    sources: DataFrame,
+    max_depth: int,
+    checkpoint_dir: str | Path | None,
+    resume: bool,
+) -> DataFrame:
+    """(source, vid, dist, sigma) for every reached vertex."""
+    state0 = sources.select("vid").dropDuplicates(["vid"]).select(
+        F.col("vid").alias("source"),
+        F.col("vid"),
+        F.lit(0).cast("int").alias("dist"),
+        F.lit(1.0).alias("sigma"),
+    )
+    prev_rows: list[int | None] = [None]
+
+    def step(state: DataFrame, i: int):
+        frontier = state.filter(F.col("dist") == i)
+        cand = (
+            frontier.join(sym, frontier["vid"] == sym["src"])
+            .groupBy("source", F.col("dst").alias("vid"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        fresh = cand.join(state, ["source", "vid"], "left_anti").select(
+            "source", "vid", F.lit(i + 1).cast("int").alias("dist"), "sigma"
+        )
+        return state.unionByName(fresh), {"level": i + 1}
+
+    def halt_decide(m: dict, i: int) -> bool:
+        rows = m["rows"]
+        done = rows == prev_rows[0]
+        prev_rows[0] = rows
+        return done
+
+    runner = SuperstepRunner(
+        spark, checkpoint_dir=checkpoint_dir, max_iterations=max_depth
+    )
+    return runner.run(
+        state0, step, resume=resume, halt_exprs={}, halt_decide=halt_decide
+    ).state
+
+
+def betweenness_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame | None = None,
+    max_depth: int = 12,
+    checkpoint_dir: str | Path | None = None,
+    resume: bool = False,
+) -> DataFrame:
+    """(vid, betweenness) — exact when ``sources`` is None (all vertices
+    are sources); otherwise the Brandes-Pich sampled estimator scaled by
+    V/|S|. Vertices on no shortest path get 0. Undirected convention:
+    each unordered pair contributes once."""
+    sym = symmetric_edges(edges).persist()
+    all_vids = sym.select(F.col("src").alias("vid")).dropDuplicates(["vid"])
+    n_vertices = all_vids.count()
+    if sources is None:
+        src_df, n_sources = all_vids, n_vertices
+    else:
+        src_df = sources.select("vid").dropDuplicates(["vid"])
+        n_sources = src_df.count()
+        if n_sources == 0:
+            raise ValueError("betweenness_centrality: empty source set")
+
+    fwd = _forward(spark, sym, src_df, max_depth, checkpoint_dir, resume)
+    fwd = fwd.repartition("source", "vid").localCheckpoint(eager=True)
+    maxd = fwd.agg(F.max("dist")).collect()[0][0] or 0
+
+    # backward dependency accumulation, one level at a time. Only the
+    # PREVIOUS level's finished δ is ever needed (DAG edges connect
+    # adjacent BFS levels), so the loop carries one level-sized frame —
+    # the deepest level has δ = 0, folded in via the left join's coalesce.
+    prev_delta = None  # (source, vid, delta) for level d+1
+    acc = None  # running betweenness contributions (vid, b)
+    for d in range(maxd - 1, 0, -1):
+        upper = fwd.filter(F.col("dist") == d + 1).select(
+            "source", F.col("vid").alias("w"), F.col("sigma").alias("sigma_w")
+        )
+        if prev_delta is not None:
+            upper = upper.join(
+                prev_delta.select("source", F.col("vid").alias("w"), "delta"),
+                ["source", "w"],
+                "left",
+            )
+        else:
+            upper = upper.withColumn("delta", F.lit(None).cast("double"))
+        upper = upper.select(
+            "source", "w", "sigma_w", F.coalesce("delta", F.lit(0.0)).alias("delta_w")
+        )
+        lower = fwd.filter(F.col("dist") == d).select(
+            "source", "vid", F.col("sigma").alias("sigma_v")
+        )
+        # DAG edges between the two levels: any graph edge (v, w) with
+        # dist(v) = d, dist(w) = d+1 is a shortest-path DAG edge
+        lvl_delta = (
+            upper.join(sym, upper["w"] == sym["src"])
+            .select("source", F.col("dst").alias("vid"), "sigma_w", "delta_w")
+            .join(lower, ["source", "vid"])
+            .groupBy("source", "vid")
+            .agg(
+                F.sum(
+                    F.col("sigma_v") / F.col("sigma_w") * (F.lit(1.0) + F.col("delta_w"))
+                ).alias("delta")
+            )
+        ).localCheckpoint(eager=True)
+        prev_delta = lvl_delta
+        contrib = lvl_delta.filter(F.col("vid") != F.col("source")).groupBy("vid").agg(
+            F.sum("delta").alias("b")
+        )
+        acc = contrib if acc is None else (
+            acc.unionByName(contrib).groupBy("vid").agg(F.sum("b").alias("b"))
+        )
+        if acc is not None:
+            acc = acc.localCheckpoint(eager=True)
+
+    sym.unpersist()
+    scale = (n_vertices / n_sources) / 2.0
+    if acc is None:  # no paths of length ≥ 2 anywhere
+        return all_vids.select("vid", F.lit(0.0).alias("betweenness"))
+    return (
+        all_vids.join(acc, "vid", "left")
+        .select(
+            "vid",
+            F.round(F.coalesce("b", F.lit(0.0)) * scale, 6).alias("betweenness"),
+        )
+    )

@@ -1,0 +1,92 @@
+"""Betweenness centrality: exact Brandes parity, sampling, determinism."""
+
+from __future__ import annotations
+
+from collections import deque
+
+from arabesque_spark.graph.betweenness import betweenness_centrality
+from tests.reference_impls import adjacency_dict, er_graph
+
+
+def brandes_exact(edges):
+    """Textbook Brandes, undirected convention (each pair once)."""
+    adj = adjacency_dict(edges)
+    bc = {v: 0.0 for v in adj}
+    for s in adj:
+        # forward
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        order = []
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sigma[w] = 0.0
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        # backward
+        delta = {v: 0.0 for v in dist}
+        for w in reversed(order):
+            for v in adj[w]:
+                if dist.get(v) == dist[w] - 1:
+                    delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return {v: b / 2.0 for v, b in bc.items()}
+
+
+def test_betweenness_exact_on_golden_graph(spark, test_graph):
+    edges = [(r["src"], r["dst"]) for r in test_graph.collect()]
+    want = brandes_exact(edges)
+    got = {
+        r["vid"]: r["betweenness"]
+        for r in betweenness_centrality(spark, test_graph).collect()
+    }
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
+
+
+def test_betweenness_exact_on_er_graph(spark):
+    edges = er_graph(40, 3.0, seed=21)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    want = brandes_exact(edges)
+    got = {
+        r["vid"]: r["betweenness"]
+        for r in betweenness_centrality(spark, df).collect()
+    }
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-5, (v, got[v], want[v])
+
+
+def test_betweenness_path_graph_closed_form(spark):
+    # path 0-1-2-3-4: bc(v at index i) = i*(n-1-i) for interior vertices
+    n = 5
+    df = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    got = {
+        r["vid"]: r["betweenness"]
+        for r in betweenness_centrality(spark, df).collect()
+    }
+    for i in range(n):
+        assert abs(got[i] - i * (n - 1 - i)) < 1e-9
+
+
+def test_betweenness_sampled_scales_and_is_deterministic(spark):
+    edges = er_graph(60, 3.0, seed=5)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    vids = sorted(adjacency_dict(edges))
+    sources = spark.createDataFrame([(v,) for v in vids[::3]], "vid long")
+    a = betweenness_centrality(spark, df, sources=sources)
+    b = betweenness_centrality(spark, df.repartition(7), sources=sources)
+    rows_a = sorted((r["vid"], r["betweenness"]) for r in a.collect())
+    rows_b = sorted((r["vid"], r["betweenness"]) for r in b.collect())
+    assert rows_a == rows_b
+    # the sampled estimator correlates with exact: top-5 overlap ≥ 3
+    want = brandes_exact(edges)
+    top_exact = {v for v, _ in sorted(want.items(), key=lambda kv: -kv[1])[:5]}
+    top_est = {v for v, _ in sorted(rows_a, key=lambda kv: -kv[1])[:5]}
+    assert len(top_exact & top_est) >= 3
