@@ -1,0 +1,76 @@
+"""Weighted landmark distances vs Dijkstra."""
+
+from __future__ import annotations
+
+import heapq
+
+from arabesque_spark.graph.bfs import weighted_distances
+from tests.reference_impls import er_graph
+
+
+def dijkstra(edges_w, s):
+    adj: dict[int, list[tuple[int, float]]] = {}
+    for u, v, w in edges_w:
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, []).append((u, w))
+    dist = {s: 0.0}
+    pq = [(0.0, s)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+def _weighted(edges, seed=0):
+    # deterministic pseudo-weights in {0.5, 1.0, ..., 3.0}
+    return [
+        (u, v, 0.5 * (1 + (hash((u, v, seed)) % 6))) for u, v in edges
+    ]
+
+
+def test_weighted_distances_match_dijkstra(spark):
+    ew = _weighted(er_graph(50, 3.0, seed=9))
+    df = spark.createDataFrame(ew, "src long, dst long, weight double")
+    srcs = spark.createDataFrame([(0,), (7,), (13,)], "vid long")
+    res = weighted_distances(spark, df, srcs)
+    assert res.converged
+    got = {(r["source"], r["vid"]): r["dist"] for r in res.state.collect()}
+    for s in [0, 7, 13]:
+        want = dijkstra(ew, s)
+        mine = {v: d for (src, v), d in got.items() if src == s}
+        assert set(mine) == set(want)
+        for v, d in want.items():
+            assert abs(mine[v] - d) < 1e-9, (s, v, mine[v], d)
+
+
+def test_weighted_distances_prefer_cheap_multihop(spark):
+    # direct edge 0-2 costs 10; 0-1-2 costs 2 — relaxation must keep improving
+    df = spark.createDataFrame(
+        [(0, 2, 10.0), (0, 1, 1.0), (1, 2, 1.0)], "src long, dst long, weight double"
+    )
+    srcs = spark.createDataFrame([(0,)], "vid long")
+    res = weighted_distances(spark, df, srcs)
+    got = {r["vid"]: r["dist"] for r in res.state.collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0}
+
+
+def test_weighted_distances_resume(spark, tmp_path):
+    ew = _weighted(er_graph(40, 3.0, seed=2), seed=1)
+    df = spark.createDataFrame(ew, "src long, dst long, weight double")
+    srcs = spark.createDataFrame([(3,)], "vid long")
+    full = weighted_distances(spark, df, srcs)
+    ck = str(tmp_path / "wd_ck")
+    partial = weighted_distances(spark, df, srcs, max_iterations=2, checkpoint_dir=ck)
+    assert not partial.converged
+    resumed = weighted_distances(
+        spark, df, srcs, checkpoint_dir=ck, resume=True
+    )
+    a = {(r["source"], r["vid"]): r["dist"] for r in full.state.collect()}
+    b = {(r["source"], r["vid"]): r["dist"] for r in resumed.state.collect()}
+    assert a == b
