@@ -1,0 +1,191 @@
+"""Streaming exact dedup over a document stream.
+
+The ingestion-side twin of ``operators/dedup.py:exact_dedup``: a
+micro-batch stream of documents where only FIRST-SEEN content may pass
+downstream (training-data ingestion wants the dedup decision at intake,
+not as a later full-corpus pass). Semantics: a document passes iff no
+earlier COMMITTED batch contained its content hash; within a batch,
+ties go to the minimum doc_id — so the survivor set equals what batch
+``exact_dedup`` would keep over the concatenated stream, which is
+exactly what the property tests assert (under redelivery and restarts).
+
+State layout = the engine's compacted-generation pattern
+(state_store.py, shared with the triangle/CC trackers):
+
+* ``seen/gen_<g>/`` — committed content hashes, parquet files
+  ``partitionBy(bkt)`` (64-way hash bucket), so a batch's membership
+  probe reads ONLY its touched buckets (partition pruning — per-batch
+  cost scales with the batch, not the corpus);
+* ``delta/batch_<id>/`` — each batch's newly-seen hashes;
+* ``counts.jsonl`` append = the batch commit point (a crash before the
+  append replays the batch against unchanged state; a replayed logged
+  batch is a no-op returning its recorded stats);
+* every ``compact_every`` batches the deltas fold into the next
+  generation (atomic manifest replace, orphan sweep).
+
+The hash is sha256 of the text — matching the batch operator AND the
+ingest invariant the north rule pins (content sha256 equality), so the
+streaming decision is reproducible from the content alone.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arabesque_spark.streaming.state_store import CompactedStateStore
+
+
+class IncrementalDeduper(CompactedStateStore):
+    """Exactly-once streaming exact dedup on content hash."""
+
+    GEN_SUBDIR = "seen"
+    DELTA_SUBDIR = "delta"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str | Path,
+        compact_every: int = 16,
+        n_buckets: int = 64,
+        id_col: str = "doc_id",
+        text: str = "text",
+    ) -> None:
+        self._n_seen = 0
+        self.id_col = id_col
+        self.text = text
+        super().__init__(
+            spark, state_dir, compact_every=compact_every, n_buckets=n_buckets
+        )
+
+    def _fold_log_entry(self, entry: dict) -> None:
+        self._n_seen = entry["n_seen"]
+
+    @property
+    def n_seen(self) -> int:
+        """Distinct content hashes committed so far."""
+        return self._n_seen
+
+    # ---- state reads ----------------------------------------------------
+    def _stored_hashes(self, buckets: list[int] | None) -> DataFrame | None:
+        parts = []
+        if self._gen >= 0:
+            df = self.spark.read.parquet(str(self._gen_dir(self._gen)))
+            if buckets is not None:
+                df = df.filter(F.col("bkt").isin(buckets))
+            parts.append(df.select("h"))
+        dirs = [
+            str(self._delta_dir(bid)) for bid in self._logged_delta_ids()
+        ]
+        if dirs:
+            parts.append(self.spark.read.parquet(*dirs).select("h"))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
+
+    # ---- the per-batch kernel -------------------------------------------
+    def process_batch(self, batch: DataFrame, batch_id: int) -> dict:
+        """Fold one batch of documents; returns the logged entry
+        {n_in, n_fresh, n_seen}. Survivors (first-seen docs) are stored in
+        the batch's delta dir and retrievable via :meth:`fresh_docs`.
+        Replaying a logged batch_id is a no-op returning the logged entry.
+        """
+        if batch_id in self._entries:
+            return self._entries[batch_id]
+        # compact BEFORE processing (not after commit): the sink reads the
+        # just-committed batch's survivors via fresh_docs, so the newest
+        # delta must outlive its own process_batch call
+        if self._should_compact():
+            self._compact()
+        hashed = batch.select(
+            F.col(self.id_col),
+            F.col(self.text),
+            F.sha2(F.col(self.text), 256).alias("h"),
+        )
+        # within-batch winner: min doc_id per hash (the batch operator's
+        # tie-break) — a hash aggregate + self-join, no window over the batch
+        winner = (
+            hashed.groupBy("h")
+            .agg(F.min(F.col(self.id_col)).alias(self.id_col))
+            .join(hashed, ["h", self.id_col])
+        ).localCheckpoint(eager=True)
+        n_in = batch.count()
+
+        brows = (
+            winner.select(self._bucket(F.col("h")).alias("b")).distinct().collect()
+        )
+        buckets = sorted({r["b"] for r in brows})
+        stored = self._stored_hashes(buckets)
+        fresh = winner if stored is None else winner.join(stored, "h", "left_anti")
+        fresh = fresh.select(
+            "h", self.id_col, self.text, self._bucket(F.col("h")).alias("bkt")
+        ).localCheckpoint(eager=True)
+        n_fresh = fresh.count()
+
+        bdir = self._delta_dir(batch_id)
+        fresh.write.mode("overwrite").parquet(str(bdir))
+        entry = {
+            "batch_id": batch_id,
+            "n_in": n_in,
+            "n_fresh": n_fresh,
+            "n_seen": self._n_seen + n_fresh,
+        }
+        self._append_log(entry)  # commit point
+        self._n_seen = entry["n_seen"]
+        return entry
+
+    def fresh_docs(self, batch_id: int) -> DataFrame:
+        """The committed survivors of a batch (doc_id, text) — what a
+        foreachBatch sink forwards downstream; raises on unknown ids so a
+        sink cannot silently forward an uncommitted batch."""
+        if batch_id not in self._entries:
+            raise KeyError(f"batch {batch_id} was never committed")
+        if batch_id in self._covered:
+            raise KeyError(
+                f"batch {batch_id} was compacted away — read survivors "
+                "before compaction or lower compact_every"
+            )
+        return self.spark.read.parquet(str(self._delta_dir(batch_id))).select(
+            self.id_col, self.text
+        )
+
+    def seen_hashes(self) -> DataFrame:
+        """Current full (h) membership table."""
+        stored = self._stored_hashes(None)
+        if stored is None:
+            return self.spark.createDataFrame([], "h string")
+        return stored.dropDuplicates(["h"])
+
+    def _compact(self) -> None:
+        ids = self._logged_delta_ids()
+        dirs = [str(self._delta_dir(bid)) for bid in ids]
+        parts = []
+        if self._gen >= 0:
+            parts.append(
+                self.spark.read.parquet(str(self._gen_dir(self._gen))).select(
+                    "h", "bkt"
+                )
+            )
+        if dirs:
+            parts.append(self.spark.read.parquet(*dirs).select("h", "bkt"))
+        if not parts:
+            return
+        allh = parts[0]
+        for p in parts[1:]:
+            allh = allh.union(p)
+        allh = allh.dropDuplicates(["h"])
+
+        def write_gen(gen_dir: Path) -> None:
+            (
+                allh.repartition(self.n_buckets, "bkt")
+                .write.mode("overwrite")
+                .partitionBy("bkt")
+                .parquet(str(gen_dir))
+            )
+
+        self._commit_generation(write_gen, set(self._entries))

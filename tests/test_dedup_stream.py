@@ -1,0 +1,93 @@
+"""Streaming exact dedup vs the batch operator, under redelivery,
+compaction, restart, and the crash window."""
+
+from __future__ import annotations
+
+import json
+import random
+
+from arabesque_spark.operators.dedup import exact_dedup
+from arabesque_spark.streaming.dedup_stream import IncrementalDeduper
+
+
+def _docs(n: int, n_distinct_texts: int, seed: int) -> list[tuple[int, str]]:
+    rng = random.Random(seed)
+    return [
+        (i, f"text body number {rng.randrange(n_distinct_texts)}") for i in range(n)
+    ]
+
+
+def _batch_survivors(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {r["doc_id"] for r in exact_dedup(df).filter("keep").collect()}
+
+
+def test_stream_dedup_matches_batch(spark, tmp_path):
+    docs = _docs(120, 40, seed=7)
+    cuts = [0, 30, 60, 90, 120]
+    dd = IncrementalDeduper(spark, tmp_path / "state")
+    passed: set[int] = set()
+    for i in range(4):
+        chunk = docs[cuts[i] : cuts[i + 1]]
+        rows = list(chunk)
+        if i > 0:  # adversarial redelivery of earlier docs
+            rows += docs[: cuts[i] // 2]
+        entry = dd.process_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"), i
+        )
+        fresh = {r["doc_id"] for r in dd.fresh_docs(i).collect()}
+        assert len(fresh) == entry["n_fresh"]
+        passed |= fresh
+    want = _batch_survivors(spark, docs)
+    # redelivered docs lose to the already-committed hash, so the stream's
+    # pass-through set equals batch exact_dedup over the concatenation
+    assert passed == want
+    assert dd.n_seen == len(want)
+
+
+def test_stream_dedup_compaction_restart_and_replay(spark, tmp_path):
+    docs = _docs(90, 25, seed=13)
+    state = tmp_path / "state"
+    dd = IncrementalDeduper(spark, state, compact_every=2, n_buckets=8)
+    survivors: set[int] = set()
+    for i, (lo, hi) in enumerate([(0, 30), (30, 60)]):
+        dd.process_batch(
+            spark.createDataFrame(docs[lo:hi], "doc_id long, text string"), i
+        )
+        # compaction is deferred to the NEXT batch, so the sink can always
+        # read the batch it just committed
+        survivors |= {r["doc_id"] for r in dd.fresh_docs(i).collect()}
+
+    # a FRESH deduper over the same dir continues exactly; batch 2
+    # triggers the deferred compaction of batches 0-1 first
+    dd2 = IncrementalDeduper(spark, state, compact_every=2, n_buckets=8)
+    assert dd2.n_seen == dd.n_seen
+    entry = dd2.process_batch(
+        spark.createDataFrame(docs[60:], "doc_id long, text string"), 2
+    )
+    m = json.loads((state / "compaction.json").read_text())
+    assert m["gen"] == 0 and m["covered"] == [0, 1]
+    assert not (state / "delta" / "batch_0").exists()
+    assert (state / "delta" / "batch_2").exists()
+    gen0 = state / "seen" / "gen_0"
+    assert sorted(p.name for p in gen0.iterdir() if p.name.startswith("bkt="))
+    survivors |= {r["doc_id"] for r in dd2.fresh_docs(2).collect()}
+    assert survivors == _batch_survivors(spark, docs)
+
+    # replay of a committed batch is a no-op with the same stats
+    again = dd2.process_batch(
+        spark.createDataFrame(docs[60:], "doc_id long, text string"), 2
+    )
+    assert again == entry
+    assert dd2.n_seen == entry["n_seen"]
+
+
+def test_stream_dedup_fresh_docs_guards(spark, tmp_path):
+    dd = IncrementalDeduper(spark, tmp_path / "state", compact_every=2)
+    docs = _docs(20, 10, seed=3)
+    dd.process_batch(spark.createDataFrame(docs, "doc_id long, text string"), 0)
+    try:
+        dd.fresh_docs(99)
+        raise AssertionError("expected KeyError for uncommitted batch")
+    except KeyError:
+        pass
