@@ -162,6 +162,41 @@ def build_adjacency(
     )
 
 
+def build_directed_adjacency(
+    edges: DataFrame,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Chunked CSR adjacency over a DIRECTED edge table → (src, chunk,
+    neighbors array<long>, odeg).
+
+    Same hub-safe construction as :func:`build_adjacency` (chunk id hashed
+    BEFORE the groupBy, so no reduce task assembles more than ~chunk_size
+    out-neighbors) but WITHOUT symmetrization: ``neighbors`` are the
+    out-neighbors of ``src`` and ``odeg`` its out-degree. Feed reversed
+    edges (``dst`` as ``src``) to obtain the in-adjacency. Powers the
+    directed-graph kernels (HITS, SCC color propagation) where the two
+    directions play different roles.
+    """
+    de = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    if num_partitions:
+        de = de.repartition(num_partitions, "src")
+    odeg = de.groupBy("src").agg(F.count("*").cast("int").alias("odeg"))
+    n_chunks = F.greatest(F.lit(1), F.ceil(F.col("odeg") / F.lit(chunk_size))).cast(
+        "int"
+    )
+    return (
+        de.join(odeg, "src")
+        .withColumn("chunk", F.pmod(F.xxhash64("dst"), n_chunks).cast("int"))
+        .groupBy("src", "chunk")
+        .agg(
+            F.sort_array(F.collect_list("dst")).alias("neighbors"),
+            F.first("odeg").alias("odeg"),
+        )
+        .select("src", "chunk", "neighbors", "odeg")
+    )
+
+
 def forward_adjacency(edges: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Oriented adjacency: only neighbors with id > src → (src, neighbors, fdeg).
 

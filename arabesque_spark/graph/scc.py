@@ -1,0 +1,187 @@
+"""Strongly connected components of a directed edge table.
+
+The coloring algorithm (Orzan 2004; the distributed-SCC standard, also
+the shape of Slota et al.'s Multistep): repeat until no vertices remain —
+
+1. **Trim**: a vertex with no in-edges or no out-edges in the remaining
+   graph cannot lie on a cycle → it is its own singleton SCC. Trimming
+   iterates (removing a layer exposes the next), which alone finishes
+   DAG-like graphs without ever running a propagation round.
+2. **Color**: propagate ``color(v) = max vid u such that u ⇝ v`` forward
+   to fixpoint (the directed analog of min-label connected components,
+   components.py:30 — same join+max-aggregate shuffle shape, O(diameter)
+   rounds). Every SCC is monochromatic: its members reach each other, so
+   they see the same ancestor set.
+3. **Backward reach**: from each color root r (``color(r) == r``),
+   propagate membership backward along edges RESTRICTED to color r.
+   The reached set is exactly SCC(r): v ⇝ r within the color and r ⇝ v
+   by the color's definition. All roots run simultaneously (multi-source
+   flag propagation, one table).
+4. Emit those SCCs, delete their vertices and incident edges, repeat.
+
+Vertex states the reference's BSP engine would hold in worker memory
+(ExecutionEngine.java:140-206) live here as V-scale DataFrames,
+re-materialized per round via ``localCheckpoint`` to sever lineage.
+
+Scale notes
+-----------
+* Every round is built from per-edge joins + map-side-combinable
+  max/bool aggregates — no collected adjacency, no driver data path;
+  counts are the only driver scalars.
+* Trim removes the (web-typical) giant DAG periphery before any
+  propagation; the expensive coloring only ever runs on the 2-core-like
+  residue.
+* Outer rounds are bounded by the depth of the color-forest decomposition
+  — on web graphs the first round captures the giant SCC and trims the
+  rest; a pathological chain of k SCCs needs O(k) rounds (the known
+  worst case of every label-propagation SCC scheme).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def strongly_connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    num_partitions: int | None = None,
+    max_rounds: int = 1000,
+) -> DataFrame:
+    """SCCs of directed ``edges`` (src, dst) → (vid, scc).
+
+    ``scc`` is the maximum vertex id of the component (a canonical,
+    deterministic representative). Self-loops are irrelevant to the
+    partition and dropped; isolated vertices (present only via edges
+    here) cannot occur — pass any extra vertices through as singletons
+    yourself if the graph has them.
+    """
+    n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # vertex set BEFORE the self-loop filter: a vertex whose only edge is
+    # a self-loop is still a (singleton) component
+    verts = (
+        edges.select(F.col("src").alias("vid"))
+        .union(edges.select(F.col("dst").alias("vid")))
+        .dropDuplicates(["vid"])
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .repartition(n_parts, "src")
+        .localCheckpoint(eager=True)
+    )
+    done_parts: list[DataFrame] = []
+
+    for _ in range(max_rounds):
+        # ---- 1. iterated trim ------------------------------------------
+        while True:
+            n_v = verts.count()
+            if n_v == 0:
+                break
+            has_out = e.select(F.col("src").alias("vid")).dropDuplicates(["vid"])
+            has_in = e.select(F.col("dst").alias("vid")).dropDuplicates(["vid"])
+            live = has_out.join(has_in, "vid", "left_semi")
+            trivial = verts.join(live, "vid", "left_anti")
+            if trivial.limit(1).count() == 0:
+                break
+            done_parts.append(
+                trivial.select("vid", F.col("vid").alias("scc")).localCheckpoint(
+                    eager=True
+                )
+            )
+            verts = verts.join(trivial, "vid", "left_anti").localCheckpoint(eager=True)
+            e = (
+                e.join(trivial.select(F.col("vid").alias("src")), "src", "left_anti")
+                .join(trivial.select(F.col("vid").alias("dst")), "dst", "left_anti")
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
+        if verts.count() == 0:
+            break
+
+        # ---- 2. forward max-ancestor coloring to fixpoint ---------------
+        color = verts.select("vid", F.col("vid").alias("color"))
+        while True:
+            pushed = (
+                color.join(e, color["vid"] == e["src"])
+                .select(F.col("dst").alias("vid"), "color")
+                .groupBy("vid")
+                .agg(F.max("color").alias("in_max"))
+            )
+            new_color = (
+                color.join(pushed, "vid", "left")
+                .select(
+                    "vid",
+                    F.greatest("color", F.coalesce("in_max", F.col("color"))).alias(
+                        "color"
+                    ),
+                    (F.coalesce("in_max", F.col("color")) > F.col("color")).alias(
+                        "chg"
+                    ),
+                )
+            ).localCheckpoint(eager=True)
+            changed = new_color.agg(F.sum(F.col("chg").cast("long"))).collect()[0][0]
+            color = new_color.select("vid", "color")
+            if not changed:
+                break
+
+        # ---- 3. multi-source backward reach within each color -----------
+        member = color.select(
+            "vid", "color", (F.col("vid") == F.col("color")).alias("m")
+        ).localCheckpoint(eager=True)
+        while True:
+            # u joins SCC(color) if some out-edge u→w stays in-color with w
+            # already a member; the edge join carries (w's color, m) to u
+            reach = (
+                member.filter(F.col("m"))
+                .join(e, member["vid"] == e["dst"])
+                .select(F.col("src").alias("vid"), F.col("color").alias("wcolor"))
+            )
+            grown = (
+                member.join(
+                    reach,
+                    (member["vid"] == reach["vid"])
+                    & (member["color"] == reach["wcolor"]),
+                    "left_semi",
+                )
+                .select("vid")
+                .withColumn("hit", F.lit(True))
+            )
+            new_member = (
+                member.join(grown, "vid", "left")
+                .select(
+                    "vid",
+                    "color",
+                    (F.col("m") | F.coalesce("hit", F.lit(False))).alias("m"),
+                    (~F.col("m") & F.coalesce("hit", F.lit(False))).alias("chg"),
+                )
+            ).localCheckpoint(eager=True)
+            changed = new_member.agg(F.sum(F.col("chg").cast("long"))).collect()[0][0]
+            member = new_member.select("vid", "color", "m")
+            if not changed:
+                break
+
+        assigned = member.filter(F.col("m")).select(
+            "vid", F.col("color").alias("scc")
+        )
+        done_parts.append(assigned.localCheckpoint(eager=True))
+        verts = verts.join(assigned, "vid", "left_anti").localCheckpoint(eager=True)
+        e = (
+            e.join(assigned.select(F.col("vid").alias("src")), "src", "left_anti")
+            .join(assigned.select(F.col("vid").alias("dst")), "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(f"scc: did not finish within {max_rounds} rounds")
+
+    if not done_parts:
+        return spark.createDataFrame([], "vid long, scc long")
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.union(p)
+    return out

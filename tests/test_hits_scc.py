@@ -1,0 +1,186 @@
+"""HITS vs a numpy power-iteration twin; SCC vs a pure-Python Tarjan."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from arabesque_spark.graph.hits import hits, hits_fixed
+from arabesque_spark.graph.scc import strongly_connected_components
+
+
+def _random_digraph(n: int, m: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    es = set()
+    while len(es) < m:
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v:
+            es.add((u, v))
+    return sorted(es)
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+def _hits_numpy(edges: list[tuple[int, int]], n: int, iterations: int):
+    """Reference HITS with the engine's exact normalization scheme."""
+    A = np.zeros((n, n))
+    for u, v in edges:
+        A[u, v] = 1.0
+    auth = np.ones(n) / np.sqrt(n)
+    hub = np.ones(n) / np.sqrt(n)
+    for _ in range(iterations):
+        a_raw = A.T @ hub
+        na = np.linalg.norm(a_raw)
+        auth = a_raw / na if na > 0 else np.zeros(n)
+        h_raw = A @ auth
+        nh = np.linalg.norm(h_raw)
+        hub = h_raw / nh if nh > 0 else np.zeros(n)
+    return auth, hub
+
+
+@pytest.mark.parametrize("seed,n,m", [(1, 30, 90), (2, 50, 120)])
+def test_hits_fixed_matches_numpy(spark, seed, n, m):
+    edges = _random_digraph(n, m, seed)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["vid"]: (r["auth"], r["hub"])
+        for r in hits_fixed(spark, df, iterations=8).collect()
+    }
+    auth, hub = _hits_numpy(edges, n, 8)
+    present = sorted({u for e in edges for u in e})
+    assert set(got) == set(present)
+    for v in present:
+        assert got[v][0] == pytest.approx(auth[v], abs=1e-9)
+        assert got[v][1] == pytest.approx(hub[v], abs=1e-9)
+
+
+def test_hits_converges_and_finds_the_hub(spark):
+    # star: 0 points at 1..5 → 0 is the pure hub, 1..5 pure authorities
+    edges = [(0, v) for v in range(1, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = hits(spark, df, tol=1e-10, max_iterations=50)
+    assert res.converged
+    rows = {r["vid"]: r for r in res.state.collect()}
+    assert rows[0]["hub"] == pytest.approx(1.0, abs=1e-9)
+    assert rows[0]["auth"] == pytest.approx(0.0, abs=1e-12)
+    for v in range(1, 6):
+        assert rows[v]["auth"] == pytest.approx(1 / np.sqrt(5), abs=1e-9)
+        assert rows[v]["hub"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_hits_checkpoint_resume(spark, tmp_path):
+    edges = _random_digraph(40, 100, seed=5)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ck = str(tmp_path / "hits_ckpt")
+    first = hits(spark, df, tol=1e-9, max_iterations=60, checkpoint_dir=ck)
+    assert first.converged
+    again = hits(
+        spark, df, tol=1e-9, max_iterations=60, checkpoint_dir=ck, resume=True
+    )
+    assert again.resumed_from is not None
+    assert again.num_iterations == 0
+    a = {r["vid"]: r["auth"] for r in first.state.collect()}
+    b = {r["vid"]: r["auth"] for r in again.state.collect()}
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# SCC
+# ---------------------------------------------------------------------------
+def _tarjan(edges: list[tuple[int, int]]) -> set[frozenset[int]]:
+    adj: dict[int, list[int]] = {}
+    verts = set()
+    for u, v in edges:
+        if u != v:
+            adj.setdefault(u, []).append(v)
+        verts.add(u)
+        verts.add(v)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on: set[int] = set()
+    stack: list[int] = []
+    out: set[frozenset[int]] = set()
+    counter = [0]
+
+    def strong(v0: int) -> None:  # iterative Tarjan
+        work = [(v0, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on.add(v)
+            recurse = False
+            nbrs = adj.get(v, [])
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                out.add(frozenset(comp))
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+
+    for v in sorted(verts):
+        if v not in index:
+            strong(v)
+    return out
+
+
+def _partition(rows) -> set[frozenset[int]]:
+    by: dict[int, set[int]] = {}
+    for r in rows:
+        by.setdefault(r["scc"], set()).add(r["vid"])
+    return {frozenset(s) for s in by.values()}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # one big cycle
+        [(i, (i + 1) % 6) for i in range(6)],
+        # two cycles linked one-way (a chain of 2 SCCs)
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3)],
+        # pure DAG → all singletons (finished entirely by trim)
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)],
+        # self-loop + back-and-forth pair
+        [(7, 7), (1, 2), (2, 1), (2, 3)],
+    ],
+)
+def test_scc_structured(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = _partition(strongly_connected_components(spark, df).collect())
+    assert got == _tarjan(edges)
+
+
+@pytest.mark.parametrize("seed,n,m", [(11, 40, 70), (12, 60, 150), (13, 50, 220)])
+def test_scc_random_matches_tarjan(spark, seed, n, m):
+    edges = _random_digraph(n, m, seed)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = strongly_connected_components(spark, df).collect()
+    got = _partition(rows)
+    assert got == _tarjan(edges)
+    # representative is the component max — a pinned, deterministic contract
+    for r in rows:
+        comp = next(c for c in got if r["vid"] in c)
+        assert r["scc"] == max(comp)
