@@ -253,6 +253,123 @@ def pagerank_fixed(
     return result.state.select("vid", "rank")
 
 
+def pagerank_directed(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iterations: int = 100,
+    checkpoint_dir: str | Path | None = None,
+    resume: bool = False,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    num_partitions: int | None = None,
+) -> RunResult:
+    """PageRank over a DIRECTED edge table — the standard web/citation
+    formulation: mass flows along edge direction, split by OUT-degree;
+    sinks (out-degree 0) are the dangling set whose mass restarts
+    uniformly. Result state is (vid, rank, odeg, delta).
+
+    Same plan shape as :func:`pagerank`: cached chunked out-adjacency
+    (src-partitioned and sorted before persist — zero E-scale bytes moved
+    per superstep), 1-row broadcast dangling mass, observed max-delta
+    halt, checkpoint/resume via the shared runner. Unlike the undirected
+    kernel, sinks are structural (every vertex with in-links only), so
+    the dangling stage is always on.
+    """
+    from arabesque_spark.graph.build import build_directed_adjacency
+
+    n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    de = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    adj = (
+        build_directed_adjacency(de, chunk_size=chunk_size, num_partitions=n_parts)
+        .select("src", "neighbors")
+        .repartition(n_parts, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    adj.count()
+    odeg = de.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").cast("int").alias("odeg")
+    )
+
+    if vertices is None:
+        verts = (
+            de.select(F.col("src").alias("vid"))
+            .union(de.select(F.col("dst").alias("vid")))
+            .dropDuplicates(["vid"])
+        )
+    else:
+        verts = vertices.select("vid").dropDuplicates(["vid"])
+    verts = verts.repartition(n_parts, "vid")
+    n_vertices = verts.count()
+    if n_vertices == 0:
+        raise ValueError("pagerank_directed: empty vertex set")
+    inv_n = 1.0 / n_vertices
+
+    state0 = verts.join(odeg, "vid", "left").select(
+        "vid",
+        F.lit(inv_n).cast("double").alias("rank"),
+        F.coalesce("odeg", F.lit(0)).cast("int").alias("odeg"),
+        F.lit(float("inf")).alias("delta"),
+    )
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
+        contribs = (
+            state.join(adj, state["vid"] == adj["src"])
+            .select(
+                F.explode("neighbors").alias("vid"),
+                (F.col("rank") / F.col("odeg")).alias("contrib"),
+            )
+            .groupBy("vid")
+            .agg(F.sum("contrib").alias("contrib_sum"))
+        )
+        dangling = state.filter(F.col("odeg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass")
+        )
+        new_state = (
+            state.join(contribs, "vid", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "vid",
+                (
+                    F.lit((1.0 - damping) * inv_n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("contrib_sum", F.lit(0.0))
+                        + F.col("dangling_mass") * F.lit(inv_n)
+                    )
+                ).alias("new_rank"),
+                F.col("rank").alias("old_rank"),
+                "odeg",
+            )
+            .select(
+                "vid",
+                F.col("new_rank").alias("rank"),
+                "odeg",
+                F.abs(F.col("new_rank") - F.col("old_rank")).alias("delta"),
+            )
+        )
+        return new_state, {"superstep": i}
+
+    def halt_decide(m: dict, i: int) -> bool:
+        md = m.get("max_delta")
+        return md is not None and md < tol
+
+    runner = SuperstepRunner(
+        spark, checkpoint_dir=checkpoint_dir, max_iterations=max_iterations
+    )
+    result = runner.run(
+        state0,
+        step,
+        resume=resume,
+        halt_exprs={"max_delta": F.max("delta")} if tol >= 0 else None,
+        halt_decide=halt_decide if tol >= 0 else None,
+    )
+    adj.unpersist()
+    return result
+
+
 def pagerank_weighted(
     spark: SparkSession,
     edges: DataFrame,
