@@ -1,0 +1,306 @@
+"""Streaming MinHash/LSH near-duplicate detection over a document stream.
+
+The intake-side twin of ``operators/dedup.py:minhash_lsh_pairs``: each
+micro-batch emits exactly the candidate pairs the batch operator would
+have found that involve this batch's first-seen documents — so the
+UNION of per-batch emissions over the stream equals the batch operator's
+output over the concatenated corpus (the property the tests pin, under
+redelivery, compaction, and restart).
+
+Per-document signatures are row-local and deterministic
+(``minhash_signatures``: fixed multiply-shift permutations, xxhash64
+shingles), so a document's bands are identical whether computed in batch
+or in any stream batch — the precondition for the equivalence.
+
+State (compacted-generation pattern, state_store.py), two tables per
+generation/delta:
+
+* ``bands/`` — (bkt, band, bh, doc): the LSH index of all committed
+  docs, hash-bucketed on (band, bh) so a batch's candidate probe reads
+  only its touched buckets (partition pruning — per-batch cost scales
+  with the batch, not the corpus);
+* ``sigs/`` — (sbkt, doc, sig): committed signatures, bucketed on doc,
+  probed (pruned the same way) for redelivery detection and for the old
+  side of cross-batch Jaccard estimates.
+
+Emitted pairs land in the batch's delta dir (``pairs/``) and are read
+back via :meth:`pairs`; the ``counts.jsonl`` append is the commit point,
+so a replayed batch re-emits nothing.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arabesque_spark.operators.dedup import minhash_signatures
+from arabesque_spark.streaming.state_store import CompactedStateStore
+
+
+class IncrementalNearDup(CompactedStateStore):
+    """Exactly-once streaming LSH candidate-pair emission.
+
+    Constructor parameters (k, bands, n, threshold) must match the batch
+    operator's for the stream-equals-batch equivalence to hold.
+    """
+
+    GEN_SUBDIR = "lsh"
+    DELTA_SUBDIR = "delta"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str | Path,
+        k: int = 64,
+        bands: int = 16,
+        n: int = 3,
+        threshold: float = 0.5,
+        compact_every: int = 16,
+        n_buckets: int = 64,
+        id_col: str = "doc_id",
+        text: str = "text",
+    ) -> None:
+        assert k % bands == 0
+        self.k = k
+        self.bands = bands
+        self.n = n
+        self.threshold = threshold
+        self.id_col = id_col
+        self.text = text
+        self._n_docs = 0
+        self._n_pairs = 0
+        super().__init__(
+            spark, state_dir, compact_every=compact_every, n_buckets=n_buckets
+        )
+
+    def _fold_log_entry(self, entry: dict) -> None:
+        self._n_docs = entry["n_docs"]
+        self._n_pairs = entry["n_pairs_total"]
+
+    @property
+    def n_docs(self) -> int:
+        return self._n_docs
+
+    @property
+    def n_pairs(self) -> int:
+        return self._n_pairs
+
+    def _delta_state_paths(self, batch_id: int) -> list[Path]:
+        d = self._delta_dir(batch_id)
+        return [d / "bands", d / "sigs"]
+
+    # ---- banding (must mirror operators/dedup.py:minhash_lsh_pairs) -----
+    def _banded(self, sigs: DataFrame) -> DataFrame:
+        rows_per_band = self.k // self.bands
+        return sigs.select(
+            F.col(self.id_col).alias("doc"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(self.bands - 1)),
+                    lambda i: F.struct(
+                        i.alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
+                        ).alias("bh"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select(
+            "doc",
+            "bb.band",
+            "bb.bh",
+            F.pmod(F.xxhash64("bb.band", "bb.bh"), F.lit(self.n_buckets)).alias("bkt"),
+        )
+
+    # ---- state reads -----------------------------------------------------
+    def _read_state(self, sub: str, bkt_col: str, buckets: list[int] | None):
+        parts = []
+        if self._gen >= 0:
+            p = self._gen_dir(self._gen) / sub
+            df = self.spark.read.parquet(str(p))
+            if buckets is not None:
+                df = df.filter(F.col(bkt_col).isin(buckets))
+            parts.append(df)
+        dirs = [str(self._delta_dir(b) / sub) for b in self._logged_delta_ids()]
+        if dirs:
+            df = self.spark.read.parquet(*dirs)
+            if buckets is not None:
+                df = df.filter(F.col(bkt_col).isin(buckets))
+            parts.append(df)
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
+
+    # ---- the per-batch kernel ---------------------------------------------
+    def process_batch(self, batch: DataFrame, batch_id: int) -> dict:
+        if batch_id in self._entries:
+            return self._entries[batch_id]
+        # deferred compaction (see dedup_stream.py): the newest delta must
+        # outlive its own process_batch so the sink can read pairs()
+        if self._should_compact():
+            self._compact()
+
+        docs = batch.select(self.id_col, self.text).dropDuplicates([self.id_col])
+        sigs_new = minhash_signatures(
+            docs, k=self.k, n=self.n, id_col=self.id_col, text=self.text
+        ).localCheckpoint(eager=True)
+        n_in = sigs_new.count()
+
+        # redelivery: committed docs are dropped BEFORE pair emission
+        sbkt = F.pmod(F.xxhash64(self.id_col), F.lit(self.n_buckets))
+        new_ids = sigs_new.select(
+            self.id_col, sbkt.alias("sbkt")
+        )
+        touched_s = sorted(
+            {r["sbkt"] for r in new_ids.select("sbkt").distinct().collect()}
+        )
+        stored_sigs = self._read_state("sigs", "sbkt", touched_s)
+        if stored_sigs is not None:
+            seen = stored_sigs.select(F.col("doc").alias(self.id_col))
+            fresh_sigs = sigs_new.join(seen, self.id_col, "left_anti")
+        else:
+            fresh_sigs = sigs_new
+        fresh_sigs = fresh_sigs.localCheckpoint(eager=True)
+        n_fresh = fresh_sigs.count()
+
+        fresh_bands = self._banded(fresh_sigs).localCheckpoint(eager=True)
+
+        # cross-batch candidates: probe only the buckets this batch touches
+        touched_b = sorted(
+            {r["bkt"] for r in fresh_bands.select("bkt").distinct().collect()}
+        )
+        stored_bands = self._read_state("bands", "bkt", touched_b)
+        cand_parts = []
+        if stored_bands is not None:
+            cross = (
+                fresh_bands.alias("x")
+                .join(
+                    stored_bands.alias("y"),
+                    (F.col("x.band") == F.col("y.band"))
+                    & (F.col("x.bh") == F.col("y.bh")),
+                )
+                .select(
+                    F.least(F.col("x.doc"), F.col("y.doc")).alias("a"),
+                    F.greatest(F.col("x.doc"), F.col("y.doc")).alias("b"),
+                )
+            )
+            cand_parts.append(cross)
+        within = (
+            fresh_bands.alias("x")
+            .join(
+                fresh_bands.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bh") == F.col("y.bh"))
+                & (F.col("x.doc") < F.col("y.doc")),
+            )
+            .select(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+        )
+        cand_parts.append(within)
+        cand = cand_parts[0]
+        for p in cand_parts[1:]:
+            cand = cand.union(p)
+        cand = cand.dropDuplicates(["a", "b"]).localCheckpoint(eager=True)
+
+        # estimates: new-side sigs from this batch, old-side from the store.
+        # The old doc of a cross pair lives in ITS OWN doc-hash bucket (not
+        # necessarily one this batch's ids touch), so the sig store is
+        # re-read pruned by the CANDIDATES' buckets — still partition-pruned,
+        # bounded by the candidate set, never a full-store scan
+        all_sigs = fresh_sigs.select(F.col(self.id_col).alias("doc"), "sig")
+        if stored_bands is not None:
+            old_ids = (
+                cand.select(F.col("a").alias("doc"))
+                .union(cand.select(F.col("b").alias("doc")))
+                .dropDuplicates(["doc"])
+                .join(all_sigs.select("doc"), "doc", "left_anti")
+            )
+            cand_buckets = sorted(
+                {
+                    r["sbkt"]
+                    for r in old_ids.select(
+                        F.pmod(F.xxhash64("doc"), F.lit(self.n_buckets)).alias("sbkt")
+                    )
+                    .distinct()
+                    .collect()
+                }
+            )
+            if cand_buckets:
+                old_store = self._read_state("sigs", "sbkt", cand_buckets)
+                if old_store is not None:
+                    old_needed = old_store.select("doc", "sig").join(
+                        old_ids, "doc", "left_semi"
+                    )
+                    all_sigs = all_sigs.union(old_needed).dropDuplicates(["doc"])
+        est = F.aggregate(
+            F.zip_with("siga", "sigb", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ) / F.lit(self.k)
+        pairs = (
+            cand.join(all_sigs.select(F.col("doc").alias("a"), F.col("sig").alias("siga")), "a")
+            .join(all_sigs.select(F.col("doc").alias("b"), F.col("sig").alias("sigb")), "b")
+            .select("a", "b", F.round(est, 6).alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= self.threshold)
+            .localCheckpoint(eager=True)
+        )
+        n_pairs = pairs.count()
+
+        bdir = self._delta_dir(batch_id)
+        fresh_bands.select("bkt", "band", "bh", "doc").write.mode("overwrite").parquet(
+            str(bdir / "bands")
+        )
+        fresh_sigs.select(
+            sbkt.alias("sbkt"), F.col(self.id_col).alias("doc"), "sig"
+        ).write.mode("overwrite").parquet(str(bdir / "sigs"))
+        pairs.write.mode("overwrite").parquet(str(bdir / "pairs"))
+        entry = {
+            "batch_id": batch_id,
+            "n_in": n_in,
+            "n_fresh": n_fresh,
+            "n_pairs": n_pairs,
+            "n_docs": self._n_docs + n_fresh,
+            "n_pairs_total": self._n_pairs + n_pairs,
+        }
+        self._append_log(entry)  # commit point
+        self._n_docs = entry["n_docs"]
+        self._n_pairs = entry["n_pairs_total"]
+        return entry
+
+    def pairs(self, batch_id: int) -> DataFrame:
+        """The committed pair emissions of a batch (a, b, est_jaccard)."""
+        if batch_id not in self._entries:
+            raise KeyError(f"batch {batch_id} was never committed")
+        if batch_id in self._covered:
+            raise KeyError(
+                f"batch {batch_id} was compacted away — read pairs before "
+                "compaction or lower compact_every"
+            )
+        return self.spark.read.parquet(str(self._delta_dir(batch_id) / "pairs"))
+
+    def _compact(self) -> None:
+        ids = self._logged_delta_ids()
+        bands = self._read_state("bands", "bkt", None)
+        sigs = self._read_state("sigs", "sbkt", None)
+        if bands is None or not ids:
+            return
+
+        def write_gen(gen_dir: Path) -> None:
+            (
+                bands.repartition(self.n_buckets, "bkt")
+                .write.mode("overwrite")
+                .partitionBy("bkt")
+                .parquet(str(gen_dir / "bands"))
+            )
+            (
+                sigs.repartition(self.n_buckets, "sbkt")
+                .write.mode("overwrite")
+                .partitionBy("sbkt")
+                .parquet(str(gen_dir / "sigs"))
+            )
+
+        self._commit_generation(write_gen, set(self._entries))

@@ -1,0 +1,108 @@
+"""Streaming LSH near-dup vs the batch operator, under redelivery,
+compaction, and restart."""
+
+from __future__ import annotations
+
+import random
+
+from arabesque_spark.operators.dedup import minhash_lsh_pairs
+from arabesque_spark.streaming.neardup_stream import IncrementalNearDup
+
+PARAMS = dict(k=32, bands=8, n=2, threshold=0.3)
+
+
+def _docs(n: int, seed: int) -> list[tuple[int, str]]:
+    """Clustered corpus: groups share a base sentence with small edits, so
+    LSH finds plenty of true near-dup pairs."""
+    rng = random.Random(seed)
+    bases = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "large scale data processing engines shuffle partitions across the cluster",
+        "streaming ingestion pipelines deduplicate documents at intake time",
+        "graph analytics computes pagerank components and triangle counts",
+    ]
+    out = []
+    for i in range(n):
+        base = bases[rng.randrange(len(bases))].split()
+        if rng.random() < 0.6:  # light mutation → near dup of the base
+            j = rng.randrange(len(base))
+            base[j] = f"tok{rng.randrange(5)}"
+        else:  # heavy mutation → mostly unique
+            base = [f"w{rng.randrange(1000)}" for _ in range(len(base))]
+        out.append((i, " ".join(base)))
+    return out
+
+
+def _batch_pairs(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {
+        (r["a"], r["b"], r["est_jaccard"])
+        for r in minhash_lsh_pairs(df, **PARAMS).collect()
+    }
+
+
+def _stream_pairs(nd, batch_ids):
+    out = set()
+    for bid in batch_ids:
+        out |= {
+            (r["a"], r["b"], r["est_jaccard"]) for r in nd.pairs(bid).collect()
+        }
+    return out
+
+
+def test_stream_neardup_matches_batch_with_redelivery(spark, tmp_path):
+    docs = _docs(60, seed=31)
+    cuts = [0, 20, 40, 60]
+    nd = IncrementalNearDup(spark, tmp_path / "state", **PARAMS)
+    got = set()
+    for i in range(3):
+        rows = list(docs[cuts[i] : cuts[i + 1]])
+        if i > 0:  # adversarial redelivery
+            rows += docs[: cuts[i] // 2]
+        entry = nd.process_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"), i
+        )
+        batch_pairs = {
+            (r["a"], r["b"], r["est_jaccard"]) for r in nd.pairs(i).collect()
+        }
+        assert len(batch_pairs) == entry["n_pairs"]
+        assert not (got & batch_pairs), "a pair must be emitted exactly once"
+        got |= batch_pairs
+    want = _batch_pairs(spark, docs)
+    assert got == want
+    assert nd.n_docs == 60
+    assert nd.n_pairs == len(want)
+
+
+def test_stream_neardup_compaction_restart_replay(spark, tmp_path):
+    docs = _docs(45, seed=32)
+    state = tmp_path / "state"
+    nd = IncrementalNearDup(
+        spark, state, compact_every=2, n_buckets=8, **PARAMS
+    )
+    got = set()
+    for i, (lo, hi) in enumerate([(0, 15), (15, 30)]):
+        nd.process_batch(
+            spark.createDataFrame(docs[lo:hi], "doc_id long, text string"), i
+        )
+        got |= _stream_pairs(nd, [i])
+
+    # fresh instance resumes; batch 2 triggers the deferred compaction
+    nd2 = IncrementalNearDup(
+        spark, state, compact_every=2, n_buckets=8, **PARAMS
+    )
+    assert nd2.n_docs == nd.n_docs and nd2.n_pairs == nd.n_pairs
+    entry = nd2.process_batch(
+        spark.createDataFrame(docs[30:], "doc_id long, text string"), 2
+    )
+    assert (state / "lsh" / "gen_0" / "bands").exists()
+    assert (state / "lsh" / "gen_0" / "sigs").exists()
+    assert not (state / "delta" / "batch_0").exists()
+    got |= _stream_pairs(nd2, [2])
+    assert got == _batch_pairs(spark, docs)
+
+    # replay is a no-op with the same stats
+    again = nd2.process_batch(
+        spark.createDataFrame(docs[30:], "doc_id long, text string"), 2
+    )
+    assert again == entry
