@@ -69,3 +69,109 @@ def k_core_vertices(spark: SparkSession, edges: DataFrame, k: int) -> DataFrame:
         res.state.select(F.explode(F.array("src", "dst")).alias("vid"))
         .dropDuplicates(["vid"])
     )
+
+
+def coreness(
+    spark: SparkSession,
+    edges: DataFrame,
+    checkpoint_dir: str | Path | None = None,
+    resume: bool = False,
+    max_iterations: int = 500,
+    num_partitions: int | None = None,
+) -> RunResult:
+    """FULL core decomposition — the core number of EVERY vertex in one
+    run → state (vid, core, chg), instead of one k at a time.
+
+    The h-index fixpoint (Lü et al. 2016): start at ``c(v) = deg(v)``
+    and repeatedly set ``c(v)`` to the h-index of its neighbors' current
+    values — the largest h such that at least h neighbors have c ≥ h.
+    The sequence is pointwise non-increasing and its fixpoint is exactly
+    the coreness; one pass replaces running :func:`k_core` for every k.
+
+    Plan shape per superstep (and why it's hub-safe):
+
+    1. gather neighbor values: symmetric edge table (cached, partitioned
+       on the probe key) joined to state — one E-scale exchange;
+    2. clamp each gathered value to the owner's current c (values above
+       the current estimate are indistinguishable from c for the
+       h-index) and build a per-vertex HISTOGRAM via groupBy(vid,
+       clamped) — map-side combinable, so a 10M-degree hub reduces to
+       at most |distinct clamped values| ≤ c(hub) rows, collapsing fast
+       as c drops: no whole-neighborhood array ever materializes;
+    3. h-index from the histogram: descending cumulative count per vid
+       (window over the small per-vertex histogram, not the edge list),
+       h = max over values x of min(x, count(values ≥ x)).
+
+    Halt: the materialization job observes the number of changed
+    vertices; fixpoint = zero changes (rides ``observe``, no extra job).
+    Convergence is finite (each vertex strictly decreases or stays);
+    in practice rounds ≈ a small multiple of the core hierarchy depth.
+    """
+    from pyspark.sql import Window
+
+    n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from arabesque_spark.graph.build import symmetric_edges
+
+    sym = (
+        symmetric_edges(edges)
+        .repartition(n_parts, "dst")
+        .sortWithinPartitions("dst")
+        .persist()
+    )
+    sym.count()
+
+    state0 = degrees(edges).select(
+        "vid", F.col("deg").cast("int").alias("core"), F.lit(1).alias("chg")
+    )
+
+    def step(state: DataFrame, i: int):
+        # neighbor values arrive at each OWNER vid: edge (src owner side)
+        # gathers c(dst); join keyed on dst = the cached sort key
+        gathered = (
+            sym.join(
+                state.select(F.col("vid").alias("dst"), F.col("core").alias("c_nbr")),
+                "dst",
+            ).select(F.col("src").alias("vid"), "c_nbr")
+        )
+        hist = (
+            gathered.join(state.select("vid", "core"), "vid")
+            .select("vid", "core", F.least("c_nbr", F.col("core")).alias("x"))
+            .groupBy("vid", "core", "x")
+            .agg(F.count("*").alias("n"))
+        )
+        w = Window.partitionBy("vid").orderBy(F.desc("x"))
+        hidx = (
+            hist.withColumn("n_ge", F.sum("n").over(w))
+            .select("vid", "core", F.least(F.col("x"), F.col("n_ge")).alias("h"))
+            .groupBy("vid", "core")
+            .agg(F.max("h").cast("int").alias("new_core"))
+        )
+        new_state = (
+            state.select("vid", F.col("core").alias("old_core"))
+            .join(hidx.select("vid", "new_core"), "vid", "left")
+            .select(
+                "vid",
+                F.coalesce("new_core", F.lit(0)).alias("core"),
+                (F.coalesce("new_core", F.lit(0)) != F.col("old_core"))
+                .cast("int")
+                .alias("chg"),
+            )
+        )
+        return new_state, {"superstep": i}
+
+    def halt_decide(m: dict, i: int) -> bool:
+        ch = m.get("n_changed")
+        return ch is not None and ch == 0
+
+    runner = SuperstepRunner(
+        spark, checkpoint_dir=checkpoint_dir, max_iterations=max_iterations
+    )
+    result = runner.run(
+        state0,
+        step,
+        resume=resume,
+        halt_exprs={"n_changed": F.sum("chg")},
+        halt_decide=halt_decide,
+    )
+    sym.unpersist()
+    return result

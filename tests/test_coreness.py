@@ -1,0 +1,76 @@
+"""Full coreness decomposition vs brute-force peeling."""
+
+from __future__ import annotations
+
+import random
+
+from arabesque_spark.graph.kcore import coreness, k_core_vertices
+
+
+def _random_graph(n: int, m: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    es = set()
+    while len(es) < m:
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u < v:
+            es.add((u, v))
+    return sorted(es)
+
+
+def _brute_coreness(edges: list[tuple[int, int]]) -> dict[int, int]:
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    core: dict[int, int] = {}
+    live = dict(adj)
+    k = 0
+    while live:
+        k += 1
+        while True:
+            drop = [v for v, ns in live.items() if len(ns) < k]
+            if not drop:
+                break
+            for v in drop:
+                core[v] = k - 1
+                for w in live[v]:
+                    live[w].discard(v)
+                del live[v]
+    return core
+
+
+def test_coreness_golden(spark, test_graph):
+    res = coreness(spark, test_graph)
+    assert res.converged
+    got = {r["vid"]: r["core"] for r in res.state.collect()}
+    want = _brute_coreness(
+        [(r["src"], r["dst"]) for r in test_graph.collect()]
+    )
+    assert got == want
+
+
+def test_coreness_random_and_kcore_consistency(spark):
+    edges = _random_graph(80, 300, seed=41)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = coreness(spark, df)
+    assert res.converged
+    got = {r["vid"]: r["core"] for r in res.state.collect()}
+    assert got == _brute_coreness(edges)
+    # cross-check against the single-k operator: the k-core's vertex set
+    # must equal {v : coreness(v) >= k}
+    kmax = max(got.values())
+    for k in (2, kmax):
+        kc = {r["vid"] for r in k_core_vertices(spark, df, k).collect()}
+        assert kc == {v for v, c in got.items() if c >= k}
+
+
+def test_coreness_checkpoint_resume(spark, tmp_path):
+    edges = _random_graph(50, 150, seed=42)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ck = str(tmp_path / "core")
+    first = coreness(spark, df, checkpoint_dir=ck)
+    again = coreness(spark, df, checkpoint_dir=ck, resume=True)
+    assert again.resumed_from is not None and again.num_iterations == 0
+    a = {r["vid"]: r["core"] for r in first.state.collect()}
+    b = {r["vid"]: r["core"] for r in again.state.collect()}
+    assert a == b
