@@ -47,6 +47,42 @@ HaltFn = Callable[[DataFrame, int], tuple[bool, dict]]
 HaltDecideFn = Callable[[dict, int], bool]
 
 
+def stats_reset_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` + plan-statistics reset.
+
+    Spark 4 preserves the child plan's estimated ``sizeInBytes`` through
+    ``localCheckpoint``. In an iterative algorithm whose round plan joins
+    the carried state with itself k > 1 times, the estimate COMPOUNDS —
+    digits(sizeInBytes) multiply by ~k every round — until Catalyst's
+    size-only stats visitor spends minutes multiplying million-digit
+    BigIntegers and finally OOMs building them (measured here: Louvain
+    level-2 round cost doubling 0.9 s → 19 s by round 5; Borůvka stalled
+    >10 min inside ``BigInteger.multiplyToomCook3``; jstack shows the
+    product in ``SizeInBytesOnlyStatsPlanVisitor.default``).  Rebuilding
+    the frame from the checkpointed RDD — same blocks, zero recompute —
+    yields a fresh ``LogicalRDD`` carrying the default size estimate, so
+    every round's planning cost stays constant.  Parquet-backed
+    checkpoints are immune (real file stats); this guards the in-memory
+    path only.  Falls back to the plain checkpoint if the internal
+    constructor is unavailable (stats then compound: slow, still correct).
+    """
+    ck = df.localCheckpoint(eager=True)
+    try:
+        jdf = ck._jdf
+        jspark = ck.sparkSession._jsparkSession
+        jnew = jspark.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        out = DataFrame(jnew, ck.sparkSession)
+        # keep a handle on the actual checkpointed frame: unpersisting the
+        # wrapper is a no-op, the blocks belong to `ck` (async writer uses
+        # this to free the previous iteration's blocks)
+        out._stats_reset_source = ck
+        return out
+    except Exception:  # pragma: no cover — Spark-internal API moved
+        return ck
+
+
 @dataclass
 class IterationResult:
     iteration: int
@@ -158,7 +194,7 @@ class SuperstepRunner:
     # ---- materialization ----------------------------------------------
     def _materialize(self, state: DataFrame, iteration: int) -> tuple[DataFrame, str | None]:
         if self.checkpoint_dir is None:
-            return state.localCheckpoint(eager=True), None
+            return stats_reset_checkpoint(state), None
         path = self.checkpoint_dir / f"iter_{iteration:05d}"
         if path.exists():
             shutil.rmtree(path)
@@ -208,7 +244,9 @@ class SuperstepRunner:
                 state, entry, path, result, unpersist_first = task
                 try:
                     if unpersist_first is not None:
-                        unpersist_first.unpersist()
+                        getattr(
+                            unpersist_first, "_stats_reset_source", unpersist_first
+                        ).unpersist()
                     if Path(path).exists():
                         shutil.rmtree(path)
                     t0 = time.time()
@@ -324,7 +362,7 @@ class SuperstepRunner:
                     # critical path: in-memory checkpoint only (severs
                     # lineage, fires the observe metrics); the parquet write
                     # happens on the writer thread from these cached blocks
-                    new_state = observed_df.localCheckpoint(eager=True)
+                    new_state = stats_reset_checkpoint(observed_df)
                     path = str(self.checkpoint_dir / f"iter_{i:05d}")
                 else:
                     new_state, path = self._materialize(observed_df, i)

@@ -37,6 +37,8 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from arabesque_spark.engine.superstep import stats_reset_checkpoint as _srck
+
 from arabesque_spark.engine.superstep import SuperstepRunner
 from arabesque_spark.graph.build import symmetric_edges
 
@@ -108,7 +110,7 @@ def betweenness_centrality(
             raise ValueError("betweenness_centrality: empty source set")
 
     fwd = _forward(spark, sym, src_df, max_depth, checkpoint_dir, resume)
-    fwd = fwd.repartition("source", "vid").localCheckpoint(eager=True)
+    fwd = fwd.repartition("source", "vid").transform(_srck)
     maxd = fwd.agg(F.max("dist")).collect()[0][0] or 0
 
     # backward dependency accumulation, one level at a time. Only the
@@ -147,7 +149,7 @@ def betweenness_centrality(
                     F.col("sigma_v") / F.col("sigma_w") * (F.lit(1.0) + F.col("delta_w"))
                 ).alias("delta")
             )
-        ).localCheckpoint(eager=True)
+        ).transform(_srck)
         prev_delta = lvl_delta
         contrib = lvl_delta.filter(F.col("vid") != F.col("source")).groupBy("vid").agg(
             F.sum("delta").alias("b")
@@ -156,7 +158,7 @@ def betweenness_centrality(
             acc.unionByName(contrib).groupBy("vid").agg(F.sum("b").alias("b"))
         )
         if acc is not None:
-            acc = acc.localCheckpoint(eager=True)
+            acc = acc.transform(_srck)
 
     sym.unpersist()
     scale = (n_vertices / n_sources) / 2.0

@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from arabesque_spark.engine.superstep import stats_reset_checkpoint as _srck
+
 
 def strongly_connected_components(
     spark: SparkSession,
@@ -65,14 +67,14 @@ def strongly_connected_components(
         edges.select(F.col("src").alias("vid"))
         .union(edges.select(F.col("dst").alias("vid")))
         .dropDuplicates(["vid"])
-        .localCheckpoint(eager=True)
+        .transform(_srck)
     )
     e = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
         .repartition(n_parts, "src")
-        .localCheckpoint(eager=True)
+        .transform(_srck)
     )
     done_parts: list[DataFrame] = []
 
@@ -93,12 +95,12 @@ def strongly_connected_components(
                     eager=True
                 )
             )
-            verts = verts.join(trivial, "vid", "left_anti").localCheckpoint(eager=True)
+            verts = verts.join(trivial, "vid", "left_anti").transform(_srck)
             e = (
                 e.join(trivial.select(F.col("vid").alias("src")), "src", "left_anti")
                 .join(trivial.select(F.col("vid").alias("dst")), "dst", "left_anti")
                 .select("src", "dst")
-                .localCheckpoint(eager=True)
+                .transform(_srck)
             )
         if verts.count() == 0:
             break
@@ -123,7 +125,7 @@ def strongly_connected_components(
                         "chg"
                     ),
                 )
-            ).localCheckpoint(eager=True)
+            ).transform(_srck)
             changed = new_color.agg(F.sum(F.col("chg").cast("long"))).collect()[0][0]
             color = new_color.select("vid", "color")
             if not changed:
@@ -132,7 +134,7 @@ def strongly_connected_components(
         # ---- 3. multi-source backward reach within each color -----------
         member = color.select(
             "vid", "color", (F.col("vid") == F.col("color")).alias("m")
-        ).localCheckpoint(eager=True)
+        ).transform(_srck)
         while True:
             # u joins SCC(color) if some out-edge u→w stays in-color with w
             # already a member; the edge join carries (w's color, m) to u
@@ -159,7 +161,7 @@ def strongly_connected_components(
                     (F.col("m") | F.coalesce("hit", F.lit(False))).alias("m"),
                     (~F.col("m") & F.coalesce("hit", F.lit(False))).alias("chg"),
                 )
-            ).localCheckpoint(eager=True)
+            ).transform(_srck)
             changed = new_member.agg(F.sum(F.col("chg").cast("long"))).collect()[0][0]
             member = new_member.select("vid", "color", "m")
             if not changed:
@@ -168,13 +170,13 @@ def strongly_connected_components(
         assigned = member.filter(F.col("m")).select(
             "vid", F.col("color").alias("scc")
         )
-        done_parts.append(assigned.localCheckpoint(eager=True))
-        verts = verts.join(assigned, "vid", "left_anti").localCheckpoint(eager=True)
+        done_parts.append(assigned.transform(_srck))
+        verts = verts.join(assigned, "vid", "left_anti").transform(_srck)
         e = (
             e.join(assigned.select(F.col("vid").alias("src")), "src", "left_anti")
             .join(assigned.select(F.col("vid").alias("dst")), "dst", "left_anti")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .transform(_srck)
         )
     else:
         raise RuntimeError(f"scc: did not finish within {max_rounds} rounds")
