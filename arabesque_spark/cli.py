@@ -41,7 +41,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--pairwise-limit", type=int, default=16)
 
     for name in ("pagerank", "cc", "lpa", "triangles", "motifs", "fsm", "walks",
-                 "kcore", "ktruss", "bfs", "census"):
+                 "kcore", "ktruss", "bfs", "census", "louvain", "mis", "coloring",
+                 "mst"):
         p = sub.add_parser(name)
         p.add_argument("--edges", required=True, help="parquet dir with (src,dst)")
         p.add_argument("--out", default=None, help="result parquet dir")
@@ -77,6 +78,13 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--walks-per-vertex", type=int, default=2)
             p.add_argument("--walk-length", type=int, default=4)
             p.add_argument("--seed", type=int, default=61)
+        if name == "louvain":
+            p.add_argument("--weight-col", default=None)
+            p.add_argument("--max-levels", type=int, default=10)
+        if name in ("mis", "coloring"):
+            p.add_argument("--seed", type=int, default=42)
+        if name == "mst":
+            p.add_argument("--weight-col", default=None)
 
     args = parser.parse_args(argv)
 
@@ -232,6 +240,61 @@ def main(argv: list[str] | None = None) -> int:
         )
         out_df = res.state
         info = {"max_depth": args.max_depth, "levels": res.num_iterations}
+    elif args.cmd == "louvain":
+        from arabesque_spark.graph.community import louvain
+
+        mapping, q = louvain(
+            spark,
+            edges,
+            weight_col=args.weight_col,
+            max_levels=args.max_levels,
+            checkpoint_dir=args.checkpoint,
+        )
+        out_df = mapping
+        info = {
+            "modularity": q,
+            "communities": mapping.select("comm").distinct().count(),
+        }
+    elif args.cmd == "mis":
+        from arabesque_spark.graph.mis import IN_SET, maximal_independent_set
+
+        res = maximal_independent_set(
+            spark,
+            edges,
+            seed=args.seed,
+            checkpoint_dir=args.checkpoint,
+            resume=args.resume,
+        )
+        out_df = res.state
+        info = {
+            "iterations": res.num_iterations,
+            "in_set": out_df.filter(F.col("status") == IN_SET).count(),
+        }
+    elif args.cmd == "mst":
+        from arabesque_spark.graph.mst import boruvka_mst
+
+        mst_df, comp = boruvka_mst(spark, edges, weight_col=args.weight_col)
+        out_df = mst_df
+        info = {
+            "forest_edges": mst_df.count(),
+            "components": comp.select("comp").distinct().count(),
+            "total_weight": (mst_df.agg(F.sum("w")).collect()[0][0] or 0.0),
+        }
+    elif args.cmd == "coloring":
+        from arabesque_spark.graph.mis import greedy_coloring
+
+        res = greedy_coloring(
+            spark,
+            edges,
+            seed=args.seed,
+            checkpoint_dir=args.checkpoint,
+            resume=args.resume,
+        )
+        out_df = res.state
+        info = {
+            "iterations": res.num_iterations,
+            "colors": out_df.select("color").distinct().count(),
+        }
     elif args.cmd == "census":
         from arabesque_spark.graph.motifs import motif_census_k
 

@@ -1,0 +1,233 @@
+"""Maximal independent set (Luby) and greedy vertex coloring
+(Jones–Plassmann) — the parallel-scheduling primitives of link-graph
+processing.
+
+An MIS picks a maximal set of mutually non-adjacent vertices; a proper
+coloring partitions ALL vertices into independent classes. Both are the
+standard devices for turning "inherently sequential" per-vertex updates
+into conflict-free parallel phases (e.g. Grappolo runs Louvain moves one
+color class at a time) and for distributed matching / locking.
+
+Luby's algorithm (Luby 1986): each round every undecided vertex draws a
+priority; a vertex joins the MIS when its priority beats every undecided
+neighbor's, and its neighbors drop out. Expected O(log n) rounds.
+Determinism here is by construction, not by luck: the per-round priority
+is ``xxhash64(vid, seed, round)`` and comparisons use the full
+``struct(priority, vid)`` so even a 64-bit hash collision breaks ties
+identically at any parallelism (the SURVEY §7.3 N-vs-4N requirement).
+
+Jones–Plassmann (1993): one STATIC priority per vertex; each round the
+vertices that are local maxima among their *uncolored* neighbors pick
+the smallest color absent from their already-colored neighborhood, so
+adjacent vertices never decide simultaneously → the coloring is proper
+by construction and uses ≤ Δ+1 colors.
+
+Plan shape per round (both algorithms): one E-scale join delivering the
+neighbor struct, then a min/max ``groupBy(vid)`` — map-side combinable,
+no window over edges, no whole-neighborhood arrays. The
+minimum-excludant (mex) for coloring is computed from each winner's
+DISTINCT neighbor colors (≤ colors-used-so-far rows per vertex, NOT
+degree) via a per-vertex ``row_number`` window over that small color
+table. Halt rides the materialization job's observed undecided count
+(MasterExecutionEngine.java:210-218 protocol, zero extra jobs).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arabesque_spark.engine.superstep import RunResult, SuperstepRunner
+from arabesque_spark.graph.build import symmetric_edges
+
+UNDECIDED, IN_SET, EXCLUDED = 0, 1, 2
+
+
+def maximal_independent_set(
+    spark: SparkSession,
+    edges: DataFrame,
+    seed: int = 42,
+    checkpoint_dir: str | Path | None = None,
+    resume: bool = False,
+    max_iterations: int = 100,
+    num_partitions: int | None = None,
+) -> RunResult:
+    """Luby MIS; result state is ``(vid, status)`` with status 1 = in the
+    set, 2 = excluded. Isolated vertices (degree 0 after symmetrization)
+    never appear in the edge table and are trivially in any MIS — callers
+    working from a vertex table should union them in."""
+    n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = (
+        symmetric_edges(edges)
+        .repartition(n_parts, "dst")
+        .sortWithinPartitions("dst")
+        .persist()
+    )
+    sym.count()
+
+    state0 = (
+        sym.select(F.col("src").alias("vid"))
+        .dropDuplicates(["vid"])
+        .select("vid", F.lit(UNDECIDED).alias("status"))
+    )
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
+        und = state.filter(F.col("status") == UNDECIDED).select("vid")
+        prio = und.select(
+            "vid",
+            F.struct(
+                F.xxhash64(F.col("vid"), F.lit(seed), F.lit(i)).alias("p"),
+                F.col("vid").alias("v"),
+            ).alias("pr"),
+        )
+        # deliver each undecided neighbor's priority struct; min per vertex
+        nbr_min = (
+            sym.join(prio.withColumnRenamed("vid", "dst"), "dst")
+            .groupBy(F.col("src").alias("vid"))
+            .agg(F.min("pr").alias("nbr_pr"))
+        )
+        winners = (
+            prio.join(nbr_min, "vid", "left")
+            .filter(F.col("nbr_pr").isNull() | (F.col("pr") < F.col("nbr_pr")))
+            .select("vid")
+        )
+        # neighbors of winners drop out
+        knocked = (
+            sym.join(winners.withColumnRenamed("vid", "dst"), "dst")
+            .select(F.col("src").alias("vid"))
+            .dropDuplicates(["vid"])
+        )
+        new_state = (
+            state.join(winners.withColumn("won", F.lit(True)), "vid", "left")
+            .join(knocked.withColumn("hit", F.lit(True)), "vid", "left")
+            .select(
+                "vid",
+                F.when(F.col("status") != UNDECIDED, F.col("status"))
+                .when(F.col("won"), F.lit(IN_SET))
+                .when(F.col("hit"), F.lit(EXCLUDED))
+                .otherwise(F.lit(UNDECIDED))
+                .alias("status"),
+            )
+        )
+        return new_state, {}
+
+    def halt_decide(metrics: dict, i: int) -> bool:
+        return (metrics.get("undecided") or 0) == 0
+
+    runner = SuperstepRunner(
+        spark, checkpoint_dir=checkpoint_dir, max_iterations=max_iterations
+    )
+    try:
+        return runner.run(
+            state0,
+            step,
+            resume=resume,
+            halt_exprs={
+                "undecided": F.sum((F.col("status") == UNDECIDED).cast("long"))
+            },
+            halt_decide=halt_decide,
+        )
+    finally:
+        sym.unpersist()
+
+
+def greedy_coloring(
+    spark: SparkSession,
+    edges: DataFrame,
+    seed: int = 42,
+    checkpoint_dir: str | Path | None = None,
+    resume: bool = False,
+    max_iterations: int = 200,
+    num_partitions: int | None = None,
+) -> RunResult:
+    """Jones–Plassmann coloring; result state is ``(vid, color)`` with
+    colors 0..Δ, proper by construction (adjacent local maxima are
+    impossible, so no two neighbors ever decide in the same round against
+    a stale view)."""
+    n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = (
+        symmetric_edges(edges)
+        .repartition(n_parts, "dst")
+        .sortWithinPartitions("dst")
+        .persist()
+    )
+    sym.count()
+
+    state0 = (
+        sym.select(F.col("src").alias("vid"))
+        .dropDuplicates(["vid"])
+        .select("vid", F.lit(-1).alias("color"))
+    )
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
+        unc = state.filter(F.col("color") < 0).select("vid")
+        prio = unc.select(
+            "vid",
+            F.struct(
+                F.xxhash64(F.col("vid"), F.lit(seed)).alias("p"),
+                F.col("vid").alias("v"),
+            ).alias("pr"),
+        )
+        nbr_max = (
+            sym.join(prio.withColumnRenamed("vid", "dst"), "dst")
+            .groupBy(F.col("src").alias("vid"))
+            .agg(F.max("pr").alias("nbr_pr"))
+        )
+        winners = (
+            prio.join(nbr_max, "vid", "left")
+            .filter(F.col("nbr_pr").isNull() | (F.col("pr") > F.col("nbr_pr")))
+            .select("vid")
+        )
+        # mex over each winner's DISTINCT colored-neighbor colors: the
+        # per-vertex window runs over ≤ colors-used rows, not the degree
+        colored = state.filter(F.col("color") >= 0)
+        nbr_colors = (
+            sym.join(colored.withColumnRenamed("vid", "dst"), "dst")
+            .join(winners.withColumnRenamed("vid", "src"), "src")
+            .select(F.col("src").alias("vid"), "color")
+            .dropDuplicates(["vid", "color"])
+        )
+        w = Window.partitionBy("vid").orderBy("color")
+        mex_hit = (
+            nbr_colors.withColumn("rn", F.row_number().over(w) - 1)
+            .filter(F.col("color") != F.col("rn"))
+            .groupBy("vid")
+            .agg(F.min("rn").alias("mex"))
+        )
+        filled = nbr_colors.groupBy("vid").agg(F.count("*").alias("n"))
+        chosen = (
+            winners.join(mex_hit, "vid", "left")
+            .join(filled, "vid", "left")
+            .select(
+                "vid",
+                F.coalesce(
+                    F.col("mex"), F.col("n"), F.lit(0)
+                ).alias("new_color"),
+            )
+        )
+        new_state = state.join(chosen, "vid", "left").select(
+            "vid",
+            F.when(F.col("color") >= 0, F.col("color"))
+            .otherwise(F.coalesce("new_color", F.lit(-1)))
+            .alias("color"),
+        )
+        return new_state, {}
+
+    def halt_decide(metrics: dict, i: int) -> bool:
+        return (metrics.get("uncolored") or 0) == 0
+
+    runner = SuperstepRunner(
+        spark, checkpoint_dir=checkpoint_dir, max_iterations=max_iterations
+    )
+    try:
+        return runner.run(
+            state0,
+            step,
+            resume=resume,
+            halt_exprs={"uncolored": F.sum((F.col("color") < 0).cast("long"))},
+            halt_decide=halt_decide,
+        )
+    finally:
+        sym.unpersist()

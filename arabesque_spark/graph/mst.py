@@ -1,0 +1,213 @@
+"""Borůvka minimum spanning forest — the classic O(log V)-round
+distributed MST, the remaining textbook link-graph kernel.
+
+Every round, every current component selects its single cheapest
+outgoing edge; the selected edges merge components (at least halving
+their number), so the loop terminates in ≤ log₂ V rounds. On a
+link graph the MSF is the backbone: the cheapest co-occurrence
+skeleton connecting every repo/file cluster.
+
+Determinism (the SURVEY §7.3 N-vs-4N requirement) is by total order,
+not by luck: "cheapest" is the minimum of ``struct(w, src, dst)``, so
+ties between equal-weight edges break identically at any parallelism,
+and the merge step resolves the selected pseudo-forest with the same
+min-struct discipline. With distinct weights the MSF is unique; with
+ties the output is a deterministic MSF whose total weight equals any
+other MSF's (matroid exchange), which is what the Kruskal-parity test
+pins.
+
+Plan shape per round (and why it scales):
+
+* One E-scale double join stamps each surviving edge with its two
+  component labels; same-component edges are FILTERED OUT of the
+  carried state, so the edge set shrinks as components merge (the
+  state is the frontier, exactly like `components.connected_components`
+  iterates its shrinking edge set).
+* Cheapest-outgoing is ``explode(both directions) → groupBy(comp) →
+  min(struct)`` — map-side combinable, a hub component's millions of
+  candidate rows collapse per-partition before the shuffle.
+* The selected edges form a C-scale pseudo-forest (every component has
+  out-degree exactly 1, so |selected| ≤ C and every cycle is a
+  2-cycle). 2-cycles are broken by keeping the smaller endpoint as
+  root, then pointer-jumping (O(log C) C-scale self-joins) flattens
+  every chain — no E-scale work in the merge.
+
+Reference anchors: round/halt protocol per
+MasterExecutionEngine.java:210-218 (stop when zero cross-component
+edges remain); the per-component min is the C10 reduction shape
+(AggregationStorage.java:102-153) with a struct-min reduction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from arabesque_spark.engine.superstep import stats_reset_checkpoint as _srck
+
+
+def _weighted_canonical(edges: DataFrame, weight_col: str | None) -> DataFrame:
+    """(src, dst, w) with src<dst, loop-free, parallel edges collapsed to
+    their minimum weight (the only one an MSF can ever use)."""
+    if weight_col is None:
+        e = edges.select("src", "dst", F.lit(1.0).alias("w"))
+    else:
+        e = edges.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
+    return (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "w",
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+    )
+
+
+def _resolve_roots(parents: DataFrame, max_jumps: int = 64) -> DataFrame:
+    """Flatten a 2-cycle-free pseudo-forest ``(comp, parent)`` to
+    ``(comp, root)`` by pointer jumping: parent ← parent(parent) until
+    fixpoint. C-scale self-joins only; ≤ log₂(chain length) rounds."""
+    cur = parents
+    for _ in range(max_jumps):
+        nxt = (
+            cur.alias("a")
+            .join(
+                cur.select(
+                    F.col("comp").alias("parent"), F.col("parent").alias("gp")
+                ).alias("b"),
+                "parent",
+                "left",
+            )
+            .select("comp", F.coalesce("gp", "parent").alias("parent"))
+        )
+        nxt = nxt.transform(_srck)
+        changed = (
+            nxt.alias("n")
+            .join(cur.alias("c"), "comp")
+            .filter(F.col("n.parent") != F.col("c.parent"))
+            .limit(1)
+            .count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+    return cur.select("comp", F.col("parent").alias("root"))
+
+
+def boruvka_mst(
+    spark: SparkSession,
+    edges: DataFrame,
+    weight_col: str | None = None,
+    max_rounds: int = 50,
+) -> tuple[DataFrame, DataFrame]:
+    """Minimum spanning forest of the undirected weighted graph.
+
+    Returns ``(mst_edges, components)``: the forest's ``(src, dst, w)``
+    rows (|V| − #components of them) and every vertex's final component
+    label ``(vid, comp)`` (comp = a representative original vid).
+    """
+    ew = _weighted_canonical(edges, weight_col).transform(_srck)
+
+    comp = (
+        ew.select(F.explode(F.array("src", "dst")).alias("vid"))
+        .dropDuplicates(["vid"])
+        .select("vid", F.col("vid").alias("comp"))
+        .transform(_srck)
+    )
+    mst: DataFrame | None = None
+    # the carried edge state: cross-component survivors stamped (cs, cd)
+    cross = (
+        ew.join(comp.withColumnRenamed("vid", "src").withColumnRenamed("comp", "cs"), "src")
+        .join(comp.withColumnRenamed("vid", "dst").withColumnRenamed("comp", "cd"), "dst")
+        .filter(F.col("cs") != F.col("cd"))
+        .transform(_srck)
+    )
+
+    for _ in range(max_rounds):
+        if cross.limit(1).count() == 0:
+            break
+        # cheapest outgoing edge per component: min struct(w, src, dst)
+        # over both orientations — map-side combinable C-scale reduction
+        pick = F.struct(
+            F.col("w"), F.col("src"), F.col("dst"), F.col("cs"), F.col("cd")
+        ).alias("e")
+        chosen = (
+            cross.select(F.col("cs").alias("comp"), pick)
+            .union(cross.select(F.col("cd").alias("comp"), pick))
+            .groupBy("comp")
+            .agg(F.min("e").alias("e"))
+            .select(
+                "comp",
+                F.col("e.src").alias("src"),
+                F.col("e.dst").alias("dst"),
+                F.col("e.w").alias("w"),
+                F.col("e.cs").alias("cs"),
+                F.col("e.cd").alias("cd"),
+            )
+            .transform(_srck)
+        )
+        new_mst = chosen.select("src", "dst", "w").dropDuplicates(["src", "dst"])
+        mst = new_mst if mst is None else mst.union(new_mst)
+        mst = mst.transform(_srck)
+
+        # pseudo-forest over components: comp → other endpoint of its
+        # chosen edge; break the (only possible) 2-cycles toward the
+        # smaller id, then flatten chains by pointer jumping
+        parents = chosen.select(
+            "comp",
+            F.when(F.col("cs") == F.col("comp"), F.col("cd"))
+            .otherwise(F.col("cs"))
+            .alias("parent"),
+        )
+        mutual = (
+            parents.alias("a")
+            .join(
+                parents.select(
+                    F.col("comp").alias("parent"), F.col("parent").alias("back")
+                ).alias("b"),
+                "parent",
+            )
+            .filter(F.col("back") == F.col("comp"))
+            .select("comp", "parent")
+        )
+        parents = (
+            parents.join(mutual.withColumn("is2", F.lit(True)), ["comp", "parent"], "left")
+            .select(
+                "comp",
+                F.when(
+                    F.col("is2") & (F.col("comp") < F.col("parent")), F.col("comp")
+                )
+                .otherwise(F.col("parent"))
+                .alias("parent"),
+            )
+        )
+        roots = _resolve_roots(parents)
+
+        comp = (
+            comp.join(roots, "comp", "left")
+            .select("vid", F.coalesce("root", "comp").alias("comp"))
+            .transform(_srck)
+        )
+        # relabel the surviving frontier and drop intra-component edges
+        cross = (
+            cross.join(roots.withColumnRenamed("comp", "cs"), "cs", "left")
+            .withColumn("cs2", F.coalesce("root", "cs"))
+            .drop("root")
+            .join(roots.withColumnRenamed("comp", "cd"), "cd", "left")
+            .withColumn("cd2", F.coalesce("root", "cd"))
+            .drop("root")
+            .filter(F.col("cs2") != F.col("cd2"))
+            .select(
+                "src",
+                "dst",
+                "w",
+                F.col("cs2").alias("cs"),
+                F.col("cd2").alias("cd"),
+            )
+            .transform(_srck)
+        )
+
+    if mst is None:
+        mst = spark.createDataFrame([], "src long, dst long, w double")
+    return mst, comp

@@ -1,0 +1,171 @@
+"""Community detection: modularity parity vs a plain-Python reference,
+Louvain planted-partition recovery, aggregation invariance, determinism."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.community import (
+    _aggregate,
+    _weighted,
+    louvain,
+    louvain_local_moves,
+    modularity,
+)
+from tests.reference_impls import er_graph
+
+
+def modularity_py(
+    edges: list[tuple[int, int]],
+    comm: dict[int, int],
+    weights: dict[tuple[int, int], float] | None = None,
+    self_w: dict[int, float] | None = None,
+) -> float:
+    w = weights or {e: 1.0 for e in edges}
+    self_w = self_w or {}
+    m = sum(w.values()) + sum(self_w.values())
+    deg: dict[int, float] = defaultdict(float)
+    for (u, v), ww in w.items():
+        deg[u] += ww
+        deg[v] += ww
+    for v, sw in self_w.items():
+        deg[v] += 2 * sw
+    in_c: dict[int, float] = defaultdict(float)
+    a_c: dict[int, float] = defaultdict(float)
+    for (u, v), ww in w.items():
+        if comm[u] == comm[v]:
+            in_c[comm[u]] += 2 * ww
+    for v, sw in self_w.items():
+        in_c[comm[v]] += 2 * sw
+    for v, d in deg.items():
+        a_c[comm[v]] += d
+    return sum(
+        in_c.get(c, 0.0) / (2 * m) - (a / (2 * m)) ** 2 for c, a in a_c.items()
+    )
+
+
+def _clique(vertices: list[int]) -> list[tuple[int, int]]:
+    return [
+        (u, v) for i, u in enumerate(vertices) for v in vertices[i + 1 :]
+    ]
+
+
+def _collect_comm(df) -> dict[int, int]:
+    return {r["vid"]: r["comm"] for r in df.collect()}
+
+
+def _groups(comm: dict[int, int]) -> set[frozenset[int]]:
+    g: dict[int, set[int]] = defaultdict(set)
+    for v, c in comm.items():
+        g[c].add(v)
+    return {frozenset(s) for s in g.values()}
+
+
+def test_modularity_matches_reference(spark):
+    edges = er_graph(60, 6.0, seed=7)
+    comm = {v: v % 3 for e in edges for v in e}
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    cdf = spark.createDataFrame(list(comm.items()), "vid long, comm long")
+    q = modularity(spark, edf, cdf)
+    assert q == pytest.approx(modularity_py(edges, comm), abs=1e-9)
+
+
+def test_modularity_weighted_and_trivial(spark):
+    edges = er_graph(40, 5.0, seed=11)
+    w = {e: 1.0 + (hash(e) % 5) for e in edges}
+    rows = [(u, v, ww) for (u, v), ww in w.items()]
+    edf = spark.createDataFrame(rows, "src long, dst long, wt double")
+    verts = sorted({v for e in edges for v in e})
+    one = spark.createDataFrame([(v, 0) for v in verts], "vid long, comm long")
+    # single community → Q == 0 exactly
+    assert modularity(spark, edf, one, weight_col="wt") == pytest.approx(0.0, abs=1e-12)
+    # singletons → Q < 0, matches reference
+    singles = spark.createDataFrame([(v, v) for v in verts], "vid long, comm long")
+    q = modularity(spark, edf, singles, weight_col="wt")
+    assert q < 0
+    assert q == pytest.approx(
+        modularity_py(edges, {v: v for v in verts}, weights=w), abs=1e-9
+    )
+
+
+def test_louvain_two_cliques(spark, tmp_path):
+    c1, c2 = list(range(5)), list(range(5, 10))
+    edges = _clique(c1) + _clique(c2) + [(0, 5)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    mapping, q = louvain(spark, edf, checkpoint_dir=str(tmp_path / "lv"))
+    comm = _collect_comm(mapping)
+    assert _groups(comm) == {frozenset(c1), frozenset(c2)}
+    planted = {v: (0 if v < 5 else 1) for v in range(10)}
+    assert q == pytest.approx(modularity_py(edges, planted), abs=1e-9)
+
+
+def test_louvain_ring_of_cliques(spark):
+    cliques = [list(range(5 * i, 5 * i + 5)) for i in range(4)]
+    edges: list[tuple[int, int]] = []
+    for c in cliques:
+        edges += _clique(c)
+    for i in range(4):
+        edges.append((cliques[i][0], cliques[(i + 1) % 4][1]))
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    mapping, q = louvain(spark, edf)
+    comm = _collect_comm(mapping)
+    assert _groups(comm) == {frozenset(c) for c in cliques}
+    assert q > 0.6
+
+
+def test_aggregation_preserves_modularity(spark):
+    edges = er_graph(50, 6.0, seed=3)
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    ew = _weighted(edf, None)
+    res = louvain_local_moves(spark, ew, max_rounds=10)
+    level_comm = res.state.select("vid", "comm")
+    q_orig = modularity(spark, edf, level_comm)
+    new_edges, self_w = _aggregate(ew, None, level_comm)
+    identity = (
+        level_comm.select("comm")
+        .dropDuplicates()
+        .select(F.col("comm").alias("vid"), F.col("comm").alias("comm"))
+    )
+    q_super = modularity(spark, new_edges, identity, weight_col="w", self_w=self_w)
+    assert q_super == pytest.approx(q_orig, abs=1e-9)
+
+
+def test_louvain_deterministic_under_partitioning(spark):
+    edges = er_graph(50, 6.0, seed=5)
+    e1 = spark.createDataFrame(edges, "src long, dst long")
+    e2 = spark.createDataFrame(edges, "src long, dst long").repartition(7, "dst")
+    m1, q1 = louvain(spark, e1)
+    m2, q2 = louvain(spark, e2)
+    assert _collect_comm(m1) == _collect_comm(m2)
+    assert q1 == pytest.approx(q2, abs=1e-12)
+
+
+def test_louvain_improves_over_singletons(spark):
+    edges = er_graph(50, 5.0, seed=9) + _clique(list(range(50, 56)))
+    edges.append((0, 50))
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    mapping, q = louvain(spark, edf)
+    verts = sorted({v for e in edges for v in e})
+    assert q > 0
+    comm = _collect_comm(mapping)
+    assert set(comm) == set(verts)
+    # final Q matches a recomputation on the ORIGINAL graph with the
+    # composed mapping — the returned supergraph Q is not a separate number
+    cdf = spark.createDataFrame(list(comm.items()), "vid long, comm long")
+    assert q == pytest.approx(modularity_py(edges, comm), abs=1e-9)
+
+
+def test_local_moves_resume(spark, tmp_path):
+    edges = _clique(list(range(5))) + _clique(list(range(5, 10))) + [(2, 7)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    ew = _weighted(edf, None)
+    ck = str(tmp_path / "ck")
+    r1 = louvain_local_moves(spark, ew, checkpoint_dir=ck)
+    r2 = louvain_local_moves(spark, ew, checkpoint_dir=ck, resume=True)
+    assert r2.resumed_from is not None
+    assert _collect_comm(r2.state.select("vid", "comm")) == _collect_comm(
+        r1.state.select("vid", "comm")
+    )

@@ -1,0 +1,123 @@
+"""Luby MIS and Jones–Plassmann coloring: independence, maximality,
+properness, Δ+1 bound, determinism across partitionings, resume."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from arabesque_spark.graph.mis import (
+    EXCLUDED,
+    IN_SET,
+    greedy_coloring,
+    maximal_independent_set,
+)
+from tests.reference_impls import er_graph, powerlaw_graph
+
+
+def _adj(edges):
+    a = defaultdict(set)
+    for u, v in edges:
+        a[u].add(v)
+        a[v].add(u)
+    return a
+
+
+def _mis_dict(res):
+    return {r["vid"]: r["status"] for r in res.state.collect()}
+
+
+def _check_mis(edges, status):
+    adj = _adj(edges)
+    in_set = {v for v, s in status.items() if s == IN_SET}
+    assert set(status) == set(adj), "every non-isolated vertex decided"
+    assert all(s in (IN_SET, EXCLUDED) for s in status.values())
+    # independence
+    for u, v in edges:
+        assert not (u in in_set and v in in_set), f"edge ({u},{v}) inside MIS"
+    # maximality: every excluded vertex has an in-set neighbor
+    for v, s in status.items():
+        if s == EXCLUDED:
+            assert adj[v] & in_set, f"vertex {v} excluded with no MIS neighbor"
+
+
+def test_mis_er_graph(spark):
+    edges = er_graph(80, 6.0, seed=2)
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    res = maximal_independent_set(spark, edf)
+    assert res.converged
+    _check_mis(edges, _mis_dict(res))
+
+
+def test_mis_powerlaw_and_determinism(spark):
+    edges = powerlaw_graph(120, 3, seed=4)
+    e1 = spark.createDataFrame(edges, "src long, dst long")
+    e2 = spark.createDataFrame(edges, "src long, dst long").repartition(7, "src")
+    r1 = maximal_independent_set(spark, e1)
+    r2 = maximal_independent_set(spark, e2)
+    d1, d2 = _mis_dict(r1), _mis_dict(r2)
+    _check_mis(edges, d1)
+    assert d1 == d2
+
+
+def test_mis_resume(spark, tmp_path):
+    edges = er_graph(60, 5.0, seed=8)
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    ck = str(tmp_path / "mis")
+    r1 = maximal_independent_set(spark, edf, checkpoint_dir=ck)
+    r2 = maximal_independent_set(spark, edf, checkpoint_dir=ck, resume=True)
+    assert r2.resumed_from is not None
+    assert _mis_dict(r1) == _mis_dict(r2)
+
+
+def _coloring_dict(res):
+    return {r["vid"]: r["color"] for r in res.state.collect()}
+
+
+def _check_coloring(edges, colors):
+    adj = _adj(edges)
+    assert set(colors) == set(adj)
+    assert all(c >= 0 for c in colors.values())
+    for u, v in edges:
+        if u != v:
+            assert colors[u] != colors[v], f"edge ({u},{v}) monochromatic"
+    max_deg = max(len(n) for n in adj.values())
+    assert max(colors.values()) <= max_deg, "more than Δ+1 colors"
+
+
+def test_coloring_er_graph(spark):
+    edges = er_graph(80, 6.0, seed=6)
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    res = greedy_coloring(spark, edf)
+    assert res.converged
+    _check_coloring(edges, _coloring_dict(res))
+
+
+def test_coloring_powerlaw_and_determinism(spark):
+    edges = powerlaw_graph(120, 3, seed=10)
+    e1 = spark.createDataFrame(edges, "src long, dst long")
+    e2 = spark.createDataFrame(edges, "src long, dst long").repartition(5, "dst")
+    r1 = greedy_coloring(spark, e1)
+    r2 = greedy_coloring(spark, e2)
+    c1, c2 = _coloring_dict(r1), _coloring_dict(r2)
+    _check_coloring(edges, c1)
+    assert c1 == c2
+
+
+def test_coloring_complete_graph_uses_all_colors(spark):
+    k = 6
+    edges = [(u, v) for u in range(k) for v in range(u + 1, k)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    res = greedy_coloring(spark, edf)
+    colors = _coloring_dict(res)
+    _check_coloring(edges, colors)
+    assert sorted(colors.values()) == list(range(k))
+
+
+def test_coloring_resume(spark, tmp_path):
+    edges = er_graph(60, 5.0, seed=12)
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    ck = str(tmp_path / "col")
+    r1 = greedy_coloring(spark, edf, checkpoint_dir=ck)
+    r2 = greedy_coloring(spark, edf, checkpoint_dir=ck, resume=True)
+    assert r2.resumed_from is not None
+    assert _coloring_dict(r1) == _coloring_dict(r2)

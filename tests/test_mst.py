@@ -1,0 +1,129 @@
+"""Borůvka MSF: Kruskal parity (exact edge set with distinct weights,
+total weight with ties), spanning-forest structure, determinism."""
+
+from __future__ import annotations
+
+import pytest
+
+from arabesque_spark.graph.mst import boruvka_mst
+from tests.reference_impls import er_graph, powerlaw_graph
+
+
+def _uf_find(parent, x):
+    while parent[x] != x:
+        parent[x] = parent[parent[x]]
+        x = parent[x]
+    return x
+
+
+def kruskal(edges_w: list[tuple[int, int, float]]) -> list[tuple[int, int, float]]:
+    """Reference MSF with the engine's tie-break: sort by (w, src, dst)."""
+    verts = {v for u, v, _ in edges_w for v in (u,)} | {v for _, v, _ in edges_w}
+    parent = {v: v for v in verts}
+    out = []
+    for u, v, w in sorted(edges_w, key=lambda e: (e[2], e[0], e[1])):
+        ru, rv = _uf_find(parent, u), _uf_find(parent, v)
+        if ru != rv:
+            parent[ru] = rv
+            out.append((u, v, w))
+    return out
+
+
+def _weights(edges: list[tuple[int, int]], distinct: bool) -> list[tuple[int, int, float]]:
+    # deterministic weights; `distinct` makes the MSF unique
+    out = []
+    for i, (u, v) in enumerate(sorted(set(edges))):
+        w = float((u * 31 + v * 17) % 23) + (i * 1e-6 if distinct else 0.0)
+        out.append((u, v, w))
+    return out
+
+
+def _run(spark, edges_w):
+    edf = spark.createDataFrame(edges_w, "src long, dst long, wt double")
+    mst, comp = boruvka_mst(spark, edf, weight_col="wt")
+    return (
+        [(r["src"], r["dst"], r["w"]) for r in mst.collect()],
+        {r["vid"]: r["comp"] for r in comp.collect()},
+    )
+
+
+def _check_forest(edges_w, mst_rows, comp):
+    verts = {u for u, _, _ in edges_w} | {v for _, v, _ in edges_w}
+    # forest edge count = V - #components, and components partition V
+    n_comp = len(set(comp.values()))
+    assert len(mst_rows) == len(verts) - n_comp
+    assert set(comp) == verts
+    in_graph = {(u, v): w for u, v, w in edges_w}
+    for u, v, w in mst_rows:
+        assert in_graph[(u, v)] == pytest.approx(w)
+        assert comp[u] == comp[v], "MSF edge must stay inside one component"
+    # acyclicity via union-find over the MSF edges themselves
+    parent = {v: v for v in verts}
+    for u, v, _ in mst_rows:
+        ru, rv = _uf_find(parent, u), _uf_find(parent, v)
+        assert ru != rv, f"cycle through ({u},{v})"
+        parent[ru] = rv
+    # the MSF spans each component: same partition as union-find closure
+    groups = {}
+    for v in verts:
+        groups.setdefault(_uf_find(parent, v), set()).add(v)
+    comp_groups = {}
+    for v, c in comp.items():
+        comp_groups.setdefault(c, set()).add(v)
+    assert set(map(frozenset, groups.values())) == set(
+        map(frozenset, comp_groups.values())
+    )
+
+
+def test_mst_distinct_weights_exact_kruskal(spark):
+    edges_w = _weights(er_graph(70, 5.0, seed=3), distinct=True)
+    mst_rows, comp = _run(spark, edges_w)
+    _check_forest(edges_w, mst_rows, comp)
+    assert sorted(mst_rows) == sorted(kruskal(edges_w))
+
+
+def test_mst_tied_weights_total_weight_parity(spark):
+    edges_w = _weights(er_graph(60, 6.0, seed=5), distinct=False)
+    mst_rows, comp = _run(spark, edges_w)
+    _check_forest(edges_w, mst_rows, comp)
+    ref = kruskal(edges_w)
+    assert len(mst_rows) == len(ref)
+    assert sum(w for _, _, w in mst_rows) == pytest.approx(
+        sum(w for _, _, w in ref), abs=1e-9
+    )
+
+
+def test_mst_disconnected_forest(spark):
+    e1 = [(u, v) for u in range(6) for v in range(u + 1, 6)]
+    e2 = [(u, u + 1) for u in range(10, 15)]
+    edges_w = _weights(e1 + e2, distinct=True)
+    mst_rows, comp = _run(spark, edges_w)
+    _check_forest(edges_w, mst_rows, comp)
+    assert len(set(comp.values())) == 2
+    assert sorted(mst_rows) == sorted(kruskal(edges_w))
+
+
+def test_mst_hub_graph_and_determinism(spark):
+    edges_w = _weights(powerlaw_graph(90, 3, seed=7), distinct=False)
+    e1 = spark.createDataFrame(edges_w, "src long, dst long, wt double")
+    e2 = spark.createDataFrame(edges_w, "src long, dst long, wt double").repartition(
+        7, "dst"
+    )
+    m1, c1 = boruvka_mst(spark, e1, weight_col="wt")
+    m2, c2 = boruvka_mst(spark, e2, weight_col="wt")
+    rows1 = sorted((r["src"], r["dst"], r["w"]) for r in m1.collect())
+    rows2 = sorted((r["src"], r["dst"], r["w"]) for r in m2.collect())
+    assert rows1 == rows2
+    assert {r["vid"]: r["comp"] for r in c1.collect()} == {
+        r["vid"]: r["comp"] for r in c2.collect()
+    }
+    _check_forest(edges_w, rows1, {r["vid"]: r["comp"] for r in c1.collect()})
+
+
+def test_mst_unweighted_default(spark):
+    edges = er_graph(40, 4.0, seed=9)
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    mst, comp = boruvka_mst(spark, edf)
+    rows = [(r["src"], r["dst"], r["w"]) for r in mst.collect()]
+    cd = {r["vid"]: r["comp"] for r in comp.collect()}
+    _check_forest([(u, v, 1.0) for u, v in sorted(set(edges))], rows, cd)
