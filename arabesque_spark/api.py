@@ -33,6 +33,7 @@ from arabesque_spark.graph.triangles import (
     triangle_count,
     triangle_counts_per_vertex,
 )
+from arabesque_spark import checks as _checks
 from arabesque_spark.operators import relational
 from arabesque_spark.operators.dedup import exact_dedup, ngram_jaccard_pairs
 from arabesque_spark.operators.similarity import cosine_topk
@@ -1093,6 +1094,51 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_row(ivf, exact)
 
 
+def q_sketch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four sketch/ANN recall gates merged into ONE registry entry
+    (the driver records at most 50 queries): rows ``(op, n1, n2, n3,
+    recall)`` with op ∈ {minhash, simhash, ann, ivf}.  Column mapping —
+    minhash/simhash: (n_candidates, n_true, n_found); ann/ivf:
+    (n_queries, n_exact, hits).  Values are IDENTICAL to the four
+    round-3 single-row queries; the oracle is the UNION ALL of their
+    SQL twins projected into the unified shape, so nothing is lost by
+    the merge — every operator keeps its value-exact gate row."""
+    parts = [
+        q_minhash_recall(spark, sf_dir).select(
+            F.lit("minhash").alias("op"),
+            F.col("n_candidates").alias("n1"),
+            F.col("n_true").alias("n2"),
+            F.col("n_found").alias("n3"),
+            "recall",
+        ),
+        q_simhash_recall(spark, sf_dir).select(
+            F.lit("simhash").alias("op"),
+            F.col("n_candidates").alias("n1"),
+            F.col("n_true").alias("n2"),
+            F.col("n_found").alias("n3"),
+            "recall",
+        ),
+        q_ann_recall(spark, sf_dir).select(
+            F.lit("ann").alias("op"),
+            F.col("n_queries").alias("n1"),
+            F.col("n_exact").alias("n2"),
+            F.col("hits").alias("n3"),
+            "recall",
+        ),
+        q_ivf_recall(spark, sf_dir).select(
+            F.lit("ivf").alias("op"),
+            F.col("n_queries").alias("n1"),
+            F.col("n_exact").alias("n2"),
+            F.col("hits").alias("n3"),
+            "recall",
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("op")
+
+
 def q_walk_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """node2vec biased walks (p=0.5, q=2, rejection sampling) distilled
     to a fully ORACLE-DERIVABLE validity scalar → one row (n_walks,
@@ -1400,10 +1446,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "motif5": q_motif5,
     "labeled_motif3": q_labeled_motif3,
     "dedup_exact": q_dedup_exact,
-    "minhash_recall": q_minhash_recall,
-    "simhash_recall": q_simhash_recall,
-    "ann_recall": q_ann_recall,
-    "ivf_recall": q_ivf_recall,
+    "sketch_recall": q_sketch_recall,
     "walk_validity": q_walk_validity,
     "sample_validity": q_sample_validity,
     "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -1419,6 +1462,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "top_customers": q_top_customers,
     "events_hourly": q_events_hourly,
+    "corpus_ops_check": _checks.q_corpus_ops_check,
+    "graph_kernels_check": _checks.q_graph_kernels_check,
+    "directed_kernels_check": _checks.q_directed_kernels_check,
 }
 assert len(QUERIES) <= 50, "driver gate records at most 50 queries (see comment above)"
 
@@ -1923,3 +1969,23 @@ SELECT user_id,
        ROUND(SUM(value), 4) AS sum_value
 FROM s GROUP BY user_id, sidx""",
 }
+
+# ---- round-4 registry consolidation (50-entry driver cap) ---------------
+# The four recall oracles merge into one UNION ALL twin of q_sketch_recall;
+# the three combined check queries get their builders from checks.py.
+_RECALL_PARTS = {
+    "minhash": (ORACLES.pop("minhash_recall"), "n_candidates", "n_true", "n_found"),
+    "simhash": (ORACLES.pop("simhash_recall"), "n_candidates", "n_true", "n_found"),
+    "ann": (ORACLES.pop("ann_recall"), "n_queries", "n_exact", "hits"),
+    "ivf": (ORACLES.pop("ivf_recall"), "n_queries", "n_exact", "hits"),
+}
+ORACLES["sketch_recall"] = (
+    "\nUNION ALL\n".join(
+        f"SELECT '{op}' AS op, {a} AS n1, {b} AS n2, {c} AS n3, recall FROM ({sql})"
+        for op, (sql, a, b, c) in _RECALL_PARTS.items()
+    )
+    + "\nORDER BY op"
+)
+ORACLES["corpus_ops_check"] = _checks.corpus_ops_oracle()
+ORACLES["graph_kernels_check"] = _checks.graph_kernels_oracle()
+ORACLES["directed_kernels_check"] = _checks.directed_kernels_oracle()
