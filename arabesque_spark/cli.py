@@ -268,6 +268,7 @@ def main(argv: list[str] | None = None) -> int:
         out_df = res.state
         info = {
             "iterations": res.num_iterations,
+            "converged": res.converged,
             "in_set": out_df.filter(F.col("status") == IN_SET).count(),
         }
     elif args.cmd == "mst":
@@ -291,9 +292,16 @@ def main(argv: list[str] | None = None) -> int:
             resume=args.resume,
         )
         out_df = res.state
+        # converged=False => uncolored (-1) vertices remain: raise
+        # max_iterations (clique-dense graphs need ~clique-depth rounds)
         info = {
             "iterations": res.num_iterations,
-            "colors": out_df.select("color").distinct().count(),
+            "converged": res.converged,
+            "colors": out_df.filter(F.col("color") >= 0)
+            .select("color")
+            .distinct()
+            .count(),
+            "uncolored": out_df.filter(F.col("color") < 0).count(),
         }
     elif args.cmd == "census":
         from arabesque_spark.graph.motifs import motif_census_k
