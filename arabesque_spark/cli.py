@@ -83,6 +83,15 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--max-levels", type=int, default=10)
         if name in ("mis", "coloring"):
             p.add_argument("--seed", type=int, default=42)
+        if name == "coloring":
+            p.add_argument(
+                "--method",
+                choices=("jp", "spec"),
+                default="jp",
+                help="jp: Jones-Plassmann (delta+1 colors, rounds ~ longest "
+                "priority path); spec: speculative random-palette "
+                "(O(log) rounds on clique-dense graphs, <= 1.5*delta+5 colors)",
+            )
         if name == "mst":
             p.add_argument("--weight-col", default=None)
 
@@ -282,9 +291,10 @@ def main(argv: list[str] | None = None) -> int:
             "total_weight": (mst_df.agg(F.sum("w")).collect()[0][0] or 0.0),
         }
     elif args.cmd == "coloring":
-        from arabesque_spark.graph.mis import greedy_coloring
+        from arabesque_spark.graph.mis import greedy_coloring, speculative_coloring
 
-        res = greedy_coloring(
+        color_fn = speculative_coloring if args.method == "spec" else greedy_coloring
+        res = color_fn(
             spark,
             edges,
             seed=args.seed,

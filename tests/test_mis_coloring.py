@@ -121,3 +121,56 @@ def test_coloring_resume(spark, tmp_path):
     r2 = greedy_coloring(spark, edf, checkpoint_dir=ck, resume=True)
     assert r2.resumed_from is not None
     assert _coloring_dict(r1) == _coloring_dict(r2)
+
+
+def test_speculative_coloring_er(spark):
+    from arabesque_spark.graph.mis import speculative_coloring
+
+    edges = er_graph(80, 6.0, seed=5)
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    res = speculative_coloring(spark, edf)
+    assert res.converged
+    colors = _coloring_dict(res)
+    adj = _adj(edges)
+    assert set(colors) == set(adj)
+    for u, v in edges:
+        if u != v:
+            assert colors[u] != colors[v]
+    max_deg = max(len(n) for n in adj.values())
+    assert max(colors.values()) <= 1.5 * max_deg + 5
+
+
+def test_speculative_coloring_clique_fast(spark):
+    """On a k-clique JP needs exactly k rounds; the speculative variant
+    must converge in far fewer (distinct random draws commit in
+    parallel) while staying proper and within the k-color bound."""
+    from arabesque_spark.graph.mis import speculative_coloring
+
+    k = 24
+    edges = [(u, v) for u in range(k) for v in range(u + 1, k)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    res = speculative_coloring(spark, edf)
+    assert res.converged
+    colors = {r["vid"]: r["color"] for r in res.state.collect()}
+    adj = _adj(edges)
+    assert set(colors) == set(adj)
+    for u, v in edges:
+        assert colors[u] != colors[v]
+    # relaxed palette: <= 1.5*delta + 5 colors instead of JP's delta+1
+    assert max(colors.values()) <= 1.5 * (k - 1) + 5
+    assert len(set(colors.values())) == k  # a clique still forces k colors
+    assert res.num_iterations <= k // 2, (
+        f"{res.num_iterations} rounds on a {k}-clique — speculative "
+        "coloring should beat JP's k-round lower bound decisively"
+    )
+
+
+def test_speculative_coloring_deterministic(spark):
+    from arabesque_spark.graph.mis import speculative_coloring
+
+    edges = powerlaw_graph(150, 3, seed=9)
+    a = spark.createDataFrame(edges, "src long, dst long")
+    b = spark.createDataFrame(list(reversed(edges)), "src long, dst long").repartition(13)
+    ca = {r["vid"]: r["color"] for r in speculative_coloring(spark, a).state.collect()}
+    cb = {r["vid"]: r["color"] for r in speculative_coloring(spark, b).state.collect()}
+    assert ca == cb
