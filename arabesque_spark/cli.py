@@ -97,6 +97,26 @@ def main(argv: list[str] | None = None) -> int:
 
     args = parser.parse_args(argv)
 
+    # --checkpoint/--resume are attached to every graph subcommand by the
+    # common loop above, but single-job operators have no iterative state
+    # to persist and louvain restarts its level sequence from 0 — fail
+    # fast (before the JVM spins up) instead of silently dropping the
+    # flag: a user "resuming" a long run would otherwise restart from
+    # scratch with no warning.
+    no_ckpt = {"triangles", "motifs", "walks", "census", "mst"}
+    if args.cmd in no_ckpt and args.checkpoint:
+        parser.error(
+            f"{args.cmd} does not support --checkpoint: it runs as a "
+            "single Spark job with no iterative state to persist"
+        )
+    if args.cmd in no_ckpt and args.resume:
+        parser.error(f"{args.cmd} does not support --resume (nothing is checkpointed)")
+    if args.cmd == "louvain" and args.resume:
+        parser.error(
+            "louvain does not support --resume: it checkpoints per-level "
+            "state for lineage bounding but always restarts from level 0"
+        )
+
     from arabesque_spark.session import get_spark
 
     spark = get_spark(app_name=f"arabesque_{args.cmd}", master=args.master)
