@@ -47,33 +47,100 @@ HaltFn = Callable[[DataFrame, int], tuple[bool, dict]]
 HaltDecideFn = Callable[[dict, int], bool]
 
 
-def stats_reset_checkpoint(df: DataFrame) -> DataFrame:
-    """``localCheckpoint(eager=True)`` + plan-statistics reset.
+def stats_reset_checkpoint(
+    df: DataFrame,
+    partition_keys: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``localCheckpoint(eager=True)`` + plan-statistics reset, optionally
+    re-declaring the state's hash partitioning.
 
-    Spark 4 preserves the child plan's estimated ``sizeInBytes`` through
-    ``localCheckpoint``. In an iterative algorithm whose round plan joins
-    the carried state with itself k > 1 times, the estimate COMPOUNDS —
-    digits(sizeInBytes) multiply by ~k every round — until Catalyst's
-    size-only stats visitor spends minutes multiplying million-digit
-    BigIntegers and finally OOMs building them (measured here: Louvain
-    level-2 round cost doubling 0.9 s → 19 s by round 5; Borůvka stalled
-    >10 min inside ``BigInteger.multiplyToomCook3``; jstack shows the
-    product in ``SizeInBytesOnlyStatsPlanVisitor.default``).  Rebuilding
-    the frame from the checkpointed RDD — same blocks, zero recompute —
-    yields a fresh ``LogicalRDD`` carrying the default size estimate, so
-    every round's planning cost stays constant.  Parquet-backed
-    checkpoints are immune (real file stats); this guards the in-memory
-    path only.  Falls back to the plain checkpoint if the internal
-    constructor is unavailable (stats then compound: slow, still correct).
+    Two distinct Spark 4 checkpoint defects are fixed here:
+
+    1. **Stats compounding.** Spark preserves the child plan's estimated
+       ``sizeInBytes`` through ``localCheckpoint``. In an iterative
+       algorithm whose round plan joins the carried state with itself
+       k > 1 times, the estimate COMPOUNDS — digits(sizeInBytes) multiply
+       by ~k every round — until Catalyst's size-only stats visitor spends
+       minutes multiplying million-digit BigIntegers and finally OOMs
+       building them (measured here: Louvain level-2 round cost doubling
+       0.9 s → 19 s by round 5; Borůvka stalled >10 min inside
+       ``BigInteger.multiplyToomCook3``). Rebuilding the frame from the
+       checkpointed RDD — same blocks, zero recompute — yields a fresh
+       ``LogicalRDD`` with no inherited estimate, so planning cost stays
+       constant.
+
+    2. **Partitioning amnesia.** With AQE on, ``localCheckpoint`` captures
+       ``AdaptiveSparkPlanExec.outputPartitioning`` — which is
+       ``UnknownPartitioning`` — so the checkpointed state forgets it is
+       hash-partitioned and EVERY subsequent superstep re-exchanges the
+       full V-scale state before its join (measured: an extra Exchange on
+       the state side of each iteration's sort-merge join). At 100-TB
+       scale that is a whole-state shuffle per superstep that co-location
+       was supposed to eliminate. When the caller declares
+       ``partition_keys`` (+ ``num_partitions``), the rebuilt
+       ``LogicalRDD`` carries an explicit ``HashPartitioning`` over those
+       output columns, making the declared layout visible to
+       ``EnsureRequirements`` again.
+
+    The declaration is a CONTRACT: the caller asserts the step plan ends
+    in a hash shuffle on exactly these keys (groupBy/repartition/join on
+    them). Two guards keep a wrong world honest: the RDD's actual
+    partition count must equal ``num_partitions`` (AQE partition
+    coalescing or skew-splitting changes the count → fall back to the
+    undeclared form), and tests/test_superstep_async.py pins result
+    equality between declared and undeclared runs.
+
+    Parquet-backed checkpoints are immune to (1) (real file stats) but
+    still suffer (2); the first post-resume iteration pays one state
+    exchange, which is the correct price for reading an unpartitioned
+    store. Falls back to the plain checkpoint if the internal constructors
+    are unavailable (stats then compound: slow, still correct).
     """
     ck = df.localCheckpoint(eager=True)
     try:
         jdf = ck._jdf
-        jspark = ck.sparkSession._jsparkSession
-        jnew = jspark.internalCreateDataFrame(
-            jdf.queryExecution().toRdd(), jdf.schema(), False
-        )
-        out = DataFrame(jnew, ck.sparkSession)
+        spark = ck.sparkSession
+        jspark = spark._jsparkSession
+        jvm = spark._jvm
+        out = None
+        if partition_keys and num_partitions:
+            old = jdf.queryExecution().analyzed()  # the checkpoint LogicalRDD
+            jrdd = old.rdd()
+            if jrdd.getNumPartitions() == num_partitions:
+                attrs = {}
+                it = old.output().iterator()
+                while it.hasNext():
+                    a = it.next()
+                    attrs[a.name()] = a
+                key_exprs = jvm.PythonUtils.toSeq(
+                    [attrs[k] for k in partition_keys]
+                )
+                hash_part = jvm.org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(
+                    key_exprs, num_partitions
+                )
+                none = jvm.scala.Option.apply(None)
+                new_lr = jvm.org.apache.spark.sql.execution.LogicalRDD(
+                    old.output(),
+                    jrdd,
+                    hash_part,
+                    jvm.PythonUtils.toSeq([]),  # no ordering claim: hash agg
+                    # and broadcast-join outputs are unsorted
+                    False,
+                    none,
+                    jspark,
+                    none,  # originStats=None → no inherited estimate
+                    none,
+                )
+                jnew = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                    jspark, new_lr
+                )
+                out = DataFrame(jnew, spark)
+        if out is None:
+            jnew = jspark.internalCreateDataFrame(
+                jdf.queryExecution().toRdd(), jdf.schema(), False
+            )
+            out = DataFrame(jnew, spark)
         # keep a handle on the actual checkpointed frame: unpersisting the
         # wrapper is a no-op, the blocks belong to `ck` (async writer uses
         # this to free the previous iteration's blocks)
@@ -130,10 +197,18 @@ class SuperstepRunner:
         max_iterations: int = 100,
         lineage: bool | None = None,
         async_writeback: bool = False,
+        state_partition_keys: list[str] | None = None,
+        state_partitions: int | None = None,
     ) -> None:
         self.spark = spark
         self.checkpoint_dir = Path(checkpoint_dir) if checkpoint_dir else None
         self.max_iterations = max_iterations
+        # declared state layout (see stats_reset_checkpoint): the algorithm
+        # asserts every step's output is hash-partitioned on these keys with
+        # this count, so the in-memory checkpoint can re-declare the layout
+        # and the next superstep's join skips the V-scale state exchange
+        self.state_partition_keys = state_partition_keys
+        self.state_partitions = state_partitions
         # per-partition lineage stats cost one aggregation per iteration;
         # default them on only when there is a manifest to record them in
         self.lineage = (checkpoint_dir is not None) if lineage is None else lineage
@@ -194,7 +269,12 @@ class SuperstepRunner:
     # ---- materialization ----------------------------------------------
     def _materialize(self, state: DataFrame, iteration: int) -> tuple[DataFrame, str | None]:
         if self.checkpoint_dir is None:
-            return stats_reset_checkpoint(state), None
+            return (
+                stats_reset_checkpoint(
+                    state, self.state_partition_keys, self.state_partitions
+                ),
+                None,
+            )
         path = self.checkpoint_dir / f"iter_{iteration:05d}"
         if path.exists():
             shutil.rmtree(path)
@@ -362,7 +442,9 @@ class SuperstepRunner:
                     # critical path: in-memory checkpoint only (severs
                     # lineage, fires the observe metrics); the parquet write
                     # happens on the writer thread from these cached blocks
-                    new_state = stats_reset_checkpoint(observed_df)
+                    new_state = stats_reset_checkpoint(
+                        observed_df, self.state_partition_keys, self.state_partitions
+                    )
                     path = str(self.checkpoint_dir / f"iter_{i:05d}")
                 else:
                     new_state, path = self._materialize(observed_df, i)

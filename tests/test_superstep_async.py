@@ -104,3 +104,96 @@ def test_async_writer_error_surfaces(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(runner, "_partition_rows", boom)
     with pytest.raises(RuntimeError, match="footer read failed"):
         runner.run(init, step, halt_decide=lambda m, i: i >= 2)
+
+
+# ---------------------------------------------------------------------------
+# declared state partitioning (stats_reset_checkpoint partition contract)
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_like_step(spark, adj):
+    """A step whose output is hash-partitioned by vid via groupBy+join."""
+    from pyspark.sql import functions as F
+
+    def step(state, i):
+        contribs = (
+            state.join(adj, state["vid"] == adj["src"])
+            .select(F.col("dst").alias("vid"), (F.col("val") / 2.0).alias("c"))
+            .groupBy("vid")
+            .agg(F.sum("c").alias("csum"))
+        )
+        new = state.join(contribs, "vid", "left").select(
+            "vid",
+            (F.coalesce("csum", F.lit(0.0)) + 1.0).alias("val"),
+        )
+        return new, {}
+
+    return step
+
+
+def test_declared_partitioning_matches_fallback(spark):
+    """Declaring the state layout must not change any value: the declared
+    run and the undeclared (fallback) run produce identical states."""
+    from pyspark.sql import functions as F
+
+    adj = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 50) for i in range(50)], "src long, dst long"
+    )
+    init = (
+        spark.range(50)
+        .select(F.col("id").alias("vid"), F.lit(1.0).alias("val"))
+        .repartition(8, "vid")
+    )
+
+    def run(keys):
+        runner = SuperstepRunner(
+            spark,
+            max_iterations=4,
+            state_partition_keys=keys,
+            state_partitions=8 if keys else None,
+        )
+        res = runner.run(init, _pagerank_like_step(spark, adj))
+        return sorted((r["vid"], round(r["val"], 9)) for r in res.state.collect())
+
+    assert run(["vid"]) == run(None)
+
+
+def test_declared_partitioning_is_visible_to_catalyst(spark):
+    """The checkpointed state must carry HashPartitioning(vid, n) so the
+    next join's state side needs no Exchange."""
+    from pyspark.sql import functions as F
+
+    from arabesque_spark.engine.superstep import stats_reset_checkpoint
+
+    st = (
+        spark.range(1000)
+        .select(F.col("id").alias("vid"), F.lit(1.0).alias("val"))
+        .repartition(8, "vid")
+    )
+    ck = stats_reset_checkpoint(st, ["vid"], 8)
+    part = ck._jdf.queryExecution().analyzed().outputPartitioning().toString()
+    assert part.startswith("hashpartitioning(vid"), part
+    # physical layout really is hash(vid) % 8 — the declaration is true
+    bad = ck.select(
+        "vid", F.spark_partition_id().alias("pid")
+    ).filter(F.pmod(F.hash("vid"), F.lit(8)) != F.col("pid"))
+    assert bad.count() == 0
+
+
+def test_partition_count_guard_falls_back(spark):
+    """A declared count that disagrees with the RDD's actual partition
+    count must NOT be trusted (AQE coalesce / skew split change counts):
+    the checkpoint silently degrades to the undeclared form."""
+    from pyspark.sql import functions as F
+
+    from arabesque_spark.engine.superstep import stats_reset_checkpoint
+
+    st = (
+        spark.range(100)
+        .select(F.col("id").alias("vid"), F.lit(1.0).alias("val"))
+        .repartition(8, "vid")
+    )
+    ck = stats_reset_checkpoint(st, ["vid"], 16)  # wrong count
+    part = ck._jdf.queryExecution().analyzed().outputPartitioning().toString()
+    assert "hashpartitioning" not in part.lower(), part
+    assert ck.count() == 100
