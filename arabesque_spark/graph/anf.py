@@ -184,7 +184,15 @@ def neighborhood_function(
         return stable
 
     runner = SuperstepRunner(
-        spark, checkpoint_dir=checkpoint_dir, max_iterations=max_h
+        spark,
+        checkpoint_dir=checkpoint_dir,
+        max_iterations=max_h,
+        # the gather join probes cached sym (hash(src,n)) with state keyed
+        # on vid — declaring hash(vid,n) through the checkpoint skips the
+        # state-side exchange; when AQE coalesces the groupBy output at
+        # small scale the count guard falls back harmlessly
+        state_partition_keys=["vid"],
+        state_partitions=n_parts,
     )
     result = runner.run(
         state0,
@@ -314,7 +322,15 @@ def hyperball_centralities(
         return stable
 
     runner = SuperstepRunner(
-        spark, checkpoint_dir=checkpoint_dir, max_iterations=max_h
+        spark,
+        checkpoint_dir=checkpoint_dir,
+        max_iterations=max_h,
+        # the gather join probes cached sym (hash(src,n)) with state keyed
+        # on vid — declaring hash(vid,n) through the checkpoint skips the
+        # state-side exchange; when AQE coalesces the groupBy output at
+        # small scale the count guard falls back harmlessly
+        state_partition_keys=["vid"],
+        state_partitions=n_parts,
     )
     result = runner.run(
         state0,

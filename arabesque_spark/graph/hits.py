@@ -148,7 +148,16 @@ def hits(
         return md is not None and md < tol
 
     runner = SuperstepRunner(
-        spark, checkpoint_dir=checkpoint_dir, max_iterations=max_iterations
+        spark,
+        checkpoint_dir=checkpoint_dir,
+        max_iterations=max_iterations,
+        # both per-superstep gathers probe the cached (hash(src,n), sorted)
+        # adjacency with the state keyed on vid: re-declaring hash(vid,n)
+        # through the checkpoint (see stats_reset_checkpoint) lets
+        # EnsureRequirements co-partition vid==src without re-exchanging
+        # the V-scale state twice per iteration
+        state_partition_keys=["vid"],
+        state_partitions=n_parts,
     )
     result = runner.run(
         state0,

@@ -122,7 +122,11 @@ def coreness(
 
     state0 = degrees(edges).select(
         "vid", F.col("deg").cast("int").alias("core"), F.lit(1).alias("chg")
-    )
+    ).repartition(n_parts, "vid")
+    # ^ pins the declared layout (see stats_reset_checkpoint): each round's
+    # state re-enters hash-partitioned on vid, so the gather probe
+    # (vid→dst rename, alias-tracked) and both state-side joins skip their
+    # V-scale exchanges against the cached sym / aggregated histogram
 
     def step(state: DataFrame, i: int):
         # neighbor values arrive at each OWNER vid: edge (src owner side)
@@ -164,7 +168,11 @@ def coreness(
         return ch is not None and ch == 0
 
     runner = SuperstepRunner(
-        spark, checkpoint_dir=checkpoint_dir, max_iterations=max_iterations
+        spark,
+        checkpoint_dir=checkpoint_dir,
+        max_iterations=max_iterations,
+        state_partition_keys=["vid"],
+        state_partitions=n_parts,
     )
     result = runner.run(
         state0,

@@ -52,6 +52,11 @@ def label_propagation(
         sym.select(F.col("src").alias("vid"))
         .dropDuplicates(["vid"])
         .select("vid", F.col("vid").alias("label"), F.lit(True).alias("changed"))
+        # pin the declared layout (see stats_reset_checkpoint): every
+        # superstep's state then re-enters the loop hash-partitioned on vid,
+        # so the probe-side rename vid→dst is alias-tracked and the join
+        # against the cached sym needs NO state exchange
+        .repartition(n_parts, "vid")
     )
 
     def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
@@ -83,7 +88,13 @@ def label_propagation(
         )
         return new_state, {"superstep": i}
 
-    runner = SuperstepRunner(spark, checkpoint_dir=checkpoint_dir, max_iterations=max_iterations)
+    runner = SuperstepRunner(
+        spark,
+        checkpoint_dir=checkpoint_dir,
+        max_iterations=max_iterations,
+        state_partition_keys=["vid"],
+        state_partitions=n_parts,
+    )
     # label fixpoint observed on the materialization job — no extra action
     result = runner.run(
         state0,
