@@ -951,6 +951,59 @@ def q_motif5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return motif_census_k(spark, edges, k=5)
 
 
+def q_motif5_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable projection of the FULL size-5 census → two exact
+    invariants, (metric, value):
+
+    * ``deg4_incidence`` — Σ over census classes of cnt(P)·(#degree-4
+      vertices in P). A vertex of degree 4 in a 5-vertex pattern is
+      adjacent to all four others, so each (class, multiplicity) pair
+      corresponds one-to-one to a (center, 4-subset-of-neighbors) choice:
+      the sum must equal Σ_v C(deg(v), 4) — computable closed-form in SQL
+      from the edge table alone. Every census class containing a
+      degree-4 vertex contributes with exact weight, so a wrong count in
+      ANY such class (stars, gems, wheels, K5s, …) breaks the equality.
+    * ``clique5`` — the census count of the complete class (adjbits all
+      ones; induced = non-induced for K5), vs a staged 10-edge join in
+      SQL. Zero-valued on sparse inputs, which still checks the census
+      reports no phantom K5.
+
+    The per-position degrees are decoded from the canonical pattern key's
+    adjbits hex — pure built-in column ops on the (tiny) census result.
+    The raw 14-class census itself stays brute-force-verified in
+    tests/test_motif_census_k.py."""
+    from arabesque_spark.graph.motifs import motif_census_k
+
+    edges = _support_graph(spark, sf_dir, FSM_EDGE_SUPPORT)
+    census = motif_census_k(spark, edges, k=5)
+    k = 5
+    bits = F.conv(F.split(F.col("pattern"), r"\|")[1], 16, 10).cast("long")
+    edge_index = [(i, j) for i in range(k) for j in range(i + 1, k)]
+    deg_cols = [
+        sum(
+            F.shiftright(bits, b).bitwiseAND(F.lit(1))
+            for b, (i, j) in enumerate(edge_index)
+            if v in (i, j)
+        )
+        for v in range(k)
+    ]
+    n_deg4 = sum(F.when(d == k - 1, 1).otherwise(0) for d in deg_cols)
+    full_bits = (1 << len(edge_index)) - 1
+    return census.agg(
+        F.sum(F.col("cnt") * n_deg4).cast("long").alias("deg4_incidence"),
+        F.sum(F.when(bits == full_bits, F.col("cnt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("clique5"),
+    ).select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(F.lit("clique5"), F.lit("deg4_incidence")),
+                F.array(F.col("clique5"), F.col("deg4_incidence")),
+            )
+        ).alias("metric", "value")
+    )
+
+
 MINHASH_THRESHOLD = 0.3
 
 
@@ -1443,7 +1496,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ktruss3": q_ktruss,
     "clique4_count": q_clique4_count,
     "motif4": q_motif4,
-    "motif5": q_motif5,
+    # the raw 14-class census (q_motif5) has no SQL twin; the registered
+    # gate entry is its oracle-checkable invariant projection
+    "motif5_check": q_motif5_check,
     "labeled_motif3": q_labeled_motif3,
     "dedup_exact": q_dedup_exact,
     "sketch_recall": q_sketch_recall,
@@ -1703,6 +1758,30 @@ SELECT pattern, cnt FROM (
   UNION ALL SELECT 'diamond', (SELECT c FROM diamond)
   UNION ALL SELECT 'k4', (SELECT c FROM k4)
 ) WHERE cnt <> 0""",
+    # motif5_check: both invariants computed INDEPENDENTLY of the census —
+    # deg4_incidence as the closed form Σ_v C(deg(v),4) (each degree-4
+    # vertex of a 5-pattern is a star center, so the weighted census sum
+    # collapses to a degree aggregate), clique5 as a staged K3→K4→K5 join
+    "motif5_check": f"""
+WITH {_support_graph_sql(FSM_EDGE_SUPPORT)},
+deg AS (SELECT vid, COUNT(*) AS d FROM
+        (SELECT src AS vid FROM fe UNION ALL SELECT dst FROM fe) GROUP BY vid),
+tri AS (SELECT ab.src AS a, ab.dst AS b, ac.dst AS c FROM fe ab
+        JOIN fe ac ON ac.src = ab.src AND ac.dst > ab.dst
+        JOIN fe bc ON bc.src = ab.dst AND bc.dst = ac.dst),
+k4 AS (SELECT t.a, t.b, t.c, ad.dst AS d FROM tri t
+       JOIN fe ad ON ad.src = t.a AND ad.dst > t.c
+       JOIN fe bd ON bd.src = t.b AND bd.dst = ad.dst
+       JOIN fe cd ON cd.src = t.c AND cd.dst = ad.dst),
+k5 AS (SELECT COUNT(*) AS c FROM k4 q
+       JOIN fe ae ON ae.src = q.a AND ae.dst > q.d
+       JOIN fe be ON be.src = q.b AND be.dst = ae.dst
+       JOIN fe ce ON ce.src = q.c AND ce.dst = ae.dst
+       JOIN fe de ON de.src = q.d AND de.dst = ae.dst)
+SELECT 'clique5' AS metric, CAST((SELECT c FROM k5) AS BIGINT) AS value
+UNION ALL
+SELECT 'deg4_incidence',
+       CAST((SELECT COALESCE(SUM(d*(d-1)*(d-2)*(d-3)//24), 0) FROM deg) AS BIGINT)""",
     "dedup_exact": """
 WITH h AS (SELECT doc_id, sha256(text) AS hh FROM documents),
 k AS (SELECT hh, MIN(doc_id) AS keep_id FROM h GROUP BY hh)

@@ -149,3 +149,47 @@ def test_census_k_agrees_with_closed_form(spark):
     for name, es in reps.items():
         key = _canon((0, 0, 0, 0), sum(bit[e] for e in es), 4)
         assert got4.get(key, 0) == m4[name], name
+
+
+def test_motif5_check_invariants_vs_bruteforce(spark):
+    """The registered motif5_check gate query: its two invariants must
+    equal independent brute-force computations on the same support graph
+    (the SQL oracle computes the same two numbers a third way)."""
+    from math import comb
+
+    from arabesque_spark import api
+
+    res = {
+        r["metric"]: r["value"]
+        for r in api.QUERIES["motif5_check"](spark, "/root/testdata/sf0.001").collect()
+    }
+    fe = [
+        (r["src"], r["dst"])
+        for r in api._support_graph(spark, "/root/testdata/sf0.001", api.FSM_EDGE_SUPPORT)
+        .collect()
+    ]
+    deg: dict = {}
+    es = set()
+    for u, v in fe:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+        es.add((min(u, v), max(u, v)))
+    assert res["deg4_incidence"] == sum(comb(d, 4) for d in deg.values())
+    # K5 by ordered neighborhood intersection (id-increasing extension)
+    nbrs: dict = defaultdict(set)
+    for u, v in es:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+
+    def extend(cand: set, depth: int) -> int:
+        if depth == 0:
+            return 1
+        return sum(
+            extend(cand & {w for w in nbrs[x] if w > x}, depth - 1)
+            for x in cand
+        )
+
+    n_k5 = sum(
+        extend({w for w in nbrs[u] & nbrs[v] if w > v}, 3) for u, v in es
+    )
+    assert res["clique5"] == n_k5
