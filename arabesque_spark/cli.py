@@ -41,8 +41,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--pairwise-limit", type=int, default=16)
 
     for name in ("pagerank", "cc", "lpa", "triangles", "motifs", "fsm", "walks",
-                 "kcore", "ktruss", "bfs", "census", "louvain", "mis", "coloring",
-                 "mst"):
+                 "kcore", "ktruss", "truss", "bfs", "census", "louvain", "mis",
+                 "coloring", "mst", "katz", "eigenvector"):
         p = sub.add_parser(name)
         p.add_argument("--edges", required=True, help="parquet dir with (src,dst)")
         p.add_argument("--out", default=None, help="result parquet dir")
@@ -94,6 +94,14 @@ def main(argv: list[str] | None = None) -> int:
             )
         if name == "mst":
             p.add_argument("--weight-col", default=None)
+        if name == "katz":
+            p.add_argument("--alpha", type=float, default=0.05)
+            p.add_argument("--beta", type=float, default=1.0)
+            p.add_argument("--tol", type=float, default=1e-9)
+            p.add_argument("--max-iterations", type=int, default=100)
+        if name == "eigenvector":
+            p.add_argument("--tol", type=float, default=1e-9)
+            p.add_argument("--max-iterations", type=int, default=200)
 
     args = parser.parse_args(argv)
 
@@ -256,6 +264,42 @@ def main(argv: list[str] | None = None) -> int:
         )
         out_df = res.state
         info = {"k": args.k, "iterations": res.num_iterations}
+    elif args.cmd == "truss":
+        from arabesque_spark.graph.truss import truss_decomposition
+
+        res = truss_decomposition(
+            spark, edges, checkpoint_dir=args.checkpoint, resume=args.resume
+        )
+        out_df = res.state
+        info = {"iterations": res.num_iterations, "converged": res.converged}
+    elif args.cmd == "katz":
+        from arabesque_spark.graph.centrality import katz_centrality
+
+        res = katz_centrality(
+            spark,
+            edges,
+            alpha=args.alpha,
+            beta=args.beta,
+            tol=args.tol,
+            max_iterations=args.max_iterations,
+            checkpoint_dir=args.checkpoint,
+            resume=args.resume,
+        )
+        out_df = res.state.select("vid", "katz")
+        info = {"iterations": res.num_iterations, "converged": res.converged}
+    elif args.cmd == "eigenvector":
+        from arabesque_spark.graph.centrality import eigenvector_centrality
+
+        res = eigenvector_centrality(
+            spark,
+            edges,
+            tol=args.tol,
+            max_iterations=args.max_iterations,
+            checkpoint_dir=args.checkpoint,
+            resume=args.resume,
+        )
+        out_df = res.state.select("vid", "ec")
+        info = {"iterations": res.num_iterations, "converged": res.converged}
     elif args.cmd == "bfs":
         from arabesque_spark.graph.bfs import bfs_distances
 

@@ -1,0 +1,197 @@
+"""Katz and eigenvector centrality — spectral companions to PageRank.
+
+Rounds out the N-family (PageRank/personalized/weighted, harmonic,
+HyperBall, betweenness, HITS) with the two classic linear-recurrence
+centralities. Both ride the identical superstep plan PageRank uses
+(graph/pagerank.py): one sort-merge join of the V-scale state against
+the CACHED chunked adjacency (hash(src, n), sorted — the E-scale side
+moves zero bytes per iteration) + one map-side-combinable sum, with the
+declared state layout carried through the in-memory checkpoint so the
+state side re-enters each round exchange-free, and convergence observed
+on the materialization job itself (zero extra Spark jobs per superstep).
+
+Katz:      x ← β + α · A x    (converges iff α < 1/λ_max)
+Eigenvector: x ← A x / ‖A x‖₂  (power iteration → principal eigenvector)
+
+The reference has no spectral centralities; these extend its N-family
+(SURVEY §2.4) along the axis its PageRank implementation defines —
+same superstep substrate, same checkpoint/resume contract.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arabesque_spark.engine.superstep import (
+    RunResult,
+    SuperstepRunner,
+    stats_reset_checkpoint,
+)
+from arabesque_spark.graph.build import build_adjacency
+
+
+def _cached_adjacency(edges: DataFrame, n_parts: int):
+    adj = (
+        build_adjacency(edges, num_partitions=n_parts)
+        .select("src", "neighbors")
+        .repartition(n_parts, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    adj.count()  # one-time build cost, not billed to the first superstep
+    verts = adj.select(F.col("src").alias("vid")).dropDuplicates(["vid"])
+    return adj, verts
+
+
+def katz_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    alpha: float = 0.05,
+    beta: float = 1.0,
+    tol: float = 1e-9,
+    max_iterations: int = 100,
+    checkpoint_dir: str | Path | None = None,
+    resume: bool = False,
+    num_partitions: int | None = None,
+) -> RunResult:
+    """Katz centrality over the undirected link graph → state
+    (vid, katz, delta). ``alpha`` must be below 1/λ_max for the series
+    to converge (λ_max ≤ max degree, so alpha < 1/max_deg is always
+    safe); halt when max |Δx| < tol, or at ``max_iterations`` with
+    ``converged=False``. ``tol < 0`` runs exactly ``max_iterations``
+    rounds (the fixed-iteration oracle mode, like pagerank)."""
+    n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    adj, verts = _cached_adjacency(edges, n_parts)
+
+    state0 = verts.select(
+        "vid",
+        F.lit(beta).cast("double").alias("katz"),
+        F.lit(float("inf")).alias("delta"),
+    )
+    if not resume:
+        state0 = stats_reset_checkpoint(
+            state0.repartition(n_parts, "vid"), ["vid"], n_parts
+        )
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
+        contribs = (
+            state.join(adj, state["vid"] == adj["src"])
+            .select(F.explode("neighbors").alias("vid"), F.col("katz").alias("c"))
+            .groupBy("vid")
+            .agg(F.sum("c").alias("s"))
+        )
+        new = (
+            state.select("vid", F.col("katz").alias("old"))
+            .join(contribs, "vid", "left")
+            .select(
+                "vid",
+                (F.lit(beta) + F.lit(alpha) * F.coalesce("s", F.lit(0.0))).alias("katz"),
+                "old",
+            )
+        )
+        return (
+            new.select("vid", "katz", F.abs(F.col("katz") - F.col("old")).alias("delta")),
+            {"superstep": i},
+        )
+
+    def halt_decide(m: dict, i: int) -> bool:
+        md = m.get("max_delta")
+        return md is not None and md < tol
+
+    runner = SuperstepRunner(
+        spark,
+        checkpoint_dir=checkpoint_dir,
+        max_iterations=max_iterations,
+        state_partition_keys=["vid"],
+        state_partitions=n_parts,
+    )
+    result = runner.run(
+        state0,
+        step,
+        resume=resume,
+        halt_exprs={"max_delta": F.max("delta")} if tol >= 0 else None,
+        halt_decide=halt_decide if tol >= 0 else None,
+    )
+    adj.unpersist()
+    return result
+
+
+def eigenvector_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    tol: float = 1e-9,
+    max_iterations: int = 200,
+    checkpoint_dir: str | Path | None = None,
+    resume: bool = False,
+    num_partitions: int | None = None,
+) -> RunResult:
+    """Principal-eigenvector centrality by power iteration → state
+    (vid, ec, delta), ‖ec‖₂ = 1. The L2 norm is a one-row aggregate
+    broadcast back into the plan (the HITS normalization pattern), so
+    each superstep is still join + agg + broadcast — no driver round
+    trip. Converges for connected non-bipartite graphs; bipartite
+    2-oscillation is bounded by ``max_iterations`` (converged=False)."""
+    n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    adj, verts = _cached_adjacency(edges, n_parts)
+    n_vertices = verts.count()
+    init = 1.0 / (n_vertices**0.5) if n_vertices else 0.0
+
+    state0 = verts.select(
+        "vid",
+        F.lit(init).cast("double").alias("ec"),
+        F.lit(float("inf")).alias("delta"),
+    )
+    if not resume:
+        state0 = stats_reset_checkpoint(
+            state0.repartition(n_parts, "vid"), ["vid"], n_parts
+        )
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
+        raw = (
+            state.join(adj, state["vid"] == adj["src"])
+            .select(F.explode("neighbors").alias("vid"), F.col("ec").alias("c"))
+            .groupBy("vid")
+            .agg(F.sum("c").alias("s"))
+        )
+        # isolated vertices (deg 0) never appear in adj; keep them at 0
+        scored = (
+            state.select("vid", F.col("ec").alias("old"))
+            .join(raw, "vid", "left")
+            .select("vid", F.coalesce("s", F.lit(0.0)).alias("s"), "old")
+        )
+        norm = scored.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("_n"))
+        new = scored.crossJoin(F.broadcast(norm)).select(
+            "vid",
+            F.when(F.col("_n") > 0, F.col("s") / F.col("_n"))
+            .otherwise(F.lit(0.0))
+            .alias("ec"),
+            "old",
+        )
+        return (
+            new.select("vid", "ec", F.abs(F.col("ec") - F.col("old")).alias("delta")),
+            {"superstep": i},
+        )
+
+    def halt_decide(m: dict, i: int) -> bool:
+        md = m.get("max_delta")
+        return md is not None and md < tol
+
+    runner = SuperstepRunner(
+        spark,
+        checkpoint_dir=checkpoint_dir,
+        max_iterations=max_iterations,
+        state_partition_keys=["vid"],
+        state_partitions=n_parts,
+    )
+    result = runner.run(
+        state0,
+        step,
+        resume=resume,
+        halt_exprs={"max_delta": F.max("delta")} if tol >= 0 else None,
+        halt_decide=halt_decide if tol >= 0 else None,
+    )
+    adj.unpersist()
+    return result

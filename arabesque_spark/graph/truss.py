@@ -1,0 +1,182 @@
+"""Full truss decomposition — the truss number of EVERY edge in one run.
+
+``k_truss`` (graph/ktruss.py) answers one k per run by incremental
+peeling; this module computes t(e) = max k such that e belongs to the
+k-truss, for all edges simultaneously, the way ``coreness``
+(graph/kcore.py) generalizes ``k_core``: a LOCAL h-index fixpoint, here
+lifted from vertices to edges (Sariyüce et al., "Local algorithms for
+hierarchical dense subgraph discovery", PVLDB 2018; the edge analog of
+Lü et al. 2016).
+
+Reference parity: the reference ships no truss operator at all — this
+extends its A-family (triangle counting / cliques) along the same
+density axis its users peel for; semantics are pinned to the
+``k_truss`` fixpoint by construction: filtering ``truss >= k``
+reproduces ``k_truss(k)``'s surviving edge set exactly (pytest-gated
+against the brute-force peel for every k on random graphs).
+
+The fixpoint: let ρ(e) start at sup(e) (triangles through e). Repeat
+    ρ(e) ← h-index over triangles T ∋ e of min(ρ(e1), ρ(e2)),
+where e1, e2 are T's other two edges. ρ is pointwise non-increasing,
+bounded below by t(e) − 2, and converges exactly to t(e) − 2.
+
+Plan shape per superstep (the coreness blueprint, edge-keyed):
+
+1. the triangle-edge incidence table (3 rows per triangle, from the ONE
+   triangle enumeration of the run) is static — cached, hash(ea, eb);
+2. gather: join state (ea, eb, rho) to the incidence table — per
+   triangle-edge row the CURRENT ρ of that edge; regroup per triangle
+   (exactly 3 rows each, a bounded aggregation buffer) and re-emit per
+   edge the min of the other two ρs;
+3. clamp each gathered value to the owner's ρ and histogram via
+   groupBy(edge, clamped) — map-side combinable, so an edge in millions
+   of triangles reduces to ≤ ρ(e) distinct-value rows before the
+   exchange (the same hub-safety argument as coreness step 2);
+4. h-index from the histogram: descending cumulative count per edge
+   over the SMALL per-edge histogram, h = max over x of min(x, #{≥x}).
+
+Halt: changed-edge count observed on the materialization job (zero
+extra Spark jobs). State is (ea, eb, rho, chg) — resumable through the
+standard checkpoint manifest like every iterative op here.
+
+Scale notes: the incidence table is 3·#triangles rows = the same
+O(E^1.5)-bounded object ``k_truss`` carries; per-round shuffle is one
+E_t-scale gather + one map-combined histogram — no per-round triangle
+re-enumeration, no whole-neighborhood arrays. Declared state layout
+hash(ea, eb) rides through the in-memory checkpoint (see
+stats_reset_checkpoint), so the state side of the gather join is
+exchange-free once AQE stops coalescing (production scale).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arabesque_spark.engine.superstep import RunResult, SuperstepRunner
+from arabesque_spark.graph.build import canonical_edges
+from arabesque_spark.graph.triangles import triangle_list
+
+
+def truss_decomposition(
+    spark: SparkSession,
+    edges: DataFrame,
+    checkpoint_dir: str | Path | None = None,
+    resume: bool = False,
+    max_iterations: int = 200,
+    num_partitions: int | None = None,
+) -> RunResult:
+    """Truss number of every edge → state (src, dst, truss).
+
+    Edges closing zero triangles have truss 2 (every edge is a 2-truss);
+    they are excluded from the fixpoint (ρ would start and stay 0) and
+    re-attached at the end.
+    """
+    n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ce = canonical_edges(edges).persist()
+
+    # -- the ONE triangle enumeration of the run ------------------------
+    tris = triangle_list(spark, ce)
+    # incidence rows: triangle (ta<tb<tc) × its 3 canonical edges
+    te = (
+        tris.select(
+            F.col("a").alias("ta"),
+            F.col("b").alias("tb"),
+            F.col("c").alias("tc"),
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("ea"), F.col("b").alias("eb")),
+                    F.struct(F.col("a").alias("ea"), F.col("c").alias("eb")),
+                    F.struct(F.col("b").alias("ea"), F.col("c").alias("eb")),
+                )
+            ).alias("e"),
+        )
+        .select("e.ea", "e.eb", "ta", "tb", "tc")
+        .repartition(n_parts, "ea", "eb")
+        .sortWithinPartitions("ea", "eb")
+        .persist()
+    )
+    te.count()  # one-time build cost, not billed to the first superstep
+
+    state0 = (
+        te.groupBy("ea", "eb")
+        .agg(F.count("*").cast("int").alias("rho"))
+        .select("ea", "eb", "rho", F.lit(1).alias("chg"))
+        .repartition(n_parts, "ea", "eb")
+    )
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
+        # gather each incidence row's current rho, regroup per triangle
+        # (exactly 3 rows — bounded buffer), emit min-of-other-two per edge
+        tv = te.join(state.select("ea", "eb", "rho"), ["ea", "eb"])
+        per_tri = tv.groupBy("ta", "tb", "tc").agg(
+            F.collect_list(F.struct("ea", "eb", "rho")).alias("xs")
+        )
+        gathered = per_tri.select(
+            F.explode(
+                F.expr(
+                    "transform(xs, x -> struct(x.ea as ea, x.eb as eb, "
+                    "aggregate(filter(xs, y -> y.ea != x.ea OR y.eb != x.eb), "
+                    "2147483647, (m, y) -> least(m, y.rho)) as v))"
+                )
+            ).alias("g")
+        ).select("g.ea", "g.eb", "g.v")
+        hist = (
+            gathered.join(state.select("ea", "eb", "rho"), ["ea", "eb"])
+            .select("ea", "eb", "rho", F.least("v", F.col("rho")).alias("x"))
+            .groupBy("ea", "eb", "rho", "x")
+            .agg(F.count("*").alias("n"))
+        )
+        w = Window.partitionBy("ea", "eb").orderBy(F.desc("x"))
+        hidx = (
+            hist.withColumn("n_ge", F.sum("n").over(w))
+            .select("ea", "eb", "rho", F.least(F.col("x"), F.col("n_ge")).alias("h"))
+            .groupBy("ea", "eb", "rho")
+            .agg(F.max("h").cast("int").alias("new_rho"))
+        )
+        # chg computed BEFORE the rename: aliasing new_rho as "rho" in the
+        # same select would lateral-shadow the old-rho reference
+        new_state = hidx.withColumn(
+            "chg", (F.col("new_rho") != F.col("rho")).cast("int")
+        ).select("ea", "eb", F.col("new_rho").alias("rho"), "chg")
+        return new_state, {"superstep": i}
+
+    def halt_decide(m: dict, i: int) -> bool:
+        if m["rows"] == 0:  # triangle-free graph: empty fixpoint state
+            return True
+        ch = m.get("n_changed")
+        return ch is not None and ch == 0
+
+    runner = SuperstepRunner(
+        spark,
+        checkpoint_dir=checkpoint_dir,
+        max_iterations=max_iterations,
+        state_partition_keys=["ea", "eb"],
+        state_partitions=n_parts,
+    )
+    res = runner.run(
+        state0,
+        step,
+        resume=resume,
+        halt_exprs={"n_changed": F.sum("chg")},
+        halt_decide=halt_decide,
+    )
+    te.unpersist()
+
+    # t(e) = rho + 2 for triangle edges; triangle-free edges are 2-trusses
+    in_tri = res.state.select(
+        F.col("ea").alias("src"), F.col("eb").alias("dst"), (F.col("rho") + 2).alias("truss")
+    )
+    final = (
+        ce.join(in_tri, ["src", "dst"], "left")
+        .select("src", "dst", F.coalesce("truss", F.lit(2)).cast("int").alias("truss"))
+    )
+    ce.unpersist()
+    return RunResult(
+        state=final,
+        iterations=res.iterations,
+        converged=res.converged,
+        resumed_from=res.resumed_from,
+    )

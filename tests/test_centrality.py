@@ -1,0 +1,81 @@
+"""Katz / eigenvector centrality vs dense numpy linear algebra."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.centrality import eigenvector_centrality, katz_centrality
+from tests.reference_impls import er_graph
+
+
+def _dense(edges):
+    vids = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(vids)}
+    A = np.zeros((len(vids), len(vids)))
+    for u, v in edges:
+        A[idx[u], idx[v]] = 1.0
+        A[idx[v], idx[u]] = 1.0
+    return vids, A
+
+
+def test_katz_matches_closed_form(spark):
+    edges = er_graph(30, 4.0, seed=7)
+    vids, A = _dense(edges)
+    alpha, beta = 1.0 / (np.abs(np.linalg.eigvals(A)).max() * 2.0), 1.0
+    # closed form: x = beta * (I - alpha A)^-1 1
+    expect = beta * np.linalg.solve(np.eye(len(vids)) - alpha * A, np.ones(len(vids)))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = katz_centrality(spark, df, alpha=float(alpha), beta=beta, tol=1e-12)
+    assert res.converged
+    got = {r["vid"]: r["katz"] for r in res.state.collect()}
+    assert set(got) == set(vids)
+    for v, e in zip(vids, expect):
+        assert abs(got[v] - e) < 1e-8, v
+
+
+def test_katz_fixed_iterations_deterministic(spark):
+    edges = er_graph(25, 3.0, seed=13)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = katz_centrality(spark, df, alpha=0.01, tol=-1.0, max_iterations=4)
+    b = katz_centrality(spark, df, alpha=0.01, tol=-1.0, max_iterations=4)
+    fa = {r["vid"]: r["katz"] for r in a.state.collect()}
+    fb = {r["vid"]: r["katz"] for r in b.state.collect()}
+    assert fa == fb
+    assert len(a.iterations) == 4
+
+
+def test_eigenvector_matches_numpy(spark):
+    # connected non-bipartite graph: ER + a triangle + spanning chain
+    edges = sorted(
+        set(er_graph(25, 4.0, seed=5))
+        | {(0, 1), (1, 2), (0, 2)}
+        | {(i, i + 1) for i in range(24)}
+    )
+    vids, A = _dense(edges)
+    w, V = np.linalg.eigh(A)
+    principal = np.abs(V[:, np.argmax(w)])
+    principal /= np.linalg.norm(principal)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = eigenvector_centrality(spark, df, tol=1e-12, max_iterations=500)
+    assert res.converged
+    got = {r["vid"]: r["ec"] for r in res.state.collect()}
+    for v, e in zip(vids, principal):
+        assert abs(got[v] - e) < 1e-6, v
+    # unit norm
+    assert abs(sum(x * x for x in got.values()) - 1.0) < 1e-9
+
+
+def test_katz_resume(spark, tmp_path):
+    edges = er_graph(20, 3.0, seed=21)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ck = str(tmp_path / "katz_ck")
+    first = katz_centrality(spark, df, alpha=0.02, tol=1e-10, checkpoint_dir=ck)
+    assert first.converged
+    again = katz_centrality(
+        spark, df, alpha=0.02, tol=1e-10, checkpoint_dir=ck, resume=True
+    )
+    assert again.resumed_from is not None and len(again.iterations) == 0
+    fa = {r["vid"]: r["katz"] for r in first.state.collect()}
+    fb = {r["vid"]: r["katz"] for r in again.state.collect()}
+    assert fa == fb

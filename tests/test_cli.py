@@ -108,3 +108,25 @@ def test_cli_round3_commands(spark, tmp_path, capsys):
     out = run(["pagerank", "--edges", wdir, "--weight-col", "weight",
                "--max-iterations", "2", "--tol", "-1"])
     assert out["iterations"] == 2
+
+
+def test_cli_round5_commands(spark, tmp_path, capsys):
+    """truss / katz / eigenvector dispatch end-to-end on a small graph."""
+    import json
+
+    from arabesque_spark.cli import main
+    from tests.conftest import TEST_GRAPH_EDGES
+
+    edges_dir = str(tmp_path / "edges5")
+    spark.createDataFrame(TEST_GRAPH_EDGES, "src long, dst long").write.parquet(edges_dir)
+
+    def run(argv):
+        assert main(argv) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    out = run(["truss", "--edges", edges_dir])
+    assert out["converged"] is True
+    out = run(["katz", "--edges", edges_dir, "--alpha", "0.01", "--tol", "1e-10"])
+    assert out["converged"] is True
+    out = run(["eigenvector", "--edges", edges_dir, "--max-iterations", "300"])
+    assert out["iterations"] >= 1

@@ -1,0 +1,95 @@
+"""Full truss decomposition vs the brute-force peel, on random and
+structured graphs, plus checkpoint/resume."""
+
+from __future__ import annotations
+
+import collections
+
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.truss import truss_decomposition
+from tests.reference_impls import er_graph
+from tests.test_algorithms import _ktruss_py
+
+
+def _trussness_py(edges) -> dict:
+    """t(e) = max k with e in the k-truss, by repeated peeling."""
+    es = {tuple(sorted(e)) for e in edges}
+    t = {e: 2 for e in es}
+    k = 3
+    surviving = es
+    while surviving:
+        surviving = _ktruss_py(surviving, k)
+        for e in surviving:
+            t[e] = k
+        k += 1
+    return t
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = truss_decomposition(spark, df)
+    assert res.converged
+    return {(r["src"], r["dst"]): r["truss"] for r in res.state.collect()}
+
+
+def test_truss_matches_python_peel_er(spark):
+    edges = er_graph(40, 5.0, seed=17)
+    assert _run(spark, edges) == _trussness_py(edges)
+
+
+def test_truss_matches_python_peel_denser(spark):
+    edges = er_graph(30, 9.0, seed=3)
+    assert _run(spark, edges) == _trussness_py(edges)
+
+
+def test_truss_cliques_and_bridges(spark):
+    # two K5s (truss 5 inside) joined by a bridge (truss 2), plus a
+    # pendant triangle (truss 3) sharing one vertex with the first clique
+    k5a = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    k5b = [(a + 10, b + 10) for a in range(5) for b in range(a + 1, 5)]
+    bridge = [(4, 10)]
+    tri = [(0, 20), (0, 21), (20, 21)]
+    edges = k5a + k5b + bridge + tri
+    got = _run(spark, edges)
+    assert got == _trussness_py(edges)
+    assert all(got[e] == 5 for e in k5a)
+    assert got[(4, 10)] == 2
+    assert got[(20, 21)] == 3
+
+
+def test_truss_filter_reproduces_k_truss(spark):
+    from arabesque_spark.graph.ktruss import k_truss
+
+    edges = er_graph(35, 7.0, seed=29)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    t = truss_decomposition(spark, df).state
+    for k in (3, 4):
+        via_decomp = {
+            (r["src"], r["dst"])
+            for r in t.filter(F.col("truss") >= k).select("src", "dst").collect()
+        }
+        via_peel = {
+            (r["src"], r["dst"]) for r in k_truss(spark, df, k).state.collect()
+        }
+        assert via_decomp == via_peel, k
+
+
+def test_truss_triangle_free_is_two(spark):
+    # a path and a star: no triangles, every edge truss 2
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11), (10, 12), (10, 13)]
+    got = _run(spark, edges)
+    assert set(got.values()) == {2}
+
+
+def test_truss_resume(spark, tmp_path):
+    edges = er_graph(30, 6.0, seed=11)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ck = str(tmp_path / "truss_ck")
+    first = truss_decomposition(spark, df, checkpoint_dir=ck)
+    assert first.converged
+    again = truss_decomposition(spark, df, checkpoint_dir=ck, resume=True)
+    assert again.resumed_from is not None
+    a = {(r["src"], r["dst"]): r["truss"] for r in first.state.collect()}
+    b = {(r["src"], r["dst"]): r["truss"] for r in again.state.collect()}
+    assert a == b
