@@ -48,6 +48,9 @@ SSSP_N_SOURCES = 4     # lowest vids of the kernel graph
 SSSP_WMOD = 7          # edge weight = (src + dst) % SSSP_WMOD + 1
 DPR_ITERS = 6
 HITS_ITERS = 4
+KATZ_ITERS = 4
+KATZ_ALPHA = 0.01
+EC_ITERS = 4
 FP_MOD = 97            # fingerprint weight = vid % FP_MOD + 1
 
 
@@ -428,6 +431,59 @@ def q_graph_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     neg = bc.filter(F.col("betweenness") < -1e-9).count()
     rows.append(("betweenness", bc.count(), neg, 1.0))
 
+    # Truss decomposition: coverage (n1 = |E|, oracle-recomputed) +
+    # cross-check of the edge-h-index fixpoint against the peeling
+    # k-truss at k=4 (symmetric difference must be empty) + no edge
+    # below the trivial 2-truss floor
+    from arabesque_spark.graph.ktruss import k_truss
+    from arabesque_spark.graph.truss import truss_decomposition
+
+    tr = truss_decomposition(spark, edges).state.localCheckpoint(eager=True)
+    t4 = tr.filter(F.col("truss") >= 4).select("src", "dst")
+    p4 = k_truss(spark, edges, 4).state.select("src", "dst")
+    truss_mismatch = (
+        t4.join(p4, ["src", "dst"], "left_anti").count()
+        + p4.join(t4, ["src", "dst"], "left_anti").count()
+    )
+    below_floor = tr.filter(F.col("truss") < 2).count()
+    rows.append(("truss", tr.count(), truss_mismatch + below_floor, 1.0))
+
+    # Katz centrality, KATZ_ITERS fixed iterations: floor invariant
+    # (katz >= beta everywhere) + value-exact rounded fingerprint vs the
+    # oracle's unrolled iteration CTEs (the DPR/HITS pattern)
+    from arabesque_spark.graph.centrality import (
+        eigenvector_centrality,
+        katz_centrality,
+    )
+
+    kz = katz_centrality(
+        spark, edges, alpha=KATZ_ALPHA, beta=1.0, tol=-1.0, max_iterations=KATZ_ITERS
+    ).state.localCheckpoint(eager=True)
+    kz_bad = kz.filter(F.col("katz") < 1.0 - 1e-12).count()
+    kz_fp = float(
+        kz.agg(
+            F.round(
+                F.sum(F.round("katz", 9) * (F.col("vid") % FP_MOD + 1)), 4
+            )
+        ).collect()[0][0]
+    )
+    rows.append(("katz", kz.count(), kz_bad, kz_fp))
+
+    # Eigenvector centrality, EC_ITERS fixed power iterations: range
+    # invariant (0 <= ec <= 1 after L2 normalization) + fingerprint
+    ec = eigenvector_centrality(
+        spark, edges, tol=-1.0, max_iterations=EC_ITERS
+    ).state.localCheckpoint(eager=True)
+    ec_bad = ec.filter(
+        (F.col("ec") < -1e-12) | (F.col("ec") > 1.0 + 1e-12)
+    ).count()
+    ec_fp = float(
+        ec.agg(
+            F.round(F.sum(F.round("ec", 9) * (F.col("vid") % FP_MOD + 1)), 4)
+        ).collect()[0][0]
+    )
+    rows.append(("eigenvector", ec.count(), ec_bad, ec_fp))
+
     return spark.createDataFrame(rows, CHECK_SCHEMA).orderBy("op")
 
 
@@ -654,27 +710,86 @@ kcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM kverts)"""
 def graph_kernels_oracle() -> str:
     """SQL twin of :func:`q_graph_kernels_check`: the vertex count is
     recomputed from lineitem; the MST row's forest size / component count
-    are recomputed via recursive-CTE connected components; the violation
-    counters are structural invariants pinned at their only correct
-    value (0 / 1.0)."""
-    return (
-        _KERNEL_PRELUDE
-        + """,
-kreach(v, w) AS (
+    are recomputed via recursive-CTE connected components; the katz and
+    eigenvector rows carry value-exact rounded fingerprints from unrolled
+    iteration CTEs mirroring the Spark arithmetic term by term (the
+    DPR/HITS pattern); the remaining violation counters are structural
+    invariants pinned at their only correct value (0 / 1.0)."""
+    ctes: list[str] = []
+    ctes.append(
+        """kreach(v, w) AS (
   SELECT src AS v, dst AS w FROM ksym
   UNION
-  SELECT r.v, s.dst AS w FROM kreach r JOIN ksym s ON r.w = s.src),
-kcomp AS (SELECT v AS vid, LEAST(MIN(w), v) AS c FROM kreach GROUP BY v),
-kncomp AS (SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS c FROM kcomp)
+  SELECT r.v, s.dst AS w FROM kreach r JOIN ksym s ON r.w = s.src)"""
+    )
+    ctes.append("kcomp AS (SELECT v AS vid, LEAST(MIN(w), v) AS c FROM kreach GROUP BY v)")
+    ctes.append("kncomp AS (SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS c FROM kcomp)")
+    ctes.append("kecnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS e FROM fe)")
+
+    # ---- Katz, KATZ_ITERS fixed iterations: x_t = beta + alpha * A x_{t-1}
+    ctes.append("kz0 AS MATERIALIZED (SELECT vid, 1.0 AS katz FROM kverts)")
+    for t in range(1, KATZ_ITERS + 1):
+        ctes.append(
+            f"""kz{t} AS MATERIALIZED (
+  SELECT v.vid, 1.0 + {KATZ_ALPHA} * COALESCE(c.s, 0.0) AS katz
+  FROM kverts v LEFT JOIN (
+    SELECT e.src AS vid, SUM(k.katz) AS s
+    FROM kz{t-1} k JOIN ksym e ON k.vid = e.dst GROUP BY e.src
+  ) c ON v.vid = c.vid)"""
+        )
+    ctes.append(
+        f"""kz_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN katz < 1.0 - 1e-12 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         ROUND(SUM(ROUND(katz, 9) * (vid % {FP_MOD} + 1)), 4) AS x
+  FROM kz{KATZ_ITERS})"""
+    )
+
+    # ---- eigenvector, EC_ITERS fixed power iterations with L2 norm ----
+    ctes.append(
+        "ec0 AS MATERIALIZED (SELECT vid, 1.0 / sqrt((SELECT v FROM kcnt)) AS ec FROM kverts)"
+    )
+    for t in range(1, EC_ITERS + 1):
+        ctes.append(
+            f"""ecr{t} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(c.s, 0.0) AS raw FROM kverts v LEFT JOIN (
+    SELECT e.src AS vid, SUM(p.ec) AS s
+    FROM ec{t-1} p JOIN ksym e ON p.vid = e.dst GROUP BY e.src
+  ) c ON v.vid = c.vid)"""
+        )
+        ctes.append(
+            f"ecn{t} AS MATERIALIZED (SELECT sqrt(SUM(raw * raw)) AS nm FROM ecr{t})"
+        )
+        ctes.append(
+            f"""ec{t} AS MATERIALIZED (
+  SELECT vid, CASE WHEN (SELECT nm FROM ecn{t}) > 0
+    THEN raw / (SELECT nm FROM ecn{t}) ELSE 0.0 END AS ec FROM ecr{t})"""
+        )
+    ctes.append(
+        f"""ec_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN ec < -1e-12 OR ec > 1 + 1e-12 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         ROUND(SUM(ROUND(ec, 9) * (vid % {FP_MOD} + 1)), 4) AS x
+  FROM ec{EC_ITERS})"""
+    )
+
+    return (
+        _KERNEL_PRELUDE
+        + ",\n"
+        + ",\n".join(ctes)
+        + """
 SELECT 'anf' AS op, (SELECT v FROM kcnt) AS n1, CAST(0 AS BIGINT) AS n2,
        CAST(1.0 AS DOUBLE) AS x
 UNION ALL SELECT 'betweenness', (SELECT v FROM kcnt), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'coloring', (SELECT v FROM kcnt), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'coreness', (SELECT v FROM kcnt), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
+UNION ALL SELECT 'eigenvector', n1, n2, x FROM ec_agg
+UNION ALL SELECT 'katz', n1, n2, x FROM kz_agg
 UNION ALL SELECT 'louvain', (SELECT v FROM kcnt), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'mis', (SELECT v FROM kcnt), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'mst', (SELECT v FROM kcnt) - (SELECT c FROM kncomp),
                   (SELECT c FROM kncomp), CAST(1.0 AS DOUBLE)
+UNION ALL SELECT 'truss', (SELECT e FROM kecnt), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 ORDER BY op"""
     )
 
