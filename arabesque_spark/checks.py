@@ -51,6 +51,7 @@ HITS_ITERS = 4
 KATZ_ITERS = 4
 KATZ_ALPHA = 0.01
 EC_ITERS = 4
+WL_ROUNDS = 3          # Weisfeiler-Leman refinement rounds in the gate
 FP_MOD = 97            # fingerprint weight = vid % FP_MOD + 1
 
 
@@ -484,6 +485,21 @@ def q_graph_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows.append(("eigenvector", ec.count(), ec_bad, ec_fp))
 
+    # WL color refinement, WL_ROUNDS rounds: the resulting PARTITION is
+    # implementation-independent (hash-multiset digest vs sorted-tuple
+    # signatures refine identically up to ~2^-63 collisions), so the
+    # oracle recomputes the class count and the class-size second moment
+    # from its own dense-rank sorted-signature unrolling. n1 = vertices,
+    # n2 = number of color classes, x = Σ size² over classes.
+    from arabesque_spark.graph.wl import wl_refinement
+
+    wl = wl_refinement(spark, edges, rounds=WL_ROUNDS).state
+    wl_cls = wl.groupBy("color").count().localCheckpoint(eager=True)
+    wl_n, wl_k, wl_m2 = wl_cls.agg(
+        F.sum("count"), F.count("*"), F.sum(F.col("count") * F.col("count"))
+    ).collect()[0]
+    rows.append(("wl", int(wl_n), int(wl_k), float(wl_m2)))
+
     return spark.createDataFrame(rows, CHECK_SCHEMA).orderBy("op")
 
 
@@ -773,6 +789,29 @@ def graph_kernels_oracle() -> str:
   FROM ec{EC_ITERS})"""
     )
 
+    # ---- WL refinement, WL_ROUNDS rounds: textbook sorted-signature
+    # dense-rank form — partition-equal to the Spark hash-digest variant,
+    # so class count and Σ size² agree exactly ----
+    ctes.append("wl0 AS MATERIALIZED (SELECT vid, 0 AS color FROM kverts)")
+    for t in range(1, WL_ROUNDS + 1):
+        ctes.append(
+            f"""wl{t} AS MATERIALIZED (
+  SELECT vid, DENSE_RANK() OVER (ORDER BY sig) AS color FROM (
+    SELECT s.vid,
+           CAST(s.color AS VARCHAR) || ':' ||
+           COALESCE(string_agg(CAST(n.color AS VARCHAR), ',' ORDER BY n.color), '') AS sig
+    FROM wl{t-1} s
+    LEFT JOIN ksym e ON e.src = s.vid
+    LEFT JOIN wl{t-1} n ON n.vid = e.dst
+    GROUP BY s.vid, s.color))"""
+        )
+    ctes.append(
+        f"""wl_agg AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n1, CAST(COUNT(*) AS BIGINT) AS n2,
+         CAST(SUM(cnt * cnt) AS DOUBLE) AS x
+  FROM (SELECT color, COUNT(*) AS cnt FROM wl{WL_ROUNDS} GROUP BY color))"""
+    )
+
     return (
         _KERNEL_PRELUDE
         + ",\n"
@@ -790,6 +829,7 @@ UNION ALL SELECT 'mis', (SELECT v FROM kcnt), CAST(0 AS BIGINT), CAST(1.0 AS DOU
 UNION ALL SELECT 'mst', (SELECT v FROM kcnt) - (SELECT c FROM kncomp),
                   (SELECT c FROM kncomp), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'truss', (SELECT e FROM kecnt), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
+UNION ALL SELECT 'wl', n1, n2, x FROM wl_agg
 ORDER BY op"""
     )
 

@@ -42,7 +42,7 @@ def main(argv: list[str] | None = None) -> int:
 
     for name in ("pagerank", "cc", "lpa", "triangles", "motifs", "fsm", "walks",
                  "kcore", "ktruss", "truss", "bfs", "census", "louvain", "mis",
-                 "coloring", "mst", "katz", "eigenvector"):
+                 "coloring", "mst", "katz", "eigenvector", "wl"):
         p = sub.add_parser(name)
         p.add_argument("--edges", required=True, help="parquet dir with (src,dst)")
         p.add_argument("--out", default=None, help="result parquet dir")
@@ -102,6 +102,12 @@ def main(argv: list[str] | None = None) -> int:
         if name == "eigenvector":
             p.add_argument("--tol", type=float, default=1e-9)
             p.add_argument("--max-iterations", type=int, default=200)
+        if name == "wl":
+            p.add_argument("--rounds", type=int, default=3)
+            p.add_argument("--labels", default=None,
+                           help="parquet dir with (vid,label): seeded refinement")
+            p.add_argument("--fingerprint", action="store_true",
+                           help="also print the graph-level WL fingerprint")
 
     args = parser.parse_args(argv)
 
@@ -300,6 +306,27 @@ def main(argv: list[str] | None = None) -> int:
         )
         out_df = res.state.select("vid", "ec")
         info = {"iterations": res.num_iterations, "converged": res.converged}
+    elif args.cmd == "wl":
+        from arabesque_spark.graph.wl import wl_graph_fingerprint, wl_refinement
+
+        res = wl_refinement(
+            spark,
+            edges,
+            rounds=args.rounds,
+            vertex_labels=(
+                spark.read.parquet(args.labels) if args.labels else None
+            ),
+            checkpoint_dir=args.checkpoint,
+            resume=args.resume,
+        )
+        out_df = res.state
+        info = {
+            "rounds": res.num_iterations,
+            "color_classes": out_df.select("color").distinct().count(),
+        }
+        if args.fingerprint:
+            fp = wl_graph_fingerprint(out_df).collect()[0]
+            info["fingerprint"] = int(fp["fingerprint"])
     elif args.cmd == "bfs":
         from arabesque_spark.graph.bfs import bfs_distances
 

@@ -1,0 +1,141 @@
+"""Weisfeiler-Leman color refinement — structural vertex/graph features.
+
+The 1-WL iteration (the same refinement the pattern canonicalizer uses
+driver-side on tiny pattern graphs, graph/patterns.py:_refine_colors)
+lifted to the full distributed graph: after k rounds, color(v) is a
+fingerprint of v's depth-k neighborhood structure. Standard uses in a
+training-data pipeline: GNN positional/structural features, graph-level
+fingerprints for dedup/retrieval of graph-shaped records, candidate
+pruning for isomorphism checks.
+
+Distributed shape per round (PageRank's gather plan, hash-domain):
+
+1. gather neighbor colors over the cached symmetric adjacency;
+2. combine into an ORDER-INSENSITIVE multiset digest: sum of
+   xxhash64(color) in decimal(38,0) (ANSI-safe; map-side combinable, so
+   a 10M-degree hub reduces inside each task — no per-vertex sorted
+   histogram array is ever materialized, unlike the textbook
+   sort-concatenate formulation);
+3. new color = xxhash64(own color, digest mod 2^63).
+
+The multiset-sum digest is the standard hash-commutative WL variant:
+equal multisets ⇒ equal digests always; unequal multisets collide with
+probability ~2^-63 per pair. Refinement therefore computes the SAME
+partition sequence as sorted-tuple WL up to hash collisions (pytest pins
+partition equality against a plain-Python sorted-tuple implementation).
+
+State is (vid, color, stable-flag); the halt rides the materialization
+job: the refinement has converged when the NUMBER OF COLOR CLASSES stops
+growing (the classic WL fixpoint — classes only split, never merge), at
+which point every later round permutes class ids without changing the
+partition. approx_count_distinct would be cheaper but inexact; the exact
+distinct count runs as a second observe-free aggregate only when
+``until_stable`` is requested.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arabesque_spark.engine.superstep import RunResult, SuperstepRunner
+from arabesque_spark.graph.build import symmetric_edges
+
+# 2^63 as a decimal literal — too wide for a Java long, so it must travel
+# as a string and be cast JVM-side
+_MOD63 = str(2**63)
+
+
+def wl_refinement(
+    spark: SparkSession,
+    edges: DataFrame,
+    rounds: int = 3,
+    vertex_labels: DataFrame | None = None,
+    checkpoint_dir: str | Path | None = None,
+    resume: bool = False,
+    num_partitions: int | None = None,
+) -> RunResult:
+    """Run ``rounds`` WL refinements → state (vid, color long).
+
+    ``vertex_labels`` (vid, label) seeds the initial coloring; omitted ⇒
+    uniform start (pure structure). Colors are 63-bit hash ids — stable
+    across runs and parallelism (hash-derived, no nondeterministic
+    renumbering), comparable only within one run's round count.
+    """
+    n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = (
+        symmetric_edges(edges)
+        .repartition(n_parts, "dst")
+        .sortWithinPartitions("dst")
+        .persist()
+    )
+    sym.count()
+
+    verts = sym.select(F.col("src").alias("vid")).dropDuplicates(["vid"])
+    if vertex_labels is not None:
+        lab = vertex_labels.select("vid", "label")
+        state0 = verts.join(lab, "vid", "left").select(
+            "vid", F.xxhash64(F.coalesce(F.col("label"), F.lit(0))).alias("color")
+        )
+    else:
+        state0 = verts.select("vid", F.xxhash64(F.lit(0)).alias("color"))
+    state0 = state0.repartition(n_parts, "vid")
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
+        # neighbor-color digest delivered at src: edge (src→dst) gathers
+        # color(dst); the decimal sum is the ANSI-safe commutative
+        # multiset hash (map-side combinable — hub-safe)
+        digest = (
+            sym.join(state.select(F.col("vid").alias("dst"), "color"), "dst")
+            .select(
+                F.col("src").alias("vid"),
+                F.xxhash64("color").cast("decimal(38,0)").alias("h"),
+            )
+            .groupBy("vid")
+            .agg(F.sum("h").alias("digest"))
+        )
+        new_state = (
+            state.join(digest, "vid", "left")
+            .select(
+                "vid",
+                F.xxhash64(
+                    "color",
+                    F.pmod(
+                        F.coalesce(F.col("digest"), F.lit(0).cast("decimal(38,0)")),
+                        F.lit(_MOD63).cast("decimal(38,0)"),
+                    ).cast("long"),
+                ).alias("color"),
+            )
+        )
+        return new_state, {"round": i + 1}
+
+    runner = SuperstepRunner(
+        spark,
+        checkpoint_dir=checkpoint_dir,
+        max_iterations=rounds,
+        state_partition_keys=["vid"],
+        state_partitions=n_parts,
+    )
+    result = runner.run(state0, step, resume=resume)
+    sym.unpersist()
+    return result
+
+
+def wl_graph_fingerprint(colors: DataFrame) -> DataFrame:
+    """Collapse a WL coloring (vid, color) to ONE graph-level fingerprint
+    row (n_vertices, n_classes, fingerprint) — the order-insensitive
+    digest of the color multiset. Equal graphs (same round count) get
+    equal fingerprints; collisions ~2^-63. Used for graph-level dedup /
+    retrieval keys over corpora of graph-shaped records."""
+    return colors.agg(
+        F.count("*").alias("n_vertices"),
+        F.count_distinct("color").alias("n_classes"),
+        F.pmod(
+            F.sum(F.xxhash64("color").cast("decimal(38,0)")),
+            F.lit(_MOD63).cast("decimal(38,0)"),
+        )
+        .cast("long")
+        .alias("fingerprint"),
+    )

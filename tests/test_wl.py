@@ -1,0 +1,104 @@
+"""WL refinement: partition parity with sorted-tuple WL, determinism,
+label seeding, graph fingerprints."""
+
+from __future__ import annotations
+
+import collections
+
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.wl import wl_graph_fingerprint, wl_refinement
+from tests.reference_impls import er_graph
+
+
+def _wl_py(edges, rounds, labels=None):
+    """Sorted-tuple 1-WL; returns the final partition as frozenset of
+    frozensets of vids."""
+    adj = collections.defaultdict(set)
+    vs = set()
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+        vs.update((u, v))
+    color = {v: (labels or {}).get(v, 0) for v in vs}
+    for _ in range(rounds):
+        sig = {v: (color[v], tuple(sorted(color[w] for w in adj[v]))) for v in vs}
+        ids = {s: i for i, s in enumerate(sorted(set(sig.values())))}
+        color = {v: ids[sig[v]] for v in vs}
+    groups = collections.defaultdict(set)
+    for v, c in color.items():
+        groups[c].add(v)
+    return frozenset(frozenset(g) for g in groups.values())
+
+
+def _partition(rows):
+    groups = collections.defaultdict(set)
+    for r in rows:
+        groups[r["color"]].add(r["vid"])
+    return frozenset(frozenset(g) for g in groups.values())
+
+
+def test_wl_partition_matches_python(spark):
+    edges = er_graph(30, 3.0, seed=9)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for rounds in (1, 2, 3):
+        got = _partition(wl_refinement(spark, df, rounds=rounds).state.collect())
+        assert got == _wl_py(edges, rounds), rounds
+
+
+def test_wl_labeled_seed(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0)]  # C4: structure alone can't split
+    labels = {0: 7, 1: 7, 2: 9, 3: 9}
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ldf = spark.createDataFrame(list(labels.items()), "vid long, label long")
+    got = _partition(wl_refinement(spark, df, rounds=2, vertex_labels=ldf).state.collect())
+    assert got == _wl_py(edges, 2, labels)
+    # and without labels C4 stays a single class
+    uns = _partition(wl_refinement(spark, df, rounds=2).state.collect())
+    assert uns == frozenset({frozenset({0, 1, 2, 3})})
+
+
+def test_wl_deterministic_colors(spark):
+    edges = er_graph(25, 3.0, seed=4)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r["vid"]: r["color"] for r in wl_refinement(spark, df, rounds=3).state.collect()}
+    b = {
+        r["vid"]: r["color"]
+        for r in wl_refinement(
+            spark, df.repartition(7), rounds=3, num_partitions=5
+        ).state.collect()
+    }
+    assert a == b  # hash-derived colors: parallelism/partitioning invariant
+
+
+def test_wl_checkpoint_resume(spark, tmp_path):
+    edges = er_graph(25, 3.0, seed=11)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    full = {r["vid"]: r["color"] for r in wl_refinement(spark, df, rounds=3).state.collect()}
+    ck = str(tmp_path / "wl_ck")
+    wl_refinement(spark, df, rounds=2, checkpoint_dir=ck)
+    res = wl_refinement(spark, df, rounds=3, checkpoint_dir=ck, resume=True)
+    assert res.resumed_from == 1  # 0-indexed: round 2 = iter_00001
+    assert [it.iteration for it in res.iterations] == [2]  # only round 3 re-ran
+    got = {r["vid"]: r["color"] for r in res.state.collect()}
+    assert got == full
+
+
+def test_wl_graph_fingerprint_iso_vs_not(spark):
+    # the same graph relabeled (iso) fingerprints equal; adding an edge differs
+    edges = er_graph(20, 3.0, seed=8)
+    perm = {v: (v * 13 + 5) % 101 for e in edges for v in e}
+    relab = [(min(perm[u], perm[v]), max(perm[u], perm[v])) for u, v in edges]
+    df1 = spark.createDataFrame(edges, "src long, dst long")
+    df2 = spark.createDataFrame(relab, "src long, dst long")
+    fp1 = wl_graph_fingerprint(wl_refinement(spark, df1, rounds=3).state).collect()[0]
+    fp2 = wl_graph_fingerprint(wl_refinement(spark, df2, rounds=3).state).collect()[0]
+    assert (fp1["n_vertices"], fp1["n_classes"], fp1["fingerprint"]) == (
+        fp2["n_vertices"],
+        fp2["n_classes"],
+        fp2["fingerprint"],
+    )
+    extra = edges + [(0, max(v for e in edges for v in e) + 1)]
+    df3 = spark.createDataFrame(extra, "src long, dst long")
+    fp3 = wl_graph_fingerprint(wl_refinement(spark, df3, rounds=3).state).collect()[0]
+    assert fp3["fingerprint"] != fp1["fingerprint"]
