@@ -53,6 +53,10 @@ KATZ_ALPHA = 0.01
 EC_ITERS = 4
 WL_ROUNDS = 3          # Weisfeiler-Leman refinement rounds in the gate
 FP_MOD = 97            # fingerprint weight = vid % FP_MOD + 1
+SPAN_MIN_LEN = 30      # exact-substring-dedup window length in the gate
+# checksum modulus just under 2^53: keeps HUGEINT/decimal sums exactly
+# representable after the final cast to double on BOTH engines
+FP_PRIME = 9007199254740881
 
 
 def _fpw(col: str = "vid"):
@@ -82,6 +86,14 @@ def q_corpus_ops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       budget-nesting violations (half-budget sample ⊄ full-budget sample,
       per source — guaranteed 0 by the monotone keep-threshold construction)
     - ``bpe_learn``     n1 = merges learned (pinned), n2 = malformed rules (0)
+    - ``dup_spans``     n1 = duplicated spans (ExactSubstr, window =
+      SPAN_MIN_LEN), n2 = spans shorter than the window (0), x = span-
+      boundary checksum — full SQL twin from RAW window text (any
+      xxhash64 collision Spark-side would mismatch here)
+    - ``span_removal``  n1 = docs changed by the cut policy, n2 = length-
+      identity violations |clean| ≠ |orig| − Σ span_len (0), x = md5-
+      prefix checksum of the cleaned strings vs the oracle's own
+      string_agg reconstruction (content-exact, not just length-exact)
     """
     from arabesque_spark.api import load_table
     from arabesque_spark.operators.bpe import bpe_learn
@@ -245,6 +257,68 @@ def q_corpus_ops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not m["left"] or not m["right"] or m["pair_freq"] < 2
     )
     rows.append(("bpe_learn", len(merges), malformed, 1.0))
+
+    # exact substring dedup (ExactSubstr, Lee et al. 2021) — duplicated
+    # spans value-exact: n1 = span count, n2 = spans shorter than the
+    # window (impossible = 0), x = boundary checksum Σ w·(100003·start +
+    # end) mod FP_PRIME, recomputed by the oracle from raw window text
+    from arabesque_spark.operators.spans import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    spans = duplicated_spans(docs, min_len=SPAN_MIN_LEN).localCheckpoint(eager=True)
+    dec = "decimal(38,0)"
+    r = spans.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("span_len") < SPAN_MIN_LEN, 1).otherwise(0)
+        ).alias("bad"),
+        F.pmod(
+            F.sum(
+                ((F.col("doc_id") % FP_MOD + 1)).cast(dec)
+                * (F.col("span_start") * F.lit(100003) + F.col("span_end")).cast(dec)
+            ),
+            F.lit(str(FP_PRIME)).cast(dec),
+        )
+        .cast("double")
+        .alias("fp"),
+    ).collect()[0]
+    rows.append(("dup_spans", int(r["n"]), int(r["bad"] or 0), float(r["fp"] or 0.0)))
+
+    # cut policy — n1 = docs changed; n2 = docs whose cleaned length
+    # breaks the length identity |clean| = |orig| − Σ span_len (0); x =
+    # md5-prefix content checksum of the ACTUAL cleaned strings, vs the
+    # oracle's own string_agg reconstruction — catches any wrong-offset
+    # surgery, not just wrong lengths
+    cleaned = remove_duplicated_spans(docs, spans).select(
+        "doc_id",
+        F.length("text").alias("clen"),
+        F.conv(F.substring(F.md5("text"), 1, 12), 16, 10)
+        .cast("long")
+        .alias("cfp"),
+    )
+    cut = spans.groupBy("doc_id").agg(F.sum("span_len").alias("cut"))
+    chk = (
+        docs.select("doc_id", F.length("text").alias("olen"))
+        .join(cut, "doc_id", "left")
+        .join(cleaned, "doc_id")
+    )
+    r = chk.agg(
+        F.sum(F.when(F.col("cut").isNotNull(), 1).otherwise(0)).alias("n"),
+        F.sum(
+            F.when(
+                F.col("clen") != F.col("olen") - F.coalesce("cut", F.lit(0)), 1
+            ).otherwise(0)
+        ).alias("bad"),
+        F.pmod(
+            F.sum(F.col("cfp").cast(dec) * (F.col("doc_id") % FP_MOD + 1).cast(dec)),
+            F.lit(str(FP_PRIME)).cast(dec),
+        )
+        .cast("double")
+        .alias("fp"),
+    ).collect()[0]
+    rows.append(("span_removal", int(r["n"]), int(r["bad"]), float(r["fp"])))
 
     return spark.createDataFrame(rows, CHECK_SCHEMA).orderBy("op")
 
@@ -696,6 +770,48 @@ rc AS (SELECT doc_id,
               len(regexp_extract_all(text, '{ip}')) AS ni FROM r2),
 rd_agg AS (SELECT CAST(SUM(CASE WHEN ne > 0 OR ni > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
                   CAST(SUM(ne) + SUM(ni) AS BIGINT) AS n2 FROM rc),
+-- ---- exact substring dedup: duplicated spans from RAW window text
+-- (no hashing — any Spark-side xxhash64 collision would mismatch here)
+wn AS (SELECT doc_id, i AS pos, substr(text, i, {SPAN_MIN_LEN}) AS win
+       FROM documents,
+            LATERAL (SELECT unnest(generate_series(
+                       1, LENGTH(text) - {SPAN_MIN_LEN} + 1)) AS i)
+       WHERE LENGTH(text) >= {SPAN_MIN_LEN}),
+wd AS (SELECT win FROM wn GROUP BY win HAVING COUNT(*) >= 2),
+wh AS (SELECT doc_id, pos FROM wn JOIN wd USING (win)),
+wi AS (SELECT doc_id, pos,
+              pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       FROM wh),
+ws AS MATERIALIZED (SELECT doc_id, MIN(pos) AS s,
+                           MAX(pos) + {SPAN_MIN_LEN} - 1 AS e
+                    FROM wi GROUP BY doc_id, grp),
+ws_agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+  CAST(SUM(CASE WHEN e - s + 1 < {SPAN_MIN_LEN} THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+  CAST(SUM(CAST(doc_id % {FP_MOD} + 1 AS HUGEINT) * (s * 100003 + e))
+       % {FP_PRIME} AS DOUBLE) AS x
+  FROM ws),
+-- ---- cut policy: reconstruct each cleaned string from the pieces
+-- between spans and checksum the md5 prefixes
+wsp AS (SELECT doc_id, s, e,
+               LAG(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS pe
+        FROM ws),
+pieces AS (
+  SELECT w.doc_id, w.s AS ord, substr(d.text, w.pe + 1, w.s - w.pe - 1) AS piece
+  FROM wsp w JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT t.doc_id, 2147483647 AS ord, substr(d.text, t.me + 1) AS piece
+  FROM (SELECT doc_id, MAX(e) AS me FROM ws GROUP BY doc_id) t
+  JOIN documents d USING (doc_id)),
+crec AS (SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS ctext
+         FROM pieces GROUP BY doc_id),
+call AS (SELECT d.doc_id, COALESCE(c.ctext, d.text) AS text,
+                CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS changed
+         FROM documents d LEFT JOIN crec c USING (doc_id)),
+rm_agg AS (SELECT CAST(SUM(changed) AS BIGINT) AS n1,
+  CAST(0 AS BIGINT) AS n2,
+  CAST(SUM(CAST(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) AS HUGEINT)
+           * (doc_id % {FP_MOD} + 1)) % {FP_PRIME} AS DOUBLE) AS x
+  FROM call),
 dc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
 SELECT 'bigram_lm' AS op, n1, CAST(0 AS BIGINT) AS n2, x FROM lm_agg
 UNION ALL SELECT 'bm25', n1, CAST(0 AS BIGINT), x FROM bm_agg
@@ -703,9 +819,11 @@ UNION ALL SELECT 'boilerplate', n1, n2, CAST(1.0 AS DOUBLE) FROM bp_agg
 UNION ALL SELECT 'bpe_learn', CAST({BPE_CHECK_MERGES} AS BIGINT), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'contamination', n1, n2, x FROM ct_agg
 UNION ALL SELECT 'dsir', (SELECT n FROM dc), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
+UNION ALL SELECT 'dup_spans', n1, n2, x FROM ws_agg
 UNION ALL SELECT 'mixture', (SELECT n FROM dc), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'pack', (SELECT n FROM dc), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'redact', n1, n2, CAST(1.0 AS DOUBLE) FROM rd_agg
+UNION ALL SELECT 'span_removal', n1, n2, x FROM rm_agg
 UNION ALL SELECT 'split_sample', (SELECT n FROM dc), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 ORDER BY op"""
 

@@ -1,0 +1,121 @@
+"""Exact substring deduplication: duplicated-span detection + removal.
+
+The ExactSubstr operator of Lee et al. 2021 ("Deduplicating Training
+Data Makes Language Models Better"): any character run of length ≥ L
+that occurs more than once ANYWHERE in the corpus (across documents or
+within one) is a duplicated span. The paper builds a monolithic suffix
+array; the Spark-first equivalent is windowed rolling hashes plus a
+gaps-and-islands merge — same output spans, embarrassingly parallel:
+
+1. **windows** — every doc explodes into its length-L character windows
+   (stride 1 for exactness), carried as `(doc_id, pos, xxhash64(win))`.
+   The window TEXT never leaves the row it was cut from: only the 8-byte
+   hash shuffles, so shuffle bytes ≈ 20 B × total corpus chars
+   regardless of L.
+2. **repeated windows** — groupBy(h) count ≥ 2. Map-side combine
+   absorbs the heavy hitters (a boilerplate window occurring 10M times
+   partial-aggregates inside each task); the join back to positions is
+   a plain shuffle join that AQE skew-splits if one hash dominates.
+3. **span merge** — per doc, consecutive duplicated positions
+   (pos − row_number() islands) merge into maximal spans
+   [start, start+len): one shuffle keyed by doc_id.
+
+Exactness: equal windows always hash equal, so spans are exact up to
+xxhash64 collisions between UNEQUAL windows (~N²/2⁶⁴ for N distinct
+windows — negligible below ~10¹² windows; the correctness gate's oracle
+groups by the raw window text and would surface any collision as a
+count mismatch).
+
+``remove_duplicated_spans`` applies the cut policy "delete every
+duplicated span occurrence" with a single JVM-side ``aggregate`` fold
+over each doc's sorted span list — no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def window_hashes(
+    docs: DataFrame,
+    min_len: int = 40,
+    id_col: str = "doc_id",
+    text: str = "text",
+    stride: int = 1,
+) -> DataFrame:
+    """(doc_id, pos, h): xxhash64 of every length-``min_len`` character
+    window, 1-based positions. ``stride`` > 1 subsamples start positions
+    (k× fewer rows; detection then misses runs shorter than
+    min_len + stride − 1 — document the trade when you use it)."""
+    L = int(min_len)
+    wins = F.expr(
+        f"transform(sequence(1, greatest(length({text}) - {L} + 1, 0), {int(stride)}), "
+        f"i -> struct(i AS pos, xxhash64(substr({text}, i, {L})) AS h))"
+    )
+    return (
+        docs.filter(F.length(text) >= L)
+        .select(F.col(id_col).alias("doc_id"), F.explode(wins).alias("w"))
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    min_len: int = 40,
+    id_col: str = "doc_id",
+    text: str = "text",
+    stride: int = 1,
+) -> DataFrame:
+    """(doc_id, span_start, span_end, span_len) — maximal character spans
+    (1-based, inclusive) covered by length-``min_len`` windows that occur
+    ≥ 2 times corpus-wide. Spans are per-doc disjoint and each has
+    span_len ≥ min_len."""
+    w = window_hashes(docs, min_len, id_col, text, stride)
+    dup = w.groupBy("h").count().filter(F.col("count") >= 2).select("h")
+    hits = w.join(dup, "h").select("doc_id", "pos")
+    # gaps-and-islands: consecutive (stride-spaced) duplicated start
+    # positions belong to one maximal span
+    rn = F.row_number().over(Window.partitionBy("doc_id").orderBy("pos"))
+    grouped = hits.withColumn("grp", F.col("pos") - rn * int(stride))
+    return (
+        grouped.groupBy("doc_id", "grp")
+        .agg(F.min("pos").alias("span_start"), F.max("pos").alias("span_end"))
+        .select(
+            "doc_id",
+            "span_start",
+            (F.col("span_end") + min_len - 1).alias("span_end"),
+            (F.col("span_end") + min_len - F.col("span_start")).alias("span_len"),
+        )
+    )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """docs with ``text`` replaced by the concatenation of the pieces
+    OUTSIDE the given per-doc disjoint spans (cut-every-occurrence
+    policy). Docs without spans pass through unchanged. One fold over
+    the sorted span array per doc — fully JVM-side."""
+    sp = spans.groupBy(F.col(id_col).alias("doc_id")).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans")
+    )
+    joined = docs.join(sp, docs[id_col] == sp["doc_id"], "left").drop(sp["doc_id"])
+    cleaned = F.expr(
+        f"""CASE WHEN _spans IS NULL THEN {text} ELSE
+          aggregate(
+            _spans,
+            struct(CAST(1 AS INT) AS cur, CAST('' AS STRING) AS acc),
+            (st, sp) -> struct(
+              CAST(sp.span_end + 1 AS INT) AS cur,
+              concat(st.acc, substr({text}, st.cur, sp.span_start - st.cur)) AS acc),
+            st -> concat(st.acc, substr({text}, st.cur)))
+        END"""
+    )
+    return joined.withColumn(text, cleaned).drop("_spans")

@@ -1,0 +1,118 @@
+"""Exact substring dedup: brute-force span parity, removal policy,
+stride subsampling, edge cases."""
+
+from __future__ import annotations
+
+import collections
+import random
+
+from arabesque_spark.operators.spans import (
+    duplicated_spans,
+    remove_duplicated_spans,
+)
+
+
+def _brute_spans(texts: dict[int, str], L: int) -> dict[int, list[tuple[int, int]]]:
+    """Union of length-L windows occurring >= 2 times corpus-wide,
+    merged per doc into maximal [start, end] (1-based inclusive)."""
+    occ = collections.Counter()
+    for t in texts.values():
+        for i in range(len(t) - L + 1):
+            occ[t[i : i + L]] += 1
+    spans: dict[int, list[tuple[int, int]]] = {}
+    for d, t in texts.items():
+        hits = [i + 1 for i in range(len(t) - L + 1) if occ[t[i : i + L]] >= 2]
+        merged: list[list[int]] = []
+        for p in hits:
+            if merged and p == merged[-1][1] + 1:
+                merged[-1][1] = p
+            else:
+                merged.append([p, p])
+        spans[d] = [(s, e + L - 1) for s, e in merged]
+    return spans
+
+
+def _corpus(seed: int, n: int = 30) -> dict[int, str]:
+    rng = random.Random(seed)
+    vocab = ["spark", "scan", "join", "agg", "row", "key", "sort", "hash"]
+    boiler = " ".join(rng.choices(vocab, k=12))
+    texts = {}
+    for d in range(n):
+        words = rng.choices(vocab, k=rng.randint(10, 40))
+        t = " ".join(words)
+        if d % 3 == 0:  # plant the boilerplate in a third of the docs
+            cut = rng.randint(0, len(t))
+            t = t[:cut] + " " + boiler + " " + t[cut:]
+        texts[d] = t
+    return texts
+
+
+def test_spans_match_bruteforce(spark):
+    for seed, L in ((3, 20), (4, 30), (5, 15)):
+        texts = _corpus(seed)
+        df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+        got = collections.defaultdict(list)
+        for r in duplicated_spans(df, min_len=L).collect():
+            got[r["doc_id"]].append((r["span_start"], r["span_end"]))
+            assert r["span_len"] == r["span_end"] - r["span_start"] + 1 >= L
+        want = {d: sorted(s) for d, s in _brute_spans(texts, L).items() if s}
+        assert {d: sorted(s) for d, s in got.items()} == want, (seed, L)
+
+
+def test_remove_spans_policy(spark):
+    texts = _corpus(7)
+    L = 20
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    spans = duplicated_spans(df, min_len=L)
+    cleaned = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicated_spans(df, spans).collect()
+    }
+    brute = _brute_spans(texts, L)
+    for d, t in texts.items():
+        keep = []
+        cur = 0
+        for s, e in brute[d]:
+            keep.append(t[cur : s - 1])
+            cur = e
+        keep.append(t[cur:])
+        assert cleaned[d] == "".join(keep), d
+    # and docs with no spans pass through untouched
+    assert any(cleaned[d] == texts[d] for d in texts if not brute[d])
+
+
+def test_spans_within_doc_repeat(spark):
+    # a repeat entirely inside ONE doc still counts (corpus-wide >= 2)
+    t = "x" * 5 + "abcdefghij" + "y" * 5 + "abcdefghij" + "z" * 5
+    df = spark.createDataFrame([(0, t)], "doc_id long, text string")
+    got = sorted(
+        (r["span_start"], r["span_end"])
+        for r in duplicated_spans(df, min_len=10).collect()
+    )
+    assert got == [(6, 15), (21, 30)]
+
+
+def test_spans_short_docs_skipped(spark):
+    df = spark.createDataFrame(
+        [(0, "tiny"), (1, "tiny")], "doc_id long, text string"
+    )
+    assert duplicated_spans(df, min_len=10).count() == 0
+
+
+def test_spans_stride_subsample(spark):
+    # stride-2 start positions are a subset of stride-1's coverage
+    texts = _corpus(9)
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    s1 = duplicated_spans(df, min_len=20, stride=1)
+    s2 = duplicated_spans(df, min_len=20, stride=2)
+    cov1 = {
+        (r["doc_id"], p)
+        for r in s1.collect()
+        for p in range(r["span_start"], r["span_end"] + 1)
+    }
+    cov2 = {
+        (r["doc_id"], p)
+        for r in s2.collect()
+        for p in range(r["span_start"], r["span_end"] + 1)
+    }
+    assert cov2 <= cov1 and cov2
