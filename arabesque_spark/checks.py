@@ -574,6 +574,19 @@ def q_graph_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     rows.append(("wl", int(wl_n), int(wl_k), float(wl_m2)))
 
+    # Maximal cliques (Bron-Kerbosch on the oriented frontier): per-size
+    # counts recomputed independently by the oracle — a maximal 2-clique
+    # is an edge in no triangle, a maximal 3-clique a triangle with no
+    # common extender, a maximal 4-clique a K4 likewise. n1 = size-2,
+    # n2 = size-3, x = size-4 count (sizes ≥ 5 are pytest-gated).
+    from arabesque_spark.graph.cliques import maximal_cliques
+
+    mc = maximal_cliques(spark, edges)
+    by_k = {r["k"]: r["n"] for r in mc.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    rows.append(
+        ("maxclique", by_k.get(2, 0), by_k.get(3, 0), float(by_k.get(4, 0)))
+    )
+
     return spark.createDataFrame(rows, CHECK_SCHEMA).orderBy("op")
 
 
@@ -930,6 +943,42 @@ def graph_kernels_oracle() -> str:
   FROM (SELECT color, COUNT(*) AS cnt FROM wl{WL_ROUNDS} GROUP BY color))"""
     )
 
+    # ---- maximal cliques by size: a maximal K_s has no vertex adjacent
+    # to all s members — staged K2→K3→K4 with NOT EXISTS extender checks
+    ctes.append(
+        """ktri AS MATERIALIZED (
+  SELECT a.src AS a, a.dst AS b, b.dst AS c
+  FROM fe a JOIN fe b ON a.dst = b.src
+  JOIN fe c ON c.src = a.src AND c.dst = b.dst)"""
+    )
+    ctes.append(
+        """kk4 AS MATERIALIZED (
+  SELECT t.a, t.b, t.c, e.dst AS d
+  FROM ktri t JOIN fe e ON e.src = t.c
+  JOIN fe e2 ON e2.src = t.a AND e2.dst = e.dst
+  JOIN fe e3 ON e3.src = t.b AND e3.dst = e.dst)"""
+    )
+    ctes.append(
+        """mc2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM fe e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ksym x JOIN ksym y ON x.dst = y.dst
+    WHERE x.src = e.src AND y.src = e.dst))"""
+    )
+    ctes.append(
+        """mc3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ktri t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ksym x JOIN ksym y ON x.dst = y.dst
+    JOIN ksym z ON y.dst = z.dst
+    WHERE x.src = t.a AND y.src = t.b AND z.src = t.c))"""
+    )
+    ctes.append(
+        """mc4 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM kk4 q
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ksym x JOIN ksym y ON x.dst = y.dst
+    JOIN ksym z ON y.dst = z.dst JOIN ksym w ON z.dst = w.dst
+    WHERE x.src = q.a AND y.src = q.b AND z.src = q.c AND w.src = q.d))"""
+    )
+
     return (
         _KERNEL_PRELUDE
         + ",\n"
@@ -943,6 +992,8 @@ UNION ALL SELECT 'coreness', (SELECT v FROM kcnt), CAST(0 AS BIGINT), CAST(1.0 A
 UNION ALL SELECT 'eigenvector', n1, n2, x FROM ec_agg
 UNION ALL SELECT 'katz', n1, n2, x FROM kz_agg
 UNION ALL SELECT 'louvain', (SELECT v FROM kcnt), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
+UNION ALL SELECT 'maxclique', (SELECT n FROM mc2), (SELECT n FROM mc3),
+                  CAST((SELECT n FROM mc4) AS DOUBLE)
 UNION ALL SELECT 'mis', (SELECT v FROM kcnt), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'mst', (SELECT v FROM kcnt) - (SELECT c FROM kncomp),
                   (SELECT c FROM kncomp), CAST(1.0 AS DOUBLE)

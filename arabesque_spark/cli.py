@@ -42,7 +42,7 @@ def main(argv: list[str] | None = None) -> int:
 
     for name in ("pagerank", "cc", "lpa", "triangles", "motifs", "fsm", "walks",
                  "kcore", "ktruss", "truss", "bfs", "census", "louvain", "mis",
-                 "coloring", "mst", "katz", "eigenvector", "wl"):
+                 "coloring", "mst", "katz", "eigenvector", "wl", "maxclique"):
         p = sub.add_parser(name)
         p.add_argument("--edges", required=True, help="parquet dir with (src,dst)")
         p.add_argument("--out", default=None, help="result parquet dir")
@@ -117,7 +117,7 @@ def main(argv: list[str] | None = None) -> int:
     # fast (before the JVM spins up) instead of silently dropping the
     # flag: a user "resuming" a long run would otherwise restart from
     # scratch with no warning.
-    no_ckpt = {"triangles", "motifs", "walks", "census", "mst"}
+    no_ckpt = {"triangles", "motifs", "walks", "census", "mst", "maxclique"}
     if args.cmd in no_ckpt and args.checkpoint:
         parser.error(
             f"{args.cmd} does not support --checkpoint: it runs as a "
@@ -403,6 +403,16 @@ def main(argv: list[str] | None = None) -> int:
             .distinct()
             .count(),
             "uncolored": out_df.filter(F.col("color") < 0).count(),
+        }
+    elif args.cmd == "maxclique":
+        from arabesque_spark.graph.cliques import maximal_cliques
+
+        out_df = maximal_cliques(spark, edges)
+        info = {
+            "by_size": {
+                str(r["k"]): r["n"]
+                for r in out_df.groupBy("k").agg(F.count("*").alias("n")).collect()
+            }
         }
     elif args.cmd == "census":
         from arabesque_spark.graph.motifs import motif_census_k

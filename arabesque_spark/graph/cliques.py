@@ -112,3 +112,106 @@ def k_cliques(spark: SparkSession, edges: DataFrame, k: int) -> DataFrame:
     ).localCheckpoint(eager=True)
     fwd.unpersist()
     return result
+
+
+def maximal_cliques(
+    spark: SparkSession, edges: DataFrame, max_k: int = 32
+) -> DataFrame:
+    """All maximal cliques of size ≥ 2 → (members array<long> ascending,
+    k int). Bron-Kerbosch re-expressed on the oriented frontier:
+
+    Every maximal clique C surfaces as exactly one frontier row whose
+    FORWARD candidate set is empty (any common forward neighbor would
+    extend it), so candidates = empty-cands rows per level. The converse
+    has false positives — a backward/crossing extender w (not the
+    orientation-max of C ∪ {w}) leaves C's forward cands empty — so a
+    second stage keeps C iff NO vertex is adjacent to all |C| members:
+    explode members → symmetric-edge join → count per (C, w) == |C|.
+    That is BK's "X set emptiness" as one distributed join-agg, costing
+    O(Σ_C Σ_{v∈C} deg v) — the same order as the enumeration itself —
+    with no per-vertex full-neighborhood arrays (hub-safe).
+
+    Vertices come from the edge table, so isolated vertices (maximal
+    1-cliques) are out of scope by construction. The per-level loop
+    terminates at the graph's degeneracy bound: forward lists are
+    O(√E) under (deg, id) orientation, so ``max_k`` is a guard rail,
+    not a tuning knob.
+
+    OUTPUT-SENSITIVE: maximal clique enumeration is worst-case
+    3^(n/3) (Moon–Moser) and dense co-occurrence graphs realize it —
+    the raw sf0.001 co-order graph (198 vertices, 8.9k edges as a union
+    of per-order cliques) holds 247,539 maximal cliques. The level
+    frontier carries every k-clique, so cost tracks the CLIQUE COUNT,
+    not |E|. At scale, support-filter or k-core-prune the graph first
+    (the correctness gate runs on the support≥2 kernel graph for
+    exactly this reason); the distribution itself is safe — each level
+    is a bounded join, nothing driver-side grows with output size.
+    """
+    from arabesque_spark.graph.build import symmetric_edges
+
+    o = _oriented(edges, degree_oriented=True)
+    fwd = (
+        o.groupBy(F.col("u").alias("fsrc"))
+        .agg(F.sort_array(F.collect_list("v")).alias("neighbors"))
+        .persist()
+    )
+    empty = F.array().cast("array<bigint>")
+    frontier = (
+        o.join(fwd, o["u"] == fwd["fsrc"])
+        .withColumnRenamed("neighbors", "nu")
+        .drop("fsrc")
+        .join(fwd, o["v"] == fwd["fsrc"], "left")
+        .withColumnRenamed("neighbors", "nv")
+        .select(
+            F.array("u", "v").alias("members"),
+            F.array_intersect(F.col("nu"), F.coalesce(F.col("nv"), empty)).alias(
+                "cands"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    candidates: list[DataFrame] = []
+    size = 2
+    while size < max_k and not frontier.isEmpty():
+        candidates.append(
+            frontier.filter(F.size("cands") == 0).select("members")
+        )
+        grown = frontier.filter(F.size("cands") > 0).select(
+            F.col("members"), F.explode("cands").alias("v"), F.col("cands")
+        )
+        frontier = (
+            grown.join(fwd, grown["v"] == fwd["fsrc"], "left")
+            .select(
+                F.concat("members", F.array("v")).alias("members"),
+                F.array_intersect(
+                    F.col("cands"), F.coalesce(F.col("neighbors"), empty)
+                ).alias("cands"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        size += 1
+    candidates.append(frontier.select("members"))  # max_k safety tail
+
+    cand = candidates[0]
+    for extra in candidates[1:]:
+        cand = cand.unionByName(extra)
+    cand = cand.select(F.array_sort("members").alias("members"))
+
+    # maximality: drop any candidate with a vertex adjacent to ALL members
+    sym = symmetric_edges(edges)
+    hits = (
+        cand.select("members", F.explode("members").alias("src"))
+        .join(sym, "src")
+        .groupBy("members", "dst")
+        .count()
+        .filter(F.col("count") == F.size("members"))
+        .select("members")
+        .dropDuplicates(["members"])
+    )
+    result = (
+        cand.join(hits, "members", "left_anti")
+        .select("members", F.size("members").alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    fwd.unpersist()
+    return result

@@ -1,0 +1,82 @@
+"""Maximal clique enumeration: brute-force BK parity, k-clique
+cross-consistency, planted-clique and edge cases."""
+
+from __future__ import annotations
+
+import collections
+import itertools
+import random
+
+from arabesque_spark.graph.cliques import k_cliques, maximal_cliques
+from tests.reference_impls import er_graph
+
+
+def _bk(edges) -> set[tuple[int, ...]]:
+    """Plain Bron-Kerbosch with pivoting; maximal cliques of size >= 2."""
+    adj = collections.defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    out: set[tuple[int, ...]] = set()
+
+    def bk(r, p, x):
+        if not p and not x:
+            if len(r) >= 2:
+                out.add(tuple(sorted(r)))
+            return
+        pivot = max(p | x, key=lambda w: len(adj[w] & p))
+        for v in list(p - adj[pivot]):
+            bk(r | {v}, p & adj[v], x & adj[v])
+            p.remove(v)
+            x.add(v)
+
+    bk(set(), set(adj), set())
+    return out
+
+
+def _got(df) -> set[tuple[int, ...]]:
+    rows = df.collect()
+    for r in rows:
+        assert r["k"] == len(r["members"]) >= 2
+    return {tuple(r["members"]) for r in rows}
+
+
+def test_maxclique_matches_bruteforce(spark):
+    for seed, avg_deg in ((1, 4.0), (2, 6.0), (3, 8.0)):
+        edges = er_graph(40, avg_deg, seed=seed)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        assert _got(maximal_cliques(spark, df)) == _bk(edges), seed
+
+
+def test_maxclique_planted(spark):
+    # a planted K6 plus sparse noise: the K6 must come out whole, and no
+    # subset of it may appear as a separate maximal clique
+    rng = random.Random(5)
+    k6 = list(range(6))
+    edges = list(itertools.combinations(k6, 2))
+    edges += [(rng.randint(6, 30), rng.randint(31, 60)) for _ in range(40)]
+    edges = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = _got(maximal_cliques(spark, df))
+    assert tuple(k6) in got
+    assert got == _bk(edges)
+
+
+def test_maxclique_cross_kcliques(spark):
+    # every maximal clique of size k IS a k-clique; every k-clique is a
+    # subset of some maximal clique
+    edges = er_graph(35, 7.0, seed=8)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    maximal = _got(maximal_cliques(spark, df))
+    tri = {tuple(r["members"]) for r in k_cliques(spark, df, 3).collect()}
+    assert {m for m in maximal if len(m) == 3} <= tri
+    for t in tri:
+        assert any(set(t) <= set(m) for m in maximal), t
+
+
+def test_maxclique_triangle_free(spark):
+    # a path graph: every edge is its own maximal clique
+    edges = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = _got(maximal_cliques(spark, df))
+    assert got == {(i, i + 1) for i in range(10)}
