@@ -587,6 +587,13 @@ def q_graph_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("maxclique", by_k.get(2, 0), by_k.get(3, 0), float(by_k.get(4, 0)))
     )
 
+    # Degree assortativity — n1 = symmetric edge rows, x = Pearson r of
+    # endpoint degrees rounded to 6 dp, value-exact vs DuckDB's corr
+    from arabesque_spark.graph.stats import degree_assortativity
+
+    r = degree_assortativity(edges).collect()[0]
+    rows.append(("assortativity", int(r["n_edges"]), 0, float(r["assortativity"])))
+
     return spark.createDataFrame(rows, CHECK_SCHEMA).orderBy("op")
 
 
@@ -972,6 +979,15 @@ def graph_kernels_oracle() -> str:
     WHERE x.src = t.a AND y.src = t.b AND z.src = t.c))"""
     )
     ctes.append(
+        """kdeg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM ksym GROUP BY src)"""
+    )
+    ctes.append(
+        """as_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+         ROUND(corr(a.deg, b.deg), 6) AS x
+  FROM ksym e JOIN kdeg a ON e.src = a.src JOIN kdeg b ON e.dst = b.src)"""
+    )
+    ctes.append(
         """mc4 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM kk4 q
   WHERE NOT EXISTS (
     SELECT 1 FROM ksym x JOIN ksym y ON x.dst = y.dst
@@ -986,6 +1002,7 @@ def graph_kernels_oracle() -> str:
         + """
 SELECT 'anf' AS op, (SELECT v FROM kcnt) AS n1, CAST(0 AS BIGINT) AS n2,
        CAST(1.0 AS DOUBLE) AS x
+UNION ALL SELECT 'assortativity', n1, CAST(0 AS BIGINT), x FROM as_agg
 UNION ALL SELECT 'betweenness', (SELECT v FROM kcnt), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'coloring', (SELECT v FROM kcnt), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'coreness', (SELECT v FROM kcnt), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)

@@ -1,0 +1,52 @@
+"""Whole-graph structural statistics.
+
+Single-pass, oracle-exact summaries a pipeline profiles a link graph
+with before choosing algorithm parameters (support thresholds, skew
+salting, sampling rates). Everything here is one scan + bounded
+aggregation — no iteration, no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.build import symmetric_edges
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """One row (n_edges, assortativity): Pearson correlation of the
+    endpoint degrees over the SYMMETRIC edge list (each undirected edge
+    counted in both directions — the standard Newman 2002 convention,
+    which makes the measure orientation-free).
+
+    Positive ⇒ hubs link to hubs (social nets); negative ⇒ hubs link to
+    leaves (typical for dependency/co-occurrence graphs). One degree
+    aggregation + two broadcast-size joins + one `corr` aggregate:
+    map-side combinable end to end.
+    """
+    sym = symmetric_edges(edges)
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    joined = (
+        sym.join(deg.withColumnRenamed("src", "a").withColumnRenamed("deg", "dsrc"),
+                 F.col("src") == F.col("a"))
+        .drop("a")
+        .join(deg.withColumnRenamed("src", "b").withColumnRenamed("deg", "ddst"),
+              F.col("dst") == F.col("b"))
+        .drop("b")
+    )
+    # covar/stddev by hand instead of corr(): under ANSI mode corr()
+    # throws DIVIDE_BY_ZERO on a degree-regular graph (zero variance);
+    # try_divide returns NULL there, matching DuckDB's corr convention
+    agg = joined.agg(
+        F.count("*").alias("n_edges"),
+        F.covar_pop("dsrc", "ddst").alias("cv"),
+        F.stddev_pop("dsrc").alias("sx"),
+        F.stddev_pop("ddst").alias("sy"),
+    )
+    return agg.select(
+        "n_edges",
+        F.round(
+            F.try_divide(F.col("cv"), F.col("sx") * F.col("sy")), 6
+        ).alias("assortativity"),
+    )

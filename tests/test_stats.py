@@ -1,0 +1,46 @@
+"""Degree assortativity: numpy parity, sign sanity on star vs clique."""
+
+from __future__ import annotations
+
+import collections
+import itertools
+
+import numpy as np
+
+from arabesque_spark.graph.stats import degree_assortativity
+from tests.reference_impls import er_graph
+
+
+def _np_assort(edges) -> float:
+    deg = collections.Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    xs, ys = [], []
+    for u, v in edges:  # symmetric convention: both directions
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    return float(np.corrcoef(xs, ys)[0, 1])
+
+
+def test_assortativity_matches_numpy(spark):
+    for seed in (2, 3):
+        edges = er_graph(40, 5.0, seed=seed)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        r = degree_assortativity(df).collect()[0]
+        assert r["n_edges"] == 2 * len(edges)
+        assert abs(r["assortativity"] - round(_np_assort(edges), 6)) <= 1e-6
+
+
+def test_assortativity_sign(spark):
+    # star: maximally disassortative; clique plus one pendant: near 0/neg
+    star = [(0, i) for i in range(1, 12)]
+    df = spark.createDataFrame(star, "src long, dst long")
+    assert degree_assortativity(df).collect()[0]["assortativity"] < -0.99
+    # two disjoint cliques of equal size: all degrees equal -> corr is
+    # undefined (zero variance); Spark returns NULL — pin that contract
+    k4s = list(itertools.combinations(range(4), 2)) + list(
+        itertools.combinations(range(10, 14), 2)
+    )
+    df2 = spark.createDataFrame(k4s, "src long, dst long")
+    assert degree_assortativity(df2).collect()[0]["assortativity"] is None
