@@ -94,6 +94,14 @@ def q_corpus_ops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       identity violations |clean| ≠ |orig| − Σ span_len (0), x = md5-
       prefix checksum of the cleaned strings vs the oracle's own
       string_agg reconstruction (content-exact, not just length-exact)
+    - ``asof``          n1 = left events with an as-of match, n2 = matches
+      after the left timestamp (0), x = matched-value checksum — vs
+      DuckDB's NATIVE ASOF JOIN (an independent implementation, not a
+      SQL transliteration of ours)
+    - ``funnel``        n1/n2/x = users completing funnel depth 1/2/3 of
+      view → click → purchase, vs the oracle's conditional-min cascade
+    - ``retention``     n1 = weekly (cohort, age) cells, n2 = negative
+      ages (0), x = cell checksum — full SQL twin
     """
     from arabesque_spark.api import load_table
     from arabesque_spark.operators.bpe import bpe_learn
@@ -319,6 +327,66 @@ def q_corpus_ops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fp"),
     ).collect()[0]
     rows.append(("span_removal", int(r["n"]), int(r["bad"]), float(r["fp"])))
+
+    # as-of join over events (union-window plan) vs DuckDB's NATIVE
+    # ASOF JOIN — n1 = left rows with a match, n2 = matches that are
+    # not at-or-before the left timestamp (0), x = checksum of matched
+    # values weighted by event_id
+    from arabesque_spark.operators.temporal import asof_join, funnel_counts
+
+    events = load_table(spark, sf_dir, "events")
+    lhs = events.filter(F.col("event_type").isin("click", "view"))
+    rhs = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("err_value")
+    )
+    aj = asof_join(lhs, rhs, by="user_id", ts="ts", value_cols=["err_value"])
+    r = aj.agg(
+        F.sum(F.when(F.col("ts_right").isNotNull(), 1).otherwise(0)).alias("n"),
+        F.sum(
+            F.when(F.col("ts_right") > F.col("ts"), 1).otherwise(0)
+        ).alias("bad"),
+        F.pmod(
+            F.sum(
+                F.when(
+                    F.col("err_value_right").isNotNull(),
+                    F.round(F.col("err_value_right") * 100).cast(dec)
+                    * (F.col("event_id") % FP_MOD + 1).cast(dec),
+                ).otherwise(F.lit(0).cast(dec))
+            ),
+            F.lit(str(FP_PRIME)).cast(dec),
+        )
+        .cast("double")
+        .alias("fp"),
+    ).collect()[0]
+    rows.append(("asof", int(r["n"]), int(r["bad"] or 0), float(r["fp"])))
+
+    # ordered funnel view → click → purchase — per-depth user counts,
+    # each recomputed by the oracle's conditional-min cascade
+    fr = {
+        row["depth"]: row["n_users"]
+        for row in funnel_counts(
+            events, ["view", "click", "purchase"]
+        ).collect()
+    }
+    rows.append(("funnel", fr.get(1, 0), fr.get(2, 0), float(fr.get(3, 0))))
+
+    # weekly retention cohorts — n1 = (cohort, age) cells, n2 = negative
+    # ages (0), x = cell checksum weighted by cohort week and age
+    from arabesque_spark.operators.temporal import retention_cohorts
+
+    rc = retention_cohorts(events)
+    r = rc.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("age") < 0, 1).otherwise(0)).alias("bad"),
+        F.sum(
+            F.col("n_users")
+            * (F.col("age") + 1)
+            * (F.floor(F.unix_timestamp("cohort") / 604800) % FP_MOD + 1)
+        )
+        .cast("double")
+        .alias("fp"),
+    ).collect()[0]
+    rows.append(("retention", int(r["n"]), int(r["bad"] or 0), float(r["fp"])))
 
     return spark.createDataFrame(rows, CHECK_SCHEMA).orderBy("op")
 
@@ -832,17 +900,61 @@ rm_agg AS (SELECT CAST(SUM(changed) AS BIGINT) AS n1,
   CAST(SUM(CAST(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) AS HUGEINT)
            * (doc_id % {FP_MOD} + 1)) % {FP_PRIME} AS DOUBLE) AS x
   FROM call),
+-- ---- as-of join: DuckDB's native ASOF JOIN as the independent twin
+ev_l AS (SELECT event_id, user_id, ts FROM events
+         WHERE event_type IN ('click', 'view')),
+ev_r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'error'),
+aj AS (SELECT l.event_id, l.ts, r.ts AS rts, r.value AS rv
+       FROM ev_l l ASOF LEFT JOIN ev_r r
+         ON l.user_id = r.user_id AND l.ts >= r.ts),
+aj_agg AS (SELECT
+  CAST(SUM(CASE WHEN rts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+  CAST(SUM(CASE WHEN rts > ts THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+  CAST(SUM(CASE WHEN rv IS NULL THEN 0
+            ELSE CAST(ROUND(rv * 100) AS HUGEINT) * (event_id % {FP_MOD} + 1)
+       END) % {FP_PRIME} AS DOUBLE) AS x
+  FROM aj),
+-- ---- ordered funnel: greedy earliest-prefix-completion cascade
+f1 AS (SELECT user_id, MIN(ts) AS t FROM events
+       WHERE event_type = 'view' GROUP BY user_id),
+f2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN f1 ON e.user_id = f1.user_id AND e.ts > f1.t
+       WHERE e.event_type = 'click' GROUP BY e.user_id),
+f3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN f2 ON e.user_id = f2.user_id AND e.ts > f2.t
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+fn_agg AS (SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM f1) AS n1,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM f2) AS n2,
+  (SELECT CAST(COUNT(*) AS DOUBLE) FROM f3) AS x),
+-- ---- weekly retention cohorts ----
+rcoh AS (SELECT user_id AS u, MIN(date_trunc('week', ts)) AS cohort
+         FROM events GROUP BY user_id),
+rper AS (SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS p FROM events),
+rcell AS (SELECT cohort,
+                 CAST((epoch(p) - epoch(cohort)) / 604800 AS BIGINT) AS age,
+                 COUNT(DISTINCT u) AS n_users
+          FROM rper JOIN rcoh USING (u) GROUP BY cohort, age),
+rt_agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+  CAST(SUM(CASE WHEN age < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+  CAST(SUM(n_users * (age + 1)
+           * (CAST(FLOOR(epoch(cohort) / 604800) AS BIGINT) % {FP_MOD} + 1))
+       AS DOUBLE) AS x
+  FROM rcell),
 dc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
-SELECT 'bigram_lm' AS op, n1, CAST(0 AS BIGINT) AS n2, x FROM lm_agg
+SELECT 'asof' AS op, n1, n2, x FROM aj_agg
+UNION ALL SELECT 'bigram_lm', n1, CAST(0 AS BIGINT), x FROM lm_agg
 UNION ALL SELECT 'bm25', n1, CAST(0 AS BIGINT), x FROM bm_agg
 UNION ALL SELECT 'boilerplate', n1, n2, CAST(1.0 AS DOUBLE) FROM bp_agg
 UNION ALL SELECT 'bpe_learn', CAST({BPE_CHECK_MERGES} AS BIGINT), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'contamination', n1, n2, x FROM ct_agg
 UNION ALL SELECT 'dsir', (SELECT n FROM dc), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'dup_spans', n1, n2, x FROM ws_agg
+UNION ALL SELECT 'funnel', n1, n2, x FROM fn_agg
 UNION ALL SELECT 'mixture', (SELECT n FROM dc), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'pack', (SELECT n FROM dc), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'redact', n1, n2, CAST(1.0 AS DOUBLE) FROM rd_agg
+UNION ALL SELECT 'retention', n1, n2, x FROM rt_agg
 UNION ALL SELECT 'span_removal', n1, n2, x FROM rm_agg
 UNION ALL SELECT 'split_sample', (SELECT n FROM dc), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 ORDER BY op"""

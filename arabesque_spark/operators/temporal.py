@@ -1,0 +1,181 @@
+"""Temporal operators over event streams: as-of join, funnels.
+
+The as-of join is the canonical operator Spark's built-ins lack (and
+the reason time-series stores grow bespoke engines): for every left
+row, attach the most recent right row at-or-before its timestamp,
+per key. The Spark-first formulation is the UNION-WINDOW plan — no
+Pandas UDF, no range-join explosion:
+
+1. union the two inputs, tagged (right rows carry the payload, left
+   rows carry NULL payload);
+2. one window per key ordered by (ts, tag) — right sorts before left
+   at equal timestamps, making the match inclusive — computing
+   ``last(payload, ignorenulls=True)`` over the unbounded-preceding
+   frame;
+3. keep the left rows.
+
+Cost: ONE shuffle of |L| + |R| rows keyed by the join key, then a
+linear per-partition scan — the same asymptotics as a sort-merge
+join, and the plan AQE-coalesces like any other shuffle. A genuinely
+hot key serializes inside its partition (inherent: as-of needs the
+key's full time order); everything else parallelizes per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    ts: str = "ts",
+    value_cols: list[str] | None = None,
+    tolerance: Column | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward (most-recent-at-or-before) as-of join.
+
+    Returns every ``left`` row with ``<v>{suffix}`` columns for each of
+    ``value_cols`` (default: all non-key, non-ts right columns) plus
+    ``{ts}{suffix}`` = the matched right timestamp — all NULL when no
+    right row precedes the left row (or the match is older than
+    ``tolerance``, an INTERVAL column expression, e.g.
+    ``F.expr("INTERVAL 1 HOUR")``).
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (by, ts)]
+    payload = [F.struct(*[F.col(c) for c in [ts, *value_cols]]).alias("_p")]
+    r = right.select(F.col(by), F.col(ts).alias("_ts"), F.lit(0).alias("_tag"), *payload)
+    l_cols = left.columns
+    lf = left.select(
+        *l_cols,
+        F.col(ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(r.schema["_p"].dataType).alias("_p"),
+    )
+    # pad the right rows with NULL left columns so the union lines up
+    r_full = r.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            if c != by
+            else F.col(by)
+            for c in l_cols
+        ],
+        "_ts",
+        "_tag",
+        "_p",
+    )
+    unioned = lf.unionByName(r_full)
+    # _p as the final sort key: two right rows sharing (key, ts) would
+    # otherwise match nondeterministically; struct ordering makes the
+    # winner stable (greatest payload)
+    w = (
+        Window.partitionBy(by)
+        .orderBy("_ts", "_tag", "_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("_m", F.last("_p", ignorenulls=True).over(w))
+    out = matched.filter(F.col("_tag") == 1)
+    if tolerance is not None:
+        out = out.withColumn(
+            "_m",
+            F.when(F.col(f"_m.{ts}") >= F.col("_ts") - tolerance, F.col("_m")),
+        )
+    sel = [F.col(c) for c in l_cols]
+    sel.append(F.col(f"_m.{ts}").alias(f"{ts}{suffix}"))
+    sel += [F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in value_cols]
+    return out.select(*sel)
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    by: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: one row per funnel depth d (1-based)
+    with ``n_users`` = users whose events contain ``steps[:d]`` as a
+    TIME-ORDERED subsequence (strictly increasing timestamps).
+
+    Plan: per (user, step) keep the EARLIEST timestamp at which the
+    funnel prefix up to that step can complete — computed as a cascade
+    of conditional min-aggregations, one shuffle total: step i's
+    completion time = min ts of a step-i event strictly after the
+    step-(i-1) completion time. A greedy earliest-prefix completion is
+    optimal for subsequence matching, so this is exact, and it is all
+    groupBy/agg — map-side combinable, no per-user event arrays.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = events.select(
+        F.col(by).alias("u"), F.col(ts).alias("t"), F.col(type_col).alias("e")
+    ).filter(F.col("e").isin(steps))
+    # one pass: per user collect the min event time per step AFTER the
+    # previous step's completion — iterated joins on the tiny per-user
+    # completion table (u, t_i), each a shuffle of |users| rows
+    done = None  # DataFrame (u, t_prev)
+    out_rows = []
+    for i, s in enumerate(steps):
+        stage = ev.filter(F.col("e") == s)
+        if done is None:
+            comp = stage.groupBy("u").agg(F.min("t").alias("t_done"))
+        else:
+            comp = (
+                stage.join(done, "u")
+                .filter(F.col("t") > F.col("t_prev"))
+                .groupBy("u")
+                .agg(F.min("t").alias("t_done"))
+            )
+        done = comp.select("u", F.col("t_done").alias("t_prev"))
+        out_rows.append(
+            comp.agg(
+                F.lit(i + 1).alias("depth"),
+                F.lit(s).alias("step"),
+                F.count("*").alias("n_users"),
+            )
+        )
+    res = out_rows[0]
+    for r in out_rows[1:]:
+        res = res.unionByName(r)
+    return res
+
+
+def retention_cohorts(
+    events: DataFrame,
+    by: str = "user_id",
+    ts: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: (cohort, age, n_users) where ``cohort``
+    is the user's first-activity period start and ``age`` counts periods
+    since (0 = the cohort period itself). Two aggregations — first-seen
+    per user (map-side combinable min), then distinct users per
+    (cohort, age) — nothing per-user-history is materialized."""
+    trunc = F.date_trunc(period, F.col(ts))
+    firsts = events.groupBy(F.col(by).alias("u")).agg(
+        F.min(trunc).alias("cohort")
+    )
+    per = events.select(
+        F.col(by).alias("u"), trunc.alias("p")
+    ).dropDuplicates(["u", "p"])
+    divisor = {"week": 7 * 86400, "day": 86400, "hour": 3600}[period]
+    return (
+        per.join(firsts, "u")
+        .select(
+            "u",
+            "cohort",
+            (
+                (F.unix_timestamp("p") - F.unix_timestamp("cohort"))
+                / divisor
+            )
+            .cast("long")
+            .alias("age"),
+        )
+        .groupBy("cohort", "age")
+        .agg(F.count_distinct("u").alias("n_users"))
+    )

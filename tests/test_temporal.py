@@ -1,0 +1,164 @@
+"""As-of join and funnel: brute-force parity, tolerance, edge cases."""
+
+from __future__ import annotations
+
+import collections
+import datetime as dt
+import random
+
+from pyspark.sql import functions as F
+
+from arabesque_spark.operators.temporal import asof_join, funnel_counts
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _mk_events(seed: int, n: int = 200, users: int = 12):
+    rng = random.Random(seed)
+    types = ["view", "click", "purchase", "error"]
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                T0 + dt.timedelta(seconds=rng.randint(0, 50000)),
+                rng.randrange(users),
+                rng.choice(types),
+                round(rng.uniform(0, 20), 2),
+            )
+        )
+    return rows
+
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _brute_asof(left, right, tol=None):
+    by_user = collections.defaultdict(list)
+    for r in right:
+        by_user[r[2]].append(r)
+    out = {}
+    for l in left:
+        cands = [r for r in by_user[l[2]] if r[1] <= l[1]]
+        if tol is not None:
+            cands = [r for r in cands if l[1] - r[1] <= tol]
+        if cands:
+            m = max(cands, key=lambda r: (r[1], r[4]))
+            out[l[0]] = (m[1], m[4])
+        else:
+            out[l[0]] = (None, None)
+    return out
+
+
+def test_asof_matches_bruteforce(spark):
+    rows = _mk_events(3)
+    df = spark.createDataFrame(rows, SCHEMA)
+    lhs = df.filter(F.col("event_type").isin("click", "view"))
+    rhs = df.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("ev")
+    )
+    got = {
+        r["event_id"]: (r["ts_right"], r["ev_right"])
+        for r in asof_join(lhs, rhs, value_cols=["ev"]).collect()
+    }
+    left = [r for r in rows if r[3] in ("click", "view")]
+    right = [r for r in rows if r[3] == "error"]
+    assert got == _brute_asof(left, right)
+    assert len(got) == len(left)  # every left row survives
+
+
+def test_asof_tolerance(spark):
+    rows = _mk_events(5)
+    df = spark.createDataFrame(rows, SCHEMA)
+    lhs = df.filter(F.col("event_type") == "click")
+    rhs = df.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("ev")
+    )
+    got = {
+        r["event_id"]: (r["ts_right"], r["ev_right"])
+        for r in asof_join(
+            lhs, rhs, value_cols=["ev"], tolerance=F.expr("INTERVAL 1 HOUR")
+        ).collect()
+    }
+    left = [r for r in rows if r[3] == "click"]
+    right = [r for r in rows if r[3] == "error"]
+    want = _brute_asof(left, right, tol=dt.timedelta(hours=1))
+    assert got == want
+    # tolerance actually bites somewhere in this seed
+    loose = _brute_asof(left, right)
+    assert any(want[k] != loose[k] for k in want)
+
+
+def test_asof_inclusive_same_ts(spark):
+    # a right row AT the left timestamp matches (backward-inclusive)
+    lhs = spark.createDataFrame([(0, T0, 1, "click", 1.0)], SCHEMA)
+    rhs = spark.createDataFrame(
+        [(9, T0, 1, "error", 7.5)], SCHEMA
+    ).select("user_id", "ts", F.col("value").alias("ev"))
+    r = asof_join(lhs, rhs, value_cols=["ev"]).collect()[0]
+    assert r["ev_right"] == 7.5 and r["ts_right"] == T0
+
+
+def _brute_funnel(rows, steps):
+    by_user = collections.defaultdict(list)
+    for r in rows:
+        by_user[r[2]].append((r[1], r[3]))
+    counts = [0] * len(steps)
+    for evs in by_user.values():
+        evs.sort()
+        depth = 0
+        last = None
+        for t, e in evs:
+            if depth < len(steps) and e == steps[depth] and (last is None or t > last):
+                last = t
+                depth += 1
+        for d in range(depth):
+            counts[d] += 1
+    return counts
+
+
+def test_retention_matches_bruteforce(spark):
+    from arabesque_spark.operators.temporal import retention_cohorts
+
+    rows = _mk_events(6, n=400)
+    # spread over ~6 weeks so multiple cohorts exist
+    rows = [
+        (i, T0 + dt.timedelta(seconds=(s.timestamp() - T0.timestamp()) * 70), u, e, v)
+        for (i, s, u, e, v) in rows
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        (r["cohort"], r["age"]): r["n_users"]
+        for r in retention_cohorts(df).collect()
+    }
+
+    def week(t):
+        monday = (t - dt.timedelta(days=t.weekday())).date()
+        return dt.datetime(monday.year, monday.month, monday.day)
+
+    first = {}
+    for _, t, u, _, _ in rows:
+        w = week(t)
+        if u not in first or w < first[u]:
+            first[u] = w
+    cells = collections.defaultdict(set)
+    for _, t, u, _, _ in rows:
+        age = int((week(t) - first[u]).days // 7)
+        cells[(first[u], age)].add(u)
+    want = {k: len(v) for k, v in cells.items()}
+    assert got == want
+    assert all(age >= 0 for (_, age) in got)
+
+
+def test_funnel_matches_bruteforce(spark):
+    for seed in (1, 4):
+        rows = _mk_events(seed, n=300)
+        df = spark.createDataFrame(rows, SCHEMA)
+        steps = ["view", "click", "purchase"]
+        got = {
+            r["depth"]: r["n_users"]
+            for r in funnel_counts(df, steps).collect()
+        }
+        want = _brute_funnel(rows, steps)
+        assert [got[1], got[2], got[3]] == want, seed
+        assert got[1] >= got[2] >= got[3]  # monotone by construction
