@@ -165,6 +165,23 @@ def main() -> None:
                 docs, n=api.JACCARD_N, threshold=api.JACCARD_THRESHOLD
             ).count(),
         )
+        # round-5 entries: exact substring dedup (JVM window hashing +
+        # span merge over the full documents table) and 3-round WL
+        # refinement on the persisted graph (superstep plan showcase)
+        from arabesque_spark.graph.wl import wl_refinement
+        from arabesque_spark.operators.spans import duplicated_spans
+
+        timed(
+            "dup_spans",
+            lambda: duplicated_spans(docs, min_len=30).count(),
+        )
+        timed(
+            "wl_3rounds",
+            lambda: wl_refinement(spark, edges, rounds=3)
+            .state.select("color")
+            .distinct()
+            .count(),
+        )
         # the north-rule pipeline: synthetic source-code corpus → sha256
         # row-invariant check → shared-commit/content-hash link graph →
         # component analytics (the end-to-end path the engine serves)
