@@ -1,0 +1,148 @@
+"""Streaming as-of enrichment: the unbounded twin of
+``operators/temporal.py:asof_join``.
+
+Built-in stream-stream joins can express "right rows within an
+interval" but not "the LATEST right row at-or-before each left row"
+(an argmax over the join window needs post-join per-left aggregation,
+which append-mode streaming cannot re-emit). So this is the custom
+stateful operator surface again (`applyInPandasWithState`), with the
+same union trick as the batch plan: both sides arrive as ONE keyed
+stream tagged left/right.
+
+Per-key state and the emission rule:
+
+* buffers: unemitted left rows + candidate right rows (arrays in the
+  state struct — Arrow round-trips them in one batch).
+* a left row at event time L is emittable once the WATERMARK passes L:
+  no right row at-or-before L can still arrive. Emitted match = the
+  max-(ts, value) buffered right with ts ≤ L — identical tiebreak to
+  the batch operator, so outputs are batch-equivalent by construction.
+* eviction: rights later than the watermark must be kept (future lefts
+  may match them); of the rights at-or-before the watermark only the
+  LATEST survives (it dominates every older one for every future left,
+  whose event time necessarily exceeds the watermark). State per key is
+  therefore O(events inside the watermark horizon) + 1 — the same
+  bound Spark's own stream-stream interval join carries.
+* an event-time timeout at the earliest unemitted left keeps emission
+  moving when a key goes quiet (the watermark advances on OTHER keys'
+  traffic; without the timeout a buffered left would wait for its own
+  key's next event).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+ASOF_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts_right", T.TimestampType()),
+        T.StructField("value_right", T.DoubleType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("l_ts", T.ArrayType(T.LongType())),
+        T.StructField("l_val", T.ArrayType(T.DoubleType())),
+        T.StructField("r_ts", T.ArrayType(T.LongType())),
+        T.StructField("r_val", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _asof_fn(
+    key: tuple[Any], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        l_ts, l_val, r_ts, r_val = (list(x) for x in state.get)
+    else:
+        l_ts, l_val, r_ts, r_val = [], [], [], []
+    if not state.hasTimedOut:
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        ts_us = batch["ts"].astype("int64").to_numpy() // 1000  # ns → us
+        side = batch["side"].to_numpy()
+        vals = batch["value"].to_numpy()
+        for i in range(len(batch)):
+            if side[i] == 0:
+                r_ts.append(int(ts_us[i]))
+                r_val.append(float(vals[i]))
+            else:
+                l_ts.append(int(ts_us[i]))
+                l_val.append(float(vals[i]))
+
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    rights = sorted(zip(r_ts, r_val))
+    out, keep_lt, keep_lv = [], [], []
+    for lt, lv in sorted(zip(l_ts, l_val)):
+        if lt < wm_us:
+            # latest right at-or-before lt; (ts, value) max = batch tiebreak
+            cands = [r for r in rights if r[0] <= lt]
+            m = max(cands) if cands else None
+            out.append((lt, lv, m))
+        else:
+            keep_lt.append(lt)
+            keep_lv.append(lv)
+    # evict dominated rights: all at-or-before the watermark except the max
+    old = [r for r in rights if r[0] <= wm_us]
+    kept = [r for r in rights if r[0] > wm_us] + ([max(old)] if old else [])
+    kept.sort()
+    if keep_lt or kept:
+        state.update(
+            (keep_lt, keep_lv, [r[0] for r in kept], [r[1] for r in kept])
+        )
+        if keep_lt:
+            # fire when the watermark passes the earliest buffered left
+            state.setTimeoutTimestamp(min(keep_lt) // 1000 + 1)
+    else:
+        state.remove()
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out),
+                "ts": [pd.Timestamp(t, unit="us") for t, _, _ in out],
+                "value": [v for _, v, _ in out],
+                "ts_right": [
+                    pd.Timestamp(m[0], unit="us") if m else pd.NaT
+                    for _, _, m in out
+                ],
+                "value_right": [m[1] if m else None for _, _, m in out],
+            }
+        )
+
+
+def asof_stream(
+    left: DataFrame,
+    right: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming backward as-of: enrich each left (user_id, ts, value)
+    with the latest right (user_id, ts, value) at-or-before it, emitted
+    once the watermark guarantees completeness. Inputs are streaming
+    DataFrames with (user_id, ts, value) columns."""
+    # cast handles TIMESTAMP_NTZ inputs (session tz is pinned to UTC, so
+    # the reinterpretation is stable); withWatermark requires TIMESTAMP
+    ts_c = F.col("ts").cast("timestamp").alias("ts")
+    tagged = left.select(
+        "user_id", ts_c, "value", F.lit(1).alias("side")
+    ).unionByName(right.select("user_id", ts_c, "value", F.lit(0).alias("side")))
+    return (
+        tagged.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _asof_fn,
+            outputStructType=ASOF_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

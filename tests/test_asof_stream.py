@@ -1,0 +1,112 @@
+"""Streaming as-of: batch-equivalent emission, watermark gating,
+right-buffer eviction correctness across micro-batches."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+import time
+
+from pyspark.sql import functions as F
+
+from arabesque_spark.operators.temporal import asof_join
+from arabesque_spark.streaming.asof_stream import asof_stream
+
+T0 = dt.datetime(2024, 3, 1)
+SCHEMA = "user_id long, ts timestamp, value double"
+
+
+def _mk(seed: int, n: int = 120, users: int = 5):
+    rng = random.Random(seed)
+    rows = []
+    for _ in range(n):
+        rows.append(
+            (
+                rng.randrange(users),
+                T0 + dt.timedelta(seconds=rng.randint(0, 7000)),
+                round(rng.uniform(0, 9), 2),
+            )
+        )
+    return rows
+
+
+def _run_stream(spark, tmp_path, left_rows, right_rows, n_chunks=4):
+    """Feed time-SORTED interleaved chunks (watermark advances per batch,
+    so nothing is late) and return the emitted rows."""
+    both = sorted(
+        [(u, t, v, 1) for u, t, v in left_rows]
+        + [(u, t, v, 0) for u, t, v in right_rows],
+        key=lambda r: r[1],
+    )
+    # watermark pusher far in the future so every left becomes emittable
+    both.append((999, T0 + dt.timedelta(days=2), 0.0, 0))
+    src = tmp_path / "asof_src"
+    src.mkdir()
+    per = (len(both) + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        chunk = both[i * per : (i + 1) * per]
+        if not chunk:
+            continue
+        spark.createDataFrame(
+            chunk, SCHEMA + ", side int"
+        ).coalesce(1).write.parquet(str(src / f"chunk_{i}"))
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(SCHEMA + ", side int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/chunk_*")
+    )
+    lhs = stream.filter(F.col("side") == 1).drop("side")
+    rhs = stream.filter(F.col("side") == 0).drop("side")
+    name = f"asof_test_{abs(hash(str(tmp_path))) % 10**8}"
+    q = (
+        asof_stream(lhs, rhs, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).collect()
+
+
+def test_asof_stream_matches_batch(spark, tmp_path):
+    left = _mk(1)
+    right = _mk(2, n=60)
+    got = {
+        (r["user_id"], r["ts"], r["value"]): (r["ts_right"], r["value_right"])
+        for r in _run_stream(spark, tmp_path, left, right)
+    }
+    ldf = spark.createDataFrame(left, SCHEMA)
+    rdf = spark.createDataFrame(right, SCHEMA)
+    want = {
+        (r["user_id"], r["ts"], r["value"]): (r["ts_right"], r["value_right"])
+        for r in asof_join(ldf, rdf, value_cols=["value"]).withColumnRenamed(
+            "value_right", "value_right"
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == len(left)  # every left event emitted exactly once
+
+
+def test_asof_stream_cross_batch_state(spark, tmp_path):
+    # right arrives in batch 1, matching left arrives several batches
+    # later: the buffered (dominating) right must survive eviction
+    left = [(7, T0 + dt.timedelta(hours=5), 1.0)]
+    right = [
+        (7, T0 + dt.timedelta(minutes=1), 2.0),
+        (7, T0 + dt.timedelta(minutes=30), 3.0),  # dominates the first
+    ]
+    got = _run_stream(spark, tmp_path, left, right, n_chunks=3)
+    assert len(got) == 1
+    r = got[0]
+    assert r["value_right"] == 3.0
+    assert r["ts_right"] == T0 + dt.timedelta(minutes=30)
+
+
+def test_asof_stream_no_right(spark, tmp_path):
+    left = [(3, T0 + dt.timedelta(hours=1), 4.0)]
+    got = _run_stream(spark, tmp_path, left, [], n_chunks=2)
+    assert len(got) == 1
+    assert got[0]["ts_right"] is None and got[0]["value_right"] is None
