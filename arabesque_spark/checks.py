@@ -102,6 +102,9 @@ def q_corpus_ops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       view → click → purchase, vs the oracle's conditional-min cascade
     - ``retention``     n1 = weekly (cohort, age) cells, n2 = negative
       ages (0), x = cell checksum — full SQL twin
+    - ``range_join``    n1 = (click/view, error) pairs within [0, 600 s],
+      n2 = out-of-window pairs (0), x = pair checksum — vs DuckDB's
+      native IEJoin
     """
     from arabesque_spark.api import load_table
     from arabesque_spark.operators.bpe import bpe_learn
@@ -369,6 +372,43 @@ def q_corpus_ops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
     }
     rows.append(("funnel", fr.get(1, 0), fr.get(2, 0), float(fr.get(3, 0))))
+
+    # banded range join (click/view events within 10 min AFTER an error) vs
+    # DuckDB's native IEJoin — n1 = pairs, n2 = out-of-window pairs (0),
+    # x = pair checksum
+    from arabesque_spark.operators.temporal import range_join
+
+    rj = range_join(
+        lhs.select("event_id", "user_id", "ts"),
+        rhs,
+        lo_seconds=0,
+        hi_seconds=600,
+        value_cols=["err_value"],
+    )
+    r = rj.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("ts_right") > F.col("ts"))
+                | (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("ts_right").cast("timestamp"))
+                    > 600 * 1_000_000
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("bad"),
+        F.pmod(
+            F.sum(
+                F.round(F.col("err_value_right") * 100).cast(dec)
+                * (F.col("event_id") % FP_MOD + 1).cast(dec)
+            ),
+            F.lit(str(FP_PRIME)).cast(dec),
+        )
+        .cast("double")
+        .alias("fp"),
+    ).collect()[0]
+    rows.append(("range_join", int(r["n"]), int(r["bad"] or 0), float(r["fp"])))
 
     # weekly retention cohorts — n1 = (cohort, age) cells, n2 = negative
     # ages (0), x = cell checksum weighted by cohort week and age
@@ -927,6 +967,16 @@ fn_agg AS (SELECT
   (SELECT CAST(COUNT(*) AS BIGINT) FROM f1) AS n1,
   (SELECT CAST(COUNT(*) AS BIGINT) FROM f2) AS n2,
   (SELECT CAST(COUNT(*) AS DOUBLE) FROM f3) AS x),
+-- ---- banded range join vs native IEJoin ----
+rjp AS (SELECT l.event_id, r.value AS rv
+        FROM ev_l l JOIN ev_r r
+          ON l.user_id = r.user_id
+         AND l.ts >= r.ts
+         AND l.ts <= r.ts + INTERVAL 600 SECONDS),
+rj_agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1, CAST(0 AS BIGINT) AS n2,
+  CAST(SUM(CAST(ROUND(rv * 100) AS HUGEINT) * (event_id % {FP_MOD} + 1))
+       % {FP_PRIME} AS DOUBLE) AS x
+  FROM rjp),
 -- ---- weekly retention cohorts ----
 rcoh AS (SELECT user_id AS u, MIN(date_trunc('week', ts)) AS cohort
          FROM events GROUP BY user_id),
@@ -953,6 +1003,7 @@ UNION ALL SELECT 'dup_spans', n1, n2, x FROM ws_agg
 UNION ALL SELECT 'funnel', n1, n2, x FROM fn_agg
 UNION ALL SELECT 'mixture', (SELECT n FROM dc), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'pack', (SELECT n FROM dc), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
+UNION ALL SELECT 'range_join', n1, n2, x FROM rj_agg
 UNION ALL SELECT 'redact', n1, n2, CAST(1.0 AS DOUBLE) FROM rd_agg
 UNION ALL SELECT 'retention', n1, n2, x FROM rt_agg
 UNION ALL SELECT 'span_removal', n1, n2, x FROM rm_agg

@@ -145,6 +145,66 @@ def funnel_counts(
     return res
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    ts: str = "ts",
+    lo_seconds: float = 0.0,
+    hi_seconds: float = 3600.0,
+    value_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Interval (range) join: every (left, right) pair sharing ``by``
+    with ``left.ts − right.ts ∈ [lo_seconds, hi_seconds]`` — e.g.
+    lo=0, hi=600 ⇒ "left events within 10 minutes AFTER a right event".
+
+    A naive theta join is a per-key cross product. The banded plan makes
+    it an EQUI-join: time buckets of width (hi − lo), left rows keyed by
+    their own bucket, right rows exploded to the ≤ 2 buckets their
+    admissible window [r+lo, r+hi] overlaps, join on (by, bucket), then
+    the exact interval filter. Row amplification is bounded at 2× on the
+    right side regardless of data; the join is an ordinary
+    AQE-skew-splittable shuffle join. (DuckDB's native IEJoin is the
+    independent oracle in the correctness gate.)
+    """
+    if hi_seconds < lo_seconds:
+        raise ValueError("hi_seconds must be >= lo_seconds")
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (by, ts)]
+    width_us = max(int((hi_seconds - lo_seconds) * 1_000_000), 1)
+    lo_us, hi_us = int(lo_seconds * 1_000_000), int(hi_seconds * 1_000_000)
+    l_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    lf = left.withColumn("_lus", l_us).withColumn(
+        "_bkt", F.floor(F.col("_lus") / width_us)
+    )
+    r = right.select(
+        F.col(by),
+        F.col(ts).alias(f"{ts}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        l_us.alias("_rus"),
+    )
+    r = r.withColumn(
+        "_bkt",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col("_rus") + lo_us) / width_us),
+                    F.floor((F.col("_rus") + hi_us) / width_us),
+                )
+            )
+        ),
+    )
+    return (
+        lf.join(r, [by, "_bkt"])
+        .filter(
+            (F.col("_lus") >= F.col("_rus") + lo_us)
+            & (F.col("_lus") <= F.col("_rus") + hi_us)
+        )
+        .drop("_lus", "_rus", "_bkt")
+    )
+
+
 def retention_cohorts(
     events: DataFrame,
     by: str = "user_id",

@@ -117,6 +117,34 @@ def _brute_funnel(rows, steps):
     return counts
 
 
+def test_range_join_matches_bruteforce(spark):
+    from arabesque_spark.operators.temporal import range_join
+
+    rows = _mk_events(8, n=250)
+    df = spark.createDataFrame(rows, SCHEMA)
+    lhs = df.filter(F.col("event_type") == "click")
+    rhs = df.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("ev")
+    )
+    for lo, hi in ((0, 600), (-300, 300), (60, 60)):
+        got = {
+            (r["event_id"], r["ts_right"])
+            for r in range_join(
+                lhs, rhs, lo_seconds=lo, hi_seconds=hi, value_cols=["ev"]
+            ).collect()
+        }
+        want = {
+            (l[0], r[1])
+            for l in rows
+            if l[3] == "click"
+            for r in rows
+            if r[3] == "error"
+            and r[2] == l[2]
+            and lo <= (l[1] - r[1]).total_seconds() <= hi
+        }
+        assert got == want, (lo, hi)
+
+
 def test_retention_matches_bruteforce(spark):
     from arabesque_spark.operators.temporal import retention_cohorts
 
