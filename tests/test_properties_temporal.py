@@ -1,0 +1,117 @@
+"""Property-based tests for the round-5 operators: duplicated spans,
+as-of join, range join — arbitrary tiny inputs including degenerate
+shapes (empty corpora, all-identical docs, equal timestamps, empty
+sides) that the fixture tests under-sample."""
+
+from __future__ import annotations
+
+import collections
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+from arabesque_spark.operators.spans import duplicated_spans
+from arabesque_spark.operators.temporal import asof_join, range_join
+
+SETTINGS = dict(max_examples=8, deadline=None, derandomize=True)
+T0 = dt.datetime(2024, 1, 1)
+
+# tiny alphabet + short docs → repeats are common, boundaries tight
+docs_strategy = st.lists(
+    st.text(alphabet="ab", min_size=0, max_size=24), min_size=0, max_size=8
+)
+
+
+def _brute_spans(texts, L):
+    occ = collections.Counter()
+    for t in texts.values():
+        for i in range(len(t) - L + 1):
+            occ[t[i : i + L]] += 1
+    out = {}
+    for d, t in texts.items():
+        hits = [i + 1 for i in range(len(t) - L + 1) if occ[t[i : i + L]] >= 2]
+        merged = []
+        for p in hits:
+            if merged and p == merged[-1][1] + 1:
+                merged[-1][1] = p
+            else:
+                merged.append([p, p])
+        if merged:
+            out[d] = sorted((s, e + L - 1) for s, e in merged)
+    return out
+
+
+@given(docs_strategy, st.integers(2, 5))
+@settings(**SETTINGS)
+def test_dup_spans_property(spark, texts, L):
+    rows = list(enumerate(texts))
+    df = (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        if rows
+        else spark.createDataFrame([], "doc_id long, text string")
+    )
+    got = collections.defaultdict(list)
+    for r in duplicated_spans(df, min_len=L).collect():
+        got[r["doc_id"]].append((r["span_start"], r["span_end"]))
+    got = {d: sorted(v) for d, v in got.items()}
+    assert got == _brute_spans(dict(rows), L)
+
+
+# events: small user/time domains force key and timestamp collisions
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(0, 9)),
+    min_size=0,
+    max_size=16,
+)
+
+
+def _df(spark, rows, ids_from=0):
+    data = [
+        (ids_from + i, T0 + dt.timedelta(seconds=s), u, float(v))
+        for i, (u, s, v) in enumerate(rows)
+    ]
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    return (
+        spark.createDataFrame(data, schema)
+        if data
+        else spark.createDataFrame([], schema)
+    ), data
+
+
+@given(events_strategy, events_strategy)
+@settings(**SETTINGS)
+def test_asof_property(spark, lrows, rrows):
+    ldf, ldata = _df(spark, lrows)
+    rdf, rdata = _df(spark, rrows, ids_from=1000)
+    rhs = rdf.select("user_id", "ts", rdf["value"].alias("rv"))
+    got = {
+        r["event_id"]: (r["ts_right"], r["rv_right"])
+        for r in asof_join(ldf, rhs, value_cols=["rv"]).collect()
+    }
+    assert set(got) == {d[0] for d in ldata}
+    for eid, lts, u, _ in ldata:
+        cands = [(ts, v) for _, ts, ru, v in rdata if ru == u and ts <= lts]
+        want = max(cands) if cands else (None, None)
+        assert got[eid] == (want[0], want[1]), eid
+
+
+@given(events_strategy, events_strategy, st.integers(-5, 5), st.integers(0, 8))
+@settings(**SETTINGS)
+def test_range_join_property(spark, lrows, rrows, lo, span):
+    hi = lo + span
+    ldf, ldata = _df(spark, lrows)
+    rdf, rdata = _df(spark, rrows, ids_from=1000)
+    rhs = rdf.select("user_id", "ts", rdf["value"].alias("rv"))
+    got = sorted(
+        (r["event_id"], r["ts_right"], r["rv_right"])
+        for r in range_join(
+            ldf, rhs, lo_seconds=lo, hi_seconds=hi, value_cols=["rv"]
+        ).collect()
+    )
+    want = sorted(
+        (eid, rts, rv)
+        for eid, lts, u, _ in ldata
+        for _, rts, ru, rv in rdata
+        if ru == u and lo <= (lts - rts).total_seconds() <= hi
+    )
+    assert got == want
