@@ -67,14 +67,38 @@ def duplicated_spans(
     id_col: str = "doc_id",
     text: str = "text",
     stride: int = 1,
+    method: str = "rescan",
 ) -> DataFrame:
     """(doc_id, span_start, span_end, span_len) — maximal character spans
     (1-based, inclusive) covered by length-``min_len`` windows that occur
     ≥ 2 times corpus-wide. Spans are per-doc disjoint and each has
-    span_len ≥ min_len."""
+    span_len ≥ min_len.
+
+    ``method`` picks the repeated-window plan (identical output, A/B'd
+    at sf0.1: window 4.1-5.0 s vs rescan 7.3-13.0 s on 50k docs):
+
+    * ``"rescan"`` (default, the 100-TB shape): map-side-combined
+      groupBy(h) count then a join back — the corpus is scanned and
+      exploded twice, but a window repeated 10^10 times partial-
+      aggregates inside every task and the join AQE-skew-splits.
+    * ``"window"``: one scan, ``count() over (partition by h)`` — ~1.8×
+      faster at small scale, but every occurrence of one hash lands in
+      ONE window partition, so a mega-duplicate boilerplate line
+      serializes into a single (spilling) task. Use when the maximum
+      duplicate multiplicity is known to be task-sized.
+    """
     w = window_hashes(docs, min_len, id_col, text, stride)
-    dup = w.groupBy("h").count().filter(F.col("count") >= 2).select("h")
-    hits = w.join(dup, "h").select("doc_id", "pos")
+    if method == "window":
+        hits = (
+            w.withColumn("cnt", F.count("*").over(Window.partitionBy("h")))
+            .filter(F.col("cnt") >= 2)
+            .select("doc_id", "pos")
+        )
+    elif method == "rescan":
+        dup = w.groupBy("h").count().filter(F.col("count") >= 2).select("h")
+        hits = w.join(dup, "h").select("doc_id", "pos")
+    else:
+        raise ValueError(f"unknown method: {method!r}")
     # gaps-and-islands: consecutive (stride-spaced) duplicated start
     # positions belong to one maximal span
     rn = F.row_number().over(Window.partitionBy("doc_id").orderBy("pos"))

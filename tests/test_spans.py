@@ -48,15 +48,25 @@ def _corpus(seed: int, n: int = 30) -> dict[int, str]:
 
 
 def test_spans_match_bruteforce(spark):
-    for seed, L in ((3, 20), (4, 30), (5, 15)):
+    for (seed, L), method in zip(
+        ((3, 20), (4, 30), (5, 15)), ("rescan", "window", "rescan")
+    ):
         texts = _corpus(seed)
         df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
         got = collections.defaultdict(list)
-        for r in duplicated_spans(df, min_len=L).collect():
+        for r in duplicated_spans(df, min_len=L, method=method).collect():
             got[r["doc_id"]].append((r["span_start"], r["span_end"]))
             assert r["span_len"] == r["span_end"] - r["span_start"] + 1 >= L
         want = {d: sorted(s) for d, s in _brute_spans(texts, L).items() if s}
         assert {d: sorted(s) for d, s in got.items()} == want, (seed, L)
+
+
+def test_spans_methods_agree(spark):
+    texts = _corpus(11)
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    a = sorted(map(tuple, duplicated_spans(df, 20, method="rescan").collect()))
+    b = sorted(map(tuple, duplicated_spans(df, 20, method="window").collect()))
+    assert a == b and a
 
 
 def test_remove_spans_policy(spark):
