@@ -105,6 +105,9 @@ def q_corpus_ops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``range_join``    n1 = (click/view, error) pairs within [0, 600 s],
       n2 = out-of-window pairs (0), x = pair checksum — vs DuckDB's
       native IEJoin
+    - ``quantiles``     n1 = event rows, x = Σ of the exact p25/p50/p90
+      (Spark percentile() vs DuckDB quantile_cont — both exact linear
+      interpolation)
     """
     from arabesque_spark.api import load_table
     from arabesque_spark.operators.bpe import bpe_learn
@@ -409,6 +412,21 @@ def q_corpus_ops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fp"),
     ).collect()[0]
     rows.append(("range_join", int(r["n"]), int(r["bad"] or 0), float(r["fp"])))
+
+    # exact linear-interpolation percentiles (Spark percentile() vs
+    # DuckDB quantile_cont) — n1 = rows, x = Σ of p25/p50/p90
+    qr = events.agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.aggregate(
+                F.percentile("value", [0.25, 0.5, 0.9]),
+                F.lit(0.0),
+                lambda a, x: a + F.round(x, 6),
+            ),
+            4,
+        ).alias("x"),
+    ).collect()[0]
+    rows.append(("quantiles", int(qr["n"]), 0, float(qr["x"])))
 
     # weekly retention cohorts — n1 = (cohort, age) cells, n2 = negative
     # ages (0), x = cell checksum weighted by cohort week and age
@@ -977,6 +995,11 @@ rj_agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1, CAST(0 AS BIGINT) AS n2,
   CAST(SUM(CAST(ROUND(rv * 100) AS HUGEINT) * (event_id % {FP_MOD} + 1))
        % {FP_PRIME} AS DOUBLE) AS x
   FROM rjp),
+-- ---- exact percentiles ----
+qt_agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+  (SELECT ROUND(round(q[1], 6) + round(q[2], 6) + round(q[3], 6), 4)
+   FROM (SELECT quantile_cont(value, [0.25, 0.5, 0.9]) AS q FROM events)) AS x
+  FROM events),
 -- ---- weekly retention cohorts ----
 rcoh AS (SELECT user_id AS u, MIN(date_trunc('week', ts)) AS cohort
          FROM events GROUP BY user_id),
@@ -1003,6 +1026,7 @@ UNION ALL SELECT 'dup_spans', n1, n2, x FROM ws_agg
 UNION ALL SELECT 'funnel', n1, n2, x FROM fn_agg
 UNION ALL SELECT 'mixture', (SELECT n FROM dc), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'pack', (SELECT n FROM dc), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
+UNION ALL SELECT 'quantiles', n1, CAST(0 AS BIGINT), x FROM qt_agg
 UNION ALL SELECT 'range_join', n1, n2, x FROM rj_agg
 UNION ALL SELECT 'redact', n1, n2, CAST(1.0 AS DOUBLE) FROM rd_agg
 UNION ALL SELECT 'retention', n1, n2, x FROM rt_agg

@@ -35,6 +35,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--repos", type=int, default=200)
     p.add_argument("--seed", type=int, default=42)
 
+    p = sub.add_parser("spans", help="exact substring dedup: find/cut duplicated spans")
+    p.add_argument("--docs", required=True, help="parquet dir with (doc_id, text)")
+    p.add_argument("--min-len", type=int, default=40)
+    p.add_argument("--method", choices=("rescan", "window"), default="rescan")
+    p.add_argument("--cut", action="store_true",
+                   help="write cleaned docs instead of the span list")
+    p.add_argument("--out", default=None)
+
     p = sub.add_parser("buildgraph", help="corpus → vertices/edges/adjacency tables")
     p.add_argument("--corpus", required=True)
     p.add_argument("--out", required=True)
@@ -141,6 +149,24 @@ def main(argv: list[str] | None = None) -> int:
         corpus = synth_corpus(spark, num_repos=args.repos, seed=args.seed)
         back = ingest_corpus(spark, corpus, args.corpus_out)
         print(json.dumps({"rows": back.count(), "sha_invariant": "ok"}))
+        return 0
+
+    if args.cmd == "spans":
+        from arabesque_spark.operators.spans import (
+            duplicated_spans,
+            remove_duplicated_spans,
+        )
+
+        docs = spark.read.parquet(args.docs)
+        spans = duplicated_spans(docs, min_len=args.min_len, method=args.method)
+        out_df = remove_duplicated_spans(docs, spans) if args.cut else spans
+        info = {"min_len": args.min_len, "method": args.method, "cut": args.cut}
+        if args.out:
+            out_df.write.mode("overwrite").parquet(args.out)
+            info["out"] = args.out
+        else:
+            info["rows"] = out_df.count()
+        print(json.dumps(info))
         return 0
 
     if args.cmd == "buildgraph":
