@@ -1,0 +1,132 @@
+"""Streaming ordered-funnel progression: the unbounded twin of
+``operators/temporal.py:funnel_counts``.
+
+Emits one row per (user, funnel depth) the moment the watermark proves
+the completion is final — exactly the depths the batch operator counts,
+so a downstream streaming aggregation of this output reproduces
+``funnel_counts`` per window.
+
+Same watermark-buffer discipline as ``asof_stream``: events buffer
+per key until the watermark passes them (out-of-order arrivals inside
+the horizon reorder correctly), then fold through the greedy
+earliest-prefix-completion automaton — (depth, last_completion_ts) is
+the ENTIRE per-key progress state, so after the buffer drains a key
+carries O(1) state forever. Funnel matching is subsequence matching, so
+greedy earliest completion is exact, not heuristic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+FUNNEL_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("step", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("b_ts", T.ArrayType(T.LongType())),
+        T.StructField("b_step", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def _funnel_fn(steps: list[str]):
+    n_steps = len(steps)
+
+    def fn(
+        key: tuple[Any], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            depth, last_us, b_ts, b_step = state.get
+            b_ts, b_step = list(b_ts), list(b_step)
+        else:
+            depth, last_us, b_ts, b_step = 0, -1, [], []
+        if not state.hasTimedOut:
+            batch = pd.concat(list(pdfs), ignore_index=True)
+            ts_us = batch["ts"].astype("int64").to_numpy() // 1000
+            sidx = batch["step_idx"].to_numpy()
+            for i in range(len(batch)):
+                b_ts.append(int(ts_us[i]))
+                b_step.append(int(sidx[i]))
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        ready = sorted(
+            (t, s) for t, s in zip(b_ts, b_step) if t < wm_us
+        )
+        rest = [(t, s) for t, s in zip(b_ts, b_step) if t >= wm_us]
+        out = []
+        for t, s in ready:
+            if depth < n_steps and s == depth and t > last_us:
+                depth += 1
+                last_us = t
+                out.append((depth, steps[depth - 1], t))
+        if depth < n_steps or rest:
+            state.update(
+                (depth, last_us, [t for t, _ in rest], [s for _, s in rest])
+            )
+            if rest:
+                state.setTimeoutTimestamp(min(t for t, _ in rest) // 1000 + 1)
+        else:
+            state.remove()  # funnel complete, nothing buffered
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out),
+                    "depth": [d for d, _, _ in out],
+                    "step": [s for _, s, _ in out],
+                    "ts": [pd.Timestamp(t, unit="us") for _, _, t in out],
+                }
+            )
+
+    return fn
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: list[str],
+    watermark: str = "1 hour",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming funnel progression rows (user_id, depth, step, ts) —
+    each emitted once, when the watermark finalizes the completion."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        # the event→step_idx map can't represent one event type at two
+        # depths; the batch operator handles repeats, use it instead
+        raise ValueError("funnel_stream requires distinct step names")
+    mapping = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
+    )
+    return (
+        events.filter(F.col(type_col).isin(steps))
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            mapping[F.col(type_col)].cast("int").alias("step_idx"),
+        )
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_fn(steps),
+            outputStructType=FUNNEL_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,110 @@
+"""Streaming funnel: batch-equivalent depths, out-of-order-in-horizon
+reordering, exactly-once emission per (user, depth)."""
+
+from __future__ import annotations
+
+import collections
+import datetime as dt
+import random
+import time
+
+import pytest
+
+from arabesque_spark.operators.temporal import funnel_counts
+from arabesque_spark.streaming.funnel_stream import funnel_stream
+
+T0 = dt.datetime(2024, 3, 1)
+SCHEMA = "user_id long, ts timestamp, event_type string"
+STEPS = ["view", "click", "purchase"]
+
+
+def _mk(seed: int, n: int = 150, users: int = 6):
+    rng = random.Random(seed)
+    types = STEPS + ["error"]
+    return [
+        (
+            rng.randrange(users),
+            T0 + dt.timedelta(seconds=rng.randint(0, 5000)),
+            rng.choice(types),
+        )
+        for _ in range(n)
+    ]
+
+
+def _run(spark, tmp_path, rows, n_chunks=4, shuffle_within=None):
+    ordered = sorted(rows, key=lambda r: r[1])
+    src = tmp_path / "funnel_src"
+    src.mkdir()
+    per = (len(ordered) + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        chunk = ordered[i * per : (i + 1) * per]
+        if not chunk:
+            continue
+        if shuffle_within is not None:
+            shuffle_within.shuffle(chunk)  # out of order INSIDE the batch
+        spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.parquet(
+            str(src / f"chunk_{i}")
+        )
+        time.sleep(1.1)
+    # watermark pusher: finalize everything
+    spark.createDataFrame(
+        [(999, T0 + dt.timedelta(days=2), "error")], SCHEMA
+    ).coalesce(1).write.parquet(str(src / "chunk_z"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/chunk_*")
+    )
+    name = f"funnel_test_{abs(hash(str(tmp_path))) % 10**8}"
+    q = (
+        funnel_stream(stream, STEPS, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).collect()
+
+
+def _check_vs_batch(spark, rows, got):
+    # exactly-once per (user, depth), contiguous depths from 1
+    seen = collections.Counter((r["user_id"], r["depth"]) for r in got)
+    assert all(c == 1 for c in seen.values())
+    per_user = collections.defaultdict(int)
+    for u, d in seen:
+        per_user[u] = max(per_user[u], d)
+    for r in got:
+        assert 1 <= r["depth"] <= per_user[r["user_id"]]
+        assert r["step"] == STEPS[r["depth"] - 1]
+    # depth counts equal the batch operator's
+    df = spark.createDataFrame([(u, t, e, 0.0) for u, t, e in rows],
+                               SCHEMA + ", value double")
+    want = {
+        r["depth"]: r["n_users"] for r in funnel_counts(df, STEPS).collect()
+    }
+    got_counts = collections.Counter(r["depth"] for r in got)
+    # cumulative: a user at depth d contributes to all depths <= d
+    for d in (1, 2, 3):
+        assert got_counts.get(d, 0) == want[d], d
+
+
+def test_funnel_stream_matches_batch(spark, tmp_path):
+    rows = _mk(2)
+    got = _run(spark, tmp_path, rows)
+    _check_vs_batch(spark, rows, got)
+
+
+def test_funnel_stream_out_of_order_within_batch(spark, tmp_path):
+    rows = _mk(7)
+    got = _run(spark, tmp_path, rows, shuffle_within=random.Random(0))
+    _check_vs_batch(spark, rows, got)
+
+
+def test_funnel_stream_rejects_repeated_steps(spark, tmp_path):
+    empty = tmp_path / "empty_src"
+    empty.mkdir()
+    stream = spark.readStream.schema(SCHEMA).parquet(str(empty))
+    with pytest.raises(ValueError, match="distinct step names"):
+        funnel_stream(stream, ["view", "view"])
