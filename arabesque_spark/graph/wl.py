@@ -123,6 +123,42 @@ def wl_refinement(
     return result
 
 
+def wl_quotient(edges: DataFrame, colors: DataFrame) -> DataFrame:
+    """Quotient (summary) graph of a WL coloring: one super-vertex per
+    color class → (c_src, c_dst, n_edges, n_src, n_dst) with
+    c_src ≤ c_dst. ``n_edges`` counts original undirected edges between
+    the classes (within-class edges included as c_src = c_dst rows);
+    ``n_src``/``n_dst`` are the class sizes. Two joins + one count
+    aggregation — the standard structural-summarization shape: the
+    quotient of a k-round refinement is a provably lossless summary for
+    any query that only inspects ≤ k-hop color-degree structure."""
+    sizes = colors.groupBy("color").count()
+    lab = colors.select(F.col("vid").alias("_v"), F.col("color").alias("_c"))
+    e = (
+        edges.join(lab.withColumnRenamed("_v", "src"), "src")
+        .withColumnRenamed("_c", "cs")
+        .join(lab.withColumnRenamed("_v", "dst"), "dst")
+        .withColumnRenamed("_c", "cd")
+        .select(
+            F.least("cs", "cd").alias("c_src"),
+            F.greatest("cs", "cd").alias("c_dst"),
+        )
+    )
+    return (
+        e.groupBy("c_src", "c_dst")
+        .agg(F.count("*").alias("n_edges"))
+        .join(
+            sizes.select(F.col("color").alias("c_src"), F.col("count").alias("n_src")),
+            "c_src",
+        )
+        .join(
+            sizes.select(F.col("color").alias("c_dst"), F.col("count").alias("n_dst")),
+            "c_dst",
+        )
+        .select("c_src", "c_dst", "n_edges", "n_src", "n_dst")
+    )
+
+
 def wl_graph_fingerprint(colors: DataFrame) -> DataFrame:
     """Collapse a WL coloring (vid, color) to ONE graph-level fingerprint
     row (n_vertices, n_classes, fingerprint) — the order-insensitive

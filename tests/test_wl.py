@@ -84,6 +84,28 @@ def test_wl_checkpoint_resume(spark, tmp_path):
     assert got == full
 
 
+def test_wl_quotient(spark):
+    from arabesque_spark.graph.wl import wl_quotient
+
+    edges = er_graph(30, 4.0, seed=12)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    colors = wl_refinement(spark, df, rounds=2).state
+    cmap = {r["vid"]: r["color"] for r in colors.collect()}
+    got = {
+        (r["c_src"], r["c_dst"]): (r["n_edges"], r["n_src"], r["n_dst"])
+        for r in wl_quotient(df, colors).collect()
+    }
+    want = collections.Counter(
+        (min(cmap[u], cmap[v]), max(cmap[u], cmap[v])) for u, v in edges
+    )
+    sizes = collections.Counter(cmap.values())
+    assert {k: v[0] for k, v in got.items()} == dict(want)
+    for (cs, cd), (_, ns, nd) in got.items():
+        assert (ns, nd) == (sizes[cs], sizes[cd])
+    # lossless degree check: Σ n_edges = |E|
+    assert sum(v[0] for v in got.values()) == len(edges)
+
+
 def test_wl_graph_fingerprint_iso_vs_not(spark):
     # the same graph relabeled (iso) fingerprints equal; adding an edge differs
     edges = er_graph(20, 3.0, seed=8)
