@@ -54,6 +54,8 @@ EC_ITERS = 4
 WL_ROUNDS = 3          # Weisfeiler-Leman refinement rounds in the gate
 FP_MOD = 97            # fingerprint weight = vid % FP_MOD + 1
 SPAN_MIN_LEN = 30      # exact-substring-dedup window length in the gate
+CHUNK_TOKENS = 24      # chunking window (tokens) in the gate
+CHUNK_OVERLAP = 6      # chunking overlap in the gate
 # checksum modulus just under 2^53: keeps HUGEINT/decimal sums exactly
 # representable after the final cast to double on BOTH engines
 FP_PRIME = 9007199254740881
@@ -105,6 +107,9 @@ def q_corpus_ops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``range_join``    n1 = (click/view, error) pairs within [0, 600 s],
       n2 = out-of-window pairs (0), x = pair checksum — vs DuckDB's
       native IEJoin
+    - ``chunking``      n1 = token-window chunks, n2 = over-length
+      chunks (0), x = md5-prefix content checksum of every chunk text
+      vs the oracle's own list_slice windows
     - ``quantiles``     n1 = event rows, x = Σ of the exact p25/p50/p90
       (Spark percentile() vs DuckDB quantile_cont — both exact linear
       interpolation)
@@ -412,6 +417,31 @@ def q_corpus_ops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fp"),
     ).collect()[0]
     rows.append(("range_join", int(r["n"]), int(r["bad"] or 0), float(r["fp"])))
+
+    # token-window chunking — n1 = chunks, n2 = over-length chunks (0),
+    # x = md5-prefix content checksum of every chunk text (the oracle
+    # re-derives all chunks from its own list_slice windows)
+    from arabesque_spark.operators.text import chunk_documents
+
+    ch = chunk_documents(docs, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP)
+    r = ch.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("n_tokens") > CHUNK_TOKENS, 1).otherwise(0)
+        ).alias("bad"),
+        F.pmod(
+            F.sum(
+                F.conv(F.substring(F.md5("chunk_text"), 1, 12), 16, 10)
+                .cast("long")
+                .cast(dec)
+                * (F.col("doc_id") % FP_MOD + 1).cast(dec)
+            ),
+            F.lit(str(FP_PRIME)).cast(dec),
+        )
+        .cast("double")
+        .alias("fp"),
+    ).collect()[0]
+    rows.append(("chunking", int(r["n"]), int(r["bad"] or 0), float(r["fp"])))
 
     # exact linear-interpolation percentiles (Spark percentile() vs
     # DuckDB quantile_cont) — n1 = rows, x = Σ of p25/p50/p90
@@ -995,6 +1025,19 @@ rj_agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1, CAST(0 AS BIGINT) AS n2,
   CAST(SUM(CAST(ROUND(rv * 100) AS HUGEINT) * (event_id % {FP_MOD} + 1))
        % {FP_PRIME} AS DOUBLE) AS x
   FROM rjp),
+-- ---- token-window chunking ----
+cht AS (SELECT doc_id, {_DOC_TOKS} AS tk FROM documents),
+chw AS (SELECT doc_id,
+               array_to_string(list_slice(tk, i, i + {CHUNK_TOKENS} - 1), ' ') AS ctext,
+               LEAST(len(tk) - i + 1, {CHUNK_TOKENS}) AS n
+        FROM cht, LATERAL (SELECT unnest(generate_series(
+          1, GREATEST(len(tk) - {CHUNK_OVERLAP}, 1),
+          {CHUNK_TOKENS - CHUNK_OVERLAP})) AS i)),
+ch_agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+  CAST(SUM(CASE WHEN n > {CHUNK_TOKENS} THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+  CAST(SUM(CAST(CAST(('0x' || substr(md5(ctext), 1, 12)) AS BIGINT) AS HUGEINT)
+           * (doc_id % {FP_MOD} + 1)) % {FP_PRIME} AS DOUBLE) AS x
+  FROM chw),
 -- ---- exact percentiles ----
 qt_agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1,
   (SELECT ROUND(round(q[1], 6) + round(q[2], 6) + round(q[3], 6), 4)
@@ -1020,6 +1063,7 @@ UNION ALL SELECT 'bigram_lm', n1, CAST(0 AS BIGINT), x FROM lm_agg
 UNION ALL SELECT 'bm25', n1, CAST(0 AS BIGINT), x FROM bm_agg
 UNION ALL SELECT 'boilerplate', n1, n2, CAST(1.0 AS DOUBLE) FROM bp_agg
 UNION ALL SELECT 'bpe_learn', CAST({BPE_CHECK_MERGES} AS BIGINT), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
+UNION ALL SELECT 'chunking', n1, n2, x FROM ch_agg
 UNION ALL SELECT 'contamination', n1, n2, x FROM ct_agg
 UNION ALL SELECT 'dsir', (SELECT n FROM dc), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'dup_spans', n1, n2, x FROM ws_agg

@@ -45,6 +45,45 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> 
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Split each doc into overlapping token-window chunks →
+    (doc_id, chunk_id, chunk_text, n_tokens) — the context-window prep
+    step of an embedding/RAG pipeline. Chunk starts advance by
+    ``chunk_tokens − overlap`` up to ``max(n − overlap, 1)``, so the
+    corpus is fully covered and no chunk is contained in its
+    predecessor; the final chunk may be short. Pure array expressions
+    (sequence → transform → explode), zero Python."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens_col(text)
+    chunks = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(toks) - overlap, F.lit(1)), F.lit(step)
+        ),
+        lambda s: F.struct(
+            s.alias("start"),
+            F.array_join(F.slice(toks, s, chunk_tokens), " ").alias("ctext"),
+            F.least(F.size(toks) - s + 1, F.lit(chunk_tokens)).alias("n"),
+        ),
+    )
+    return (
+        docs.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "c"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.col("c.ctext").alias("chunk_text"),
+            F.col("c.n").alias("n_tokens"),
+        )
+    )
+
+
 def quality_score(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
     """(doc_id, quality) — heuristic in [0,1]: length saturation × lexical
     diversity × stopword plausibility, rounded to 6 decimals (the rounding

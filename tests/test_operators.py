@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import collections
 import itertools
 
 import pytest
@@ -168,6 +169,37 @@ def test_text_operators_basic(docs):
     assert langs[6] == "und"
     q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
     assert 0 <= q[0] <= 1 and q[6] < q[0]
+
+
+def test_chunk_documents_bruteforce(spark):
+    from arabesque_spark.operators.text import chunk_documents
+
+    texts = {
+        0: " ".join(f"w{i}" for i in range(25)),
+        1: " ".join(f"w{i}" for i in range(8)),
+        2: "single",
+        3: " ".join(f"w{i}" for i in range(10)),  # exactly chunk size
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = collections.defaultdict(list)
+    for r in chunk_documents(df, chunk_tokens=10, overlap=3).collect():
+        got[r["doc_id"]].append((r["chunk_id"], r["chunk_text"], r["n_tokens"]))
+    for d, t in texts.items():
+        toks = t.split()
+        starts = list(range(0, max(len(toks) - 3, 1), 7))
+        want = [
+            (i, " ".join(toks[s : s + 10]), min(len(toks) - s, 10))
+            for i, s in enumerate(starts)
+        ]
+        assert sorted(got[d]) == want, d
+    # full coverage: every token of every doc appears in some chunk
+    for d, t in texts.items():
+        covered = set()
+        for _, ct, _ in got[d]:
+            covered.update(ct.split())
+        assert covered == set(t.split()), d
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=5, overlap=5)
 
 
 def test_repetition_stats_hand_computed(spark):
