@@ -56,6 +56,11 @@ FP_MOD = 97            # fingerprint weight = vid % FP_MOD + 1
 SPAN_MIN_LEN = 30      # exact-substring-dedup window length in the gate
 CHUNK_TOKENS = 24      # chunking window (tokens) in the gate
 CHUNK_OVERLAP = 6      # chunking overlap in the gate
+SEMDEDUP_THRESHOLD = 0.95  # cosine threshold for the semantic-dedup row
+SEMDEDUP_CLUSTERS = 8      # k-means clusters for the semantic-dedup row
+SEMDEDUP_MOD = 5           # every SEMDEDUP_MOD-th embedding gets a planted twin
+TREACH_TMOD = 64       # temporal edge ts = (3*src + dst) % TREACH_TMOD
+TREACH_N_SOURCES = 4   # lowest vids of the directed graph
 # checksum modulus just under 2^53: keeps HUGEINT/decimal sums exactly
 # representable after the final cast to double on BOTH engines
 FP_PRIME = 9007199254740881
@@ -113,6 +118,10 @@ def q_corpus_ops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``quantiles``     n1 = event rows, x = Σ of the exact p25/p50/p90
       (Spark percentile() vs DuckDB quantile_cont — both exact linear
       interpolation)
+    - ``semdedup``      n1 = embeddings + planted exact twins (oracle-
+      recomputed), n2 = keeper-cardinality + keeper-recurrence +
+      surviving-twin violations (0), x = dropped count — value-exact vs
+      the oracle's planted-twin count
     """
     from arabesque_spark.api import load_table
     from arabesque_spark.operators.bpe import bpe_learn
@@ -476,6 +485,53 @@ def q_corpus_ops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     rows.append(("retention", int(r["n"]), int(r["bad"] or 0), float(r["fp"])))
 
+    # SemDeDup (embedding-cluster semantic dedup) — the testdata
+    # embeddings are mutually dissimilar (max pairwise cosine ≈ 0.51), so
+    # an EXACT twin is planted for every SEMDEDUP_MOD-th vector on both
+    # sides; the dedup must then drop exactly the planted twins.
+    # n1 = rows assigned (original + planted, oracle-recomputed); n2 =
+    # keeper-cardinality violations + keeper-set pair recurrence + planted
+    # twins that survived (all 0); x = dropped count — value-exact vs the
+    # oracle's planted-twin count.
+    from arabesque_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % SEMDEDUP_MOD == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000_000)).alias("vec_id"), "embedding"
+    )
+    sd = semantic_dedup(
+        spark,
+        emb.unionByName(planted),
+        SEMDEDUP_THRESHOLD,
+        n_clusters=SEMDEDUP_CLUSTERS,
+        iterations=2,
+    ).localCheckpoint(eager=True)
+    bad_groups = (
+        sd.groupBy("group")
+        .agg(F.sum(F.col("keep").cast("int")).alias("k"))
+        .filter(F.col("k") != 1)
+        .count()
+    )
+    kept_vecs = sd.filter("keep").select("vec_id", "cluster", "bucket").join(
+        emb.unionByName(planted), "vec_id"
+    )
+    recur = semantic_dedup_pairs(kept_vecs, SEMDEDUP_THRESHOLD).count()
+    surviving_twins = sd.filter(
+        (F.col("vec_id") >= 1_000_000_000) & F.col("keep")
+    ).count()
+    dropped = sd.filter(~F.col("keep")).count()
+    rows.append(
+        (
+            "semdedup",
+            sd.count(),
+            bad_groups + recur + surviving_twins,
+            float(dropped),
+        )
+    )
+
     return spark.createDataFrame(rows, CHECK_SCHEMA).orderBy("op")
 
 
@@ -767,6 +823,10 @@ def q_directed_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``sssp``       n1 = reached (source, vid) pairs, n2 = negative
       distances (0), x = Σ round(dist,6)·w fingerprint vs an unrolled
       Bellman-Ford SQL twin (weights (src+dst) % 7 + 1 on both sides)
+    - ``treach``     n1 = temporally-reached (source, vid) pairs, n2 =
+      negative arrivals + oracle convergence violations (0), x =
+      Σ round(arrival,6)·w fingerprint vs an unrolled earliest-arrival
+      twin (edge times (3·src+dst) % TREACH_TMOD on both sides)
     """
     from arabesque_spark.graph.bfs import weighted_distances
     from arabesque_spark.graph.hits import hits_fixed
@@ -838,6 +898,38 @@ def q_directed_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     rows.append(("sssp", int(r["n"]), int(r["bad"]), float(r["fp"])))
 
+    # temporal earliest-arrival landmarks on the DIRECTED graph with
+    # deterministic integer edge times ts = (3·src + dst) % TREACH_TMOD —
+    # integers survive the double cast exactly, so the arrival
+    # fingerprint is value-exact vs the oracle's unrolled relaxation
+    from arabesque_spark.graph.bfs import earliest_arrival
+
+    tedges = de.withColumn(
+        "ts",
+        F.pmod(3 * F.col("src") + F.col("dst"), F.lit(TREACH_TMOD)).cast(
+            "double"
+        ),
+    )
+    tsources = (
+        de.select(F.explode(F.array("src", "dst")).alias("vid"))
+        .dropDuplicates(["vid"])
+        .orderBy("vid")
+        .limit(TREACH_N_SOURCES)
+    )
+    ta = earliest_arrival(spark, tedges, tsources).state
+    r = ta.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("arrival") < 0).cast("long")).alias("bad"),
+        F.round(
+            F.sum(
+                F.round(F.col("arrival"), 6)
+                * (F.pmod(F.col("source") + F.col("vid"), F.lit(FP_MOD)) + 1)
+            ),
+            4,
+        ).alias("fp"),
+    ).collect()[0]
+    rows.append(("treach", int(r["n"]), int(r["bad"]), float(r["fp"])))
+
     return spark.createDataFrame(rows, CHECK_SCHEMA).orderBy("op")
 
 
@@ -850,6 +942,9 @@ SSSP_SQL_ROUNDS = 24  # ≥ max hop count of any optimal weighted path at the
                       # certificate in directed_kernels_oracle (a too-small
                       # depth makes the oracle's n2 > 0 and fails the row
                       # with an explicit violation count)
+TREACH_SQL_ROUNDS = 28  # ≥ temporal eccentricity of the treach landmarks at
+                        # the gate SF (measured fixpoint: round 22 at
+                        # sf0.01) — same in-band tconv certificate as sssp
 
 
 def corpus_ops_oracle() -> str:
@@ -1074,6 +1169,12 @@ UNION ALL SELECT 'quantiles', n1, CAST(0 AS BIGINT), x FROM qt_agg
 UNION ALL SELECT 'range_join', n1, n2, x FROM rj_agg
 UNION ALL SELECT 'redact', n1, n2, CAST(1.0 AS DOUBLE) FROM rd_agg
 UNION ALL SELECT 'retention', n1, n2, x FROM rt_agg
+UNION ALL SELECT 'semdedup',
+  (SELECT CAST(COUNT(*) + COUNT(*) FILTER (WHERE vec_id % {SEMDEDUP_MOD} = 0) AS BIGINT)
+   FROM embeddings),
+  CAST(0 AS BIGINT),
+  (SELECT CAST(COUNT(*) FILTER (WHERE vec_id % {SEMDEDUP_MOD} = 0) AS DOUBLE)
+   FROM embeddings)
 UNION ALL SELECT 'span_removal', n1, n2, x FROM rm_agg
 UNION ALL SELECT 'split_sample', (SELECT n FROM dc), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 ORDER BY op"""
@@ -1401,6 +1502,45 @@ def directed_kernels_oracle() -> str:
   FROM s{SSSP_SQL_ROUNDS})"""
     )
 
+    # ---- temporal earliest-arrival landmarks on the directed graph ----
+    ctes.append(
+        f"""tde AS MATERIALIZED (
+  SELECT src, dst, CAST((3 * src + dst) % {TREACH_TMOD} AS DOUBLE) AS ts
+  FROM de)"""
+    )
+    ctes.append(
+        f"""tsrc AS (SELECT vid FROM dverts ORDER BY vid LIMIT {TREACH_N_SOURCES})"""
+    )
+    ctes.append("t0 AS (SELECT vid AS source, vid, 0.0 AS arrival FROM tsrc)")
+    for t in range(1, TREACH_SQL_ROUNDS + 1):
+        ctes.append(
+            f"""t{t} AS MATERIALIZED (
+  SELECT source, vid, MIN(arrival) AS arrival FROM (
+    SELECT source, vid, arrival FROM t{t-1}
+    UNION ALL
+    SELECT s.source, e.dst AS vid, e.ts AS arrival
+    FROM t{t-1} s JOIN tde e ON s.vid = e.src AND e.ts >= s.arrival)
+  GROUP BY source, vid)"""
+        )
+    # convergence certificate (same contract as sconv): any row reached or
+    # improved in the last unrolled round means TREACH_SQL_ROUNDS is too
+    # small for this gate dataset — fail the row loudly via n2
+    ctes.append(
+        f"""tconv AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS viol
+  FROM t{TREACH_SQL_ROUNDS} a LEFT JOIN t{TREACH_SQL_ROUNDS - 1} b
+    USING (source, vid)
+  WHERE b.arrival IS NULL OR a.arrival <> b.arrival)"""
+    )
+    ctes.append(
+        f"""tr_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN arrival < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           + (SELECT viol FROM tconv) AS n2,
+         ROUND(SUM(ROUND(arrival, 6) * ((source + vid) % {FP_MOD} + 1)), 4) AS x
+  FROM t{TREACH_SQL_ROUNDS})"""
+    )
+
     kernel_ctes = _KERNEL_PRELUDE.split("WITH RECURSIVE", 1)[1]
     return (
         _DIRECTED_PRELUDE
@@ -1413,5 +1553,6 @@ SELECT 'dpagerank' AS op, n1, n2, x FROM pr_agg
 UNION ALL SELECT 'hits', n1, n2, x FROM hits_agg
 UNION ALL SELECT 'scc', n1, n2, x FROM scc_agg
 UNION ALL SELECT 'sssp', n1, n2, x FROM sssp_agg
+UNION ALL SELECT 'treach', n1, n2, x FROM tr_agg
 ORDER BY op"""
     )

@@ -90,6 +90,84 @@ def harmonic_centrality(
     )
 
 
+def earliest_arrival(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame,
+    ts_col: str = "ts",
+    start_ts: float = 0.0,
+    max_iterations: int = 64,
+    checkpoint_dir: str | Path | None = None,
+    resume: bool = False,
+) -> RunResult:
+    """Time-respecting earliest-arrival reachability over a DIRECTED
+    temporal edge table (src, dst, ts) → state (source, vid, arrival
+    double), one row per (landmark, temporally-reachable vertex).
+
+    A temporal path must traverse edges in non-decreasing time: an edge
+    (u, v, t) is usable only when t ≥ arrival(u) (waiting at a vertex is
+    allowed, traversal is instantaneous — the earliest-arrival semantics
+    of Wu et al., "Path Problems in Temporal Graphs", VLDB'14). On a
+    commit-history link graph this answers "which files/repos could a
+    change propagate to, respecting commit order" — plain reachability
+    overcounts by ignoring edge times.
+
+    Superstep shape (C2 expand-join + C9 min-reduction + C22 observed
+    halt, the same bounded plan as :func:`weighted_distances`): one
+    round relaxes every temporal edge out of the current state —
+    ``state ⋈ edges ON vid = src WHERE ts ≥ arrival`` — and keeps the
+    per-(source, vid) minimum arrival. Arrivals are monotone
+    non-increasing and the row set monotone growing, so (rows, arrival
+    mass) is a fixpoint certificate. Edges are NOT symmetrized: temporal
+    reachability is inherently directional (callers symmetrize
+    explicitly if their edges are undirected contacts). State is
+    O(|sources| · V): the landmark contract.
+    """
+    te = edges.select("src", "dst", F.col(ts_col).cast("double").alias("_t"))
+    state0 = sources.select("vid").dropDuplicates(["vid"]).select(
+        F.col("vid").alias("source"),
+        F.col("vid"),
+        F.lit(float(start_ts)).alias("arrival"),
+    )
+    prev: list[tuple | None] = [None]
+
+    def step(state: DataFrame, i: int):
+        relaxed = (
+            state.join(te, state["vid"] == te["src"])
+            .filter(F.col("_t") >= F.col("arrival"))
+            .select(
+                "source",
+                F.col("dst").alias("vid"),
+                F.col("_t").alias("arrival"),
+            )
+        )
+        merged = (
+            state.unionByName(relaxed)
+            .groupBy("source", "vid")
+            .agg(F.min("arrival").alias("arrival"))
+        )
+        return merged, {"round": i + 1}
+
+    def halt_decide(m: dict, i: int) -> bool:
+        fp = (m["rows"], m["arrival_mass"])
+        done = fp == prev[0]
+        prev[0] = fp
+        return done
+
+    runner = SuperstepRunner(
+        spark, checkpoint_dir=checkpoint_dir, max_iterations=max_iterations
+    )
+    return runner.run(
+        state0,
+        step,
+        resume=resume,
+        halt_exprs={
+            "arrival_mass": F.sum(F.round(F.col("arrival"), 9).cast("decimal(38,9)"))
+        },
+        halt_decide=halt_decide,
+    )
+
+
 def weighted_distances(
     spark: SparkSession,
     edges: DataFrame,

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -462,3 +462,132 @@ def cosine_near_dup_pairs(
     else:
         raise ValueError(f"cosine_near_dup_pairs: unknown mode {mode!r}")
     return pairs.select("a", "b", score).filter(F.col("score") >= threshold)
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    threshold: float,
+    n_clusters: int = 16,
+    iterations: int = 3,
+    seed: int = 131,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    split_threshold: int = 4096,
+) -> DataFrame:
+    """SemDeDup — semantic deduplication via embedding clustering
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication") → (id, cluster, bucket, group, keep),
+    one row per input embedding.
+
+    The scale idea: all-pairs cosine over 10^9+ embeddings is out of the
+    question, but k-means clusters are small enough that WITHIN-cluster
+    pairs are tractable — semantic duplicates land in the same cluster
+    because they are near-identical vectors. Pipeline, all on existing
+    primitives:
+
+    1. **cluster** — :func:`ivf_train_centroids` (distributed Lloyd
+       iterations; only the K×D centroid matrix touches the driver) and a
+       JVM-side nearest-centroid fold assigns every row a cluster.
+    2. **bound** — clusters larger than ``split_threshold`` are sub-split
+       into deterministic xxhash buckets so the within-bucket self-join
+       is never worse than O(split_threshold²) per bucket (the same
+       recall-for-boundedness trade the banded-LSH dedups make: a pair
+       straddling two sub-buckets is missed; raise the threshold or the
+       cluster count to tune).
+    3. **pairs** — within-(cluster, bucket) self-join with the JVM cosine
+       fold, score ≥ ``threshold`` (rounded to 5 decimals, matching
+       :func:`cosine_near_dup_pairs`).
+    4. **close + keep** — the pair relation is closed transitively with
+       the graph engine's connected components (operators/dedup.py
+       ``dedup_clusters``); ``group`` is the component id and the
+       minimum id per group survives (``keep``) — the deterministic
+       survivor rule shared by every dedup in this package.
+
+    Guaranteed invariants (gate-checked): every row is assigned; exactly
+    one keeper per group; within a (cluster, bucket) no two KEPT rows are
+    ≥ threshold similar (they would share a pair edge and a group).
+    Transitive closure means a dropped row can be < threshold from its
+    group's keeper through a chain — the documented SemDeDup behavior.
+    """
+    from arabesque_spark.operators.dedup import dedup_clusters
+
+    cents = ivf_train_centroids(
+        embeddings,
+        n_centroids=n_clusters,
+        iterations=iterations,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    assigned = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(_ivf_assign_col(cents, vec_col, 1), 1).alias("cluster"),
+    )
+    # bound the within-cluster join: sub-split oversized clusters. The
+    # size table is K rows (cluster-scale) -> broadcast.
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("_csz"))
+    assigned = (
+        assigned.join(F.broadcast(sizes), "cluster")
+        .withColumn(
+            "bucket",
+            F.when(
+                F.col("_csz") > split_threshold,
+                F.pmod(
+                    F.xxhash64(F.col(id_col), F.lit(seed)),
+                    F.ceil(F.col("_csz") / split_threshold).cast("bigint"),
+                ).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_csz")
+    )
+    pairs = semantic_dedup_pairs(
+        assigned, threshold, id_col=id_col, vec_col=vec_col
+    )
+    groups = dedup_clusters(
+        spark, assigned.select(id_col), pairs, id_col=id_col
+    ).select(id_col, F.col("cluster").alias("group"), "keep")
+    return assigned.select(id_col, "cluster", "bucket").join(groups, id_col)
+
+
+def semantic_dedup_pairs(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, score) with a < b — within-(cluster, bucket) cosine pairs
+    at ≥ threshold, the candidate stage of :func:`semantic_dedup` split
+    out so the gate can re-verify keeper-set idempotence (re-running the
+    pair scan over KEPT rows only must yield zero pairs)."""
+    norms = assigned.select(
+        "cluster",
+        "bucket",
+        F.col(id_col),
+        F.col(vec_col),
+        F.greatest(_norm(F.col(vec_col)), F.lit(1e-12)).alias("nrm"),
+    )
+    left = norms.select(
+        "cluster",
+        "bucket",
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    right = norms.select(
+        "cluster",
+        "bucket",
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    score = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 5
+    ).alias("score")
+    return (
+        left.join(right, ["cluster", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", score)
+        .filter(F.col("score") >= threshold)
+    )

@@ -1,0 +1,98 @@
+"""SemDeDup (embedding-cluster semantic dedup) — planted-duplicate recovery,
+survivor rule, keeper idempotence, and the oversized-cluster split guard."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from arabesque_spark.operators.similarity import (
+    semantic_dedup,
+    semantic_dedup_pairs,
+)
+
+THRESHOLD = 0.97
+
+
+def _planted_embeddings(spark, n_groups=8, dups_per_group=3, dim=12, seed=7):
+    """Well-separated base directions, each repeated with tiny jitter —
+    every planted group is a mutual near-dup set, groups are far apart."""
+    rng = random.Random(seed)
+    rows = []
+    vid = 0
+    expected = []
+    for g in range(n_groups):
+        base = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        nrm = math.sqrt(sum(x * x for x in base)) or 1.0
+        base = [x / nrm for x in base]
+        members = []
+        for _ in range(dups_per_group):
+            jit = [x + rng.gauss(0.0, 0.003) for x in base]
+            rows.append((vid, [float(x) for x in jit]))
+            members.append(vid)
+            vid += 1
+        expected.append(sorted(members))
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        expected,
+    )
+
+
+def test_planted_groups_recovered_and_min_id_kept(spark):
+    emb, expected = _planted_embeddings(spark)
+    out = semantic_dedup(
+        spark, emb, THRESHOLD, n_clusters=4, iterations=3, seed=131
+    )
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == emb.count()  # every row assigned
+    # each planted group collapses to one dup-group keeping the min id
+    for members in expected:
+        groups = {rows[m]["group"] for m in members}
+        assert len(groups) == 1, f"planted group split: {members}"
+        keepers = [m for m in members if rows[m]["keep"]]
+        assert keepers == [min(members)]
+    # exactly one keeper per group overall
+    per_group = (
+        out.groupBy("group").agg(F.sum(F.col("keep").cast("int")).alias("k"))
+    )
+    assert per_group.filter(F.col("k") != 1).count() == 0
+
+
+def test_keeper_set_idempotent_within_buckets(spark):
+    emb, _ = _planted_embeddings(spark, n_groups=6, dups_per_group=4)
+    out = semantic_dedup(
+        spark, emb, THRESHOLD, n_clusters=3, iterations=3, seed=131
+    )
+    kept = out.filter("keep").select("vec_id", "cluster", "bucket")
+    kept_vecs = kept.join(emb, "vec_id")
+    again = semantic_dedup_pairs(kept_vecs, THRESHOLD)
+    assert again.count() == 0  # no two keepers in one bucket are near-dups
+
+
+def test_singletons_survive(spark):
+    # orthogonal one-hot vectors: nothing is similar to anything
+    dim = 6
+    rows = [(i, [1.0 if j == i else 0.0 for j in range(dim)]) for i in range(dim)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(spark, emb, 0.9, n_clusters=2, iterations=2)
+    assert out.filter("keep").count() == dim
+    assert out.select("group").distinct().count() == dim
+
+
+def test_split_threshold_bounds_buckets(spark):
+    emb, _ = _planted_embeddings(spark, n_groups=5, dups_per_group=6)
+    out = semantic_dedup(
+        spark, emb, THRESHOLD, n_clusters=1, iterations=1, split_threshold=10
+    )
+    sizes = out.groupBy("cluster", "bucket").count().collect()
+    assert all(r["count"] <= 10 + 6 for r in sizes)  # hash split is approximate
+    assert len(sizes) >= 2  # the single oversized cluster actually split
+
+
+def test_deterministic(spark):
+    emb, _ = _planted_embeddings(spark)
+    a = semantic_dedup(spark, emb, THRESHOLD, n_clusters=4).collect()
+    b = semantic_dedup(spark, emb, THRESHOLD, n_clusters=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -1,0 +1,100 @@
+"""Earliest-arrival temporal reachability vs a brute-force fixpoint."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.bfs import earliest_arrival
+
+
+def _brute_earliest(edges, sources, start_ts=0.0):
+    """Reference fixpoint: relax until nothing improves."""
+    arrival = {(s, s): start_ts for s in sources}
+    changed = True
+    while changed:
+        changed = False
+        for (src, dst, t) in edges:
+            for s in sources:
+                au = arrival.get((s, src))
+                if au is not None and t >= au:
+                    cur = arrival.get((s, dst))
+                    if cur is None or t < cur:
+                        arrival[(s, dst)] = float(t)
+                        changed = True
+    return arrival
+
+
+def _random_temporal_graph(seed, n=30, m=120, tmax=20):
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(n), rng.randrange(n), float(rng.randrange(tmax)))
+        for _ in range(m)
+    ]
+
+
+def test_matches_brute_force(spark):
+    for seed in (1, 2, 3):
+        edges = _random_temporal_graph(seed)
+        sources = [0, 1, 2]
+        df = spark.createDataFrame(edges, "src long, dst long, ts double")
+        src_df = spark.createDataFrame([(s,) for s in sources], "vid long")
+        got = {
+            (r["source"], r["vid"]): r["arrival"]
+            for r in earliest_arrival(spark, df, src_df).state.collect()
+        }
+        want = _brute_earliest(edges, sources)
+        assert got == want, f"seed {seed}"
+
+
+def test_time_respecting_not_plain_reachability(spark):
+    # a -> b at t=5, b -> c at t=3: c is UNREACHABLE from a (time goes
+    # backwards), though plain reachability would claim it
+    edges = [(0, 1, 5.0), (1, 2, 3.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, ts double")
+    src = spark.createDataFrame([(0,)], "vid long")
+    got = {
+        (r["source"], r["vid"]): r["arrival"]
+        for r in earliest_arrival(spark, df, src).state.collect()
+    }
+    assert got == {(0, 0): 0.0, (0, 1): 5.0}
+
+
+def test_waiting_allowed_and_equal_time_chains(spark):
+    # equal timestamps chain within the same instant (t >= arrival)
+    edges = [(0, 1, 2.0), (1, 2, 2.0), (2, 3, 7.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, ts double")
+    src = spark.createDataFrame([(0,)], "vid long")
+    got = {
+        r["vid"]: r["arrival"]
+        for r in earliest_arrival(spark, df, src).state.collect()
+    }
+    assert got == {0: 0.0, 1: 2.0, 2: 2.0, 3: 7.0}
+
+
+def test_earlier_arrival_unlocks_more_edges(spark):
+    # two routes to vertex 2: direct at t=9, or via 1 arriving t=4; the
+    # t=4 arrival unlocks the (2, 3, t=5) edge the t=9 one would miss —
+    # min-merge must propagate the BETTER arrival's consequences
+    edges = [(0, 2, 9.0), (0, 1, 1.0), (1, 2, 4.0), (2, 3, 5.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, ts double")
+    src = spark.createDataFrame([(0,)], "vid long")
+    got = {
+        r["vid"]: r["arrival"]
+        for r in earliest_arrival(spark, df, src).state.collect()
+    }
+    assert got == {0: 0.0, 1: 1.0, 2: 4.0, 3: 5.0}
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    edges = _random_temporal_graph(11)
+    df = spark.createDataFrame(edges, "src long, dst long, ts double")
+    src = spark.createDataFrame([(0,), (1,)], "vid long")
+    full = earliest_arrival(spark, df, src).state.collect()
+    ck = str(tmp_path / "treach")
+    earliest_arrival(spark, df, src, checkpoint_dir=ck, max_iterations=2)
+    resumed = earliest_arrival(
+        spark, df, src, checkpoint_dir=ck, resume=True
+    ).state.collect()
+    assert sorted(map(tuple, resumed)) == sorted(map(tuple, full))
