@@ -61,6 +61,10 @@ SEMDEDUP_CLUSTERS = 8      # k-means clusters for the semantic-dedup row
 SEMDEDUP_MOD = 5           # every SEMDEDUP_MOD-th embedding gets a planted twin
 TREACH_TMOD = 64       # temporal edge ts = (3*src + dst) % TREACH_TMOD
 TREACH_N_SOURCES = 4   # lowest vids of the directed graph
+TOPO_THIN = 4          # toposort DAG keeps src<dst edges with
+                       # (3*src + dst) % TOPO_THIN == 0 (id-orientation
+                       # makes acyclicity structural; thinning bounds the
+                       # longest path so the SQL twin's unroll stays small)
 # checksum modulus just under 2^53: keeps HUGEINT/decimal sums exactly
 # representable after the final cast to double on BOTH engines
 FP_PRIME = 9007199254740881
@@ -827,6 +831,10 @@ def q_directed_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       negative arrivals + oracle convergence violations (0), x =
       Σ round(arrival,6)·w fingerprint vs an unrolled earliest-arrival
       twin (edge times (3·src+dst) % TREACH_TMOD on both sides)
+    - ``toposort``   n1 = DAG components, n2 = condensation-identity +
+      level-ordering + oracle convergence violations (0), x = Σ level·w
+      longest-path-level fingerprint vs an unrolled max-relaxation twin
+      on the id-oriented thinned subgraph
     """
     from arabesque_spark.graph.bfs import weighted_distances
     from arabesque_spark.graph.hits import hits_fixed
@@ -930,6 +938,49 @@ def q_directed_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     rows.append(("treach", int(r["n"]), int(r["bad"]), float(r["fp"])))
 
+    # SCC condensation + topological levels, exercised end-to-end on an
+    # id-oriented (structurally acyclic) thinned subgraph: SCC must find
+    # only singletons, so condensation(dag) == dag — the symmetric
+    # difference feeds n2 alongside level-ordering violations (every DAG
+    # edge must go strictly level-upward) and the oracle's convergence
+    # certificate. x = exact longest-path-level fingerprint.
+    from arabesque_spark.graph.scc import condensation, topological_levels
+
+    dag = (
+        de.filter(
+            (F.col("src") < F.col("dst"))
+            & (F.pmod(3 * F.col("src") + F.col("dst"), F.lit(TOPO_THIN)) == 0)
+        )
+        .localCheckpoint(eager=True)
+    )
+    dsc = strongly_connected_components(spark, dag)
+    cde = condensation(spark, dag, scc=dsc).localCheckpoint(eager=True)
+    dag_c = dag.select(F.col("src").alias("csrc"), F.col("dst").alias("cdst"))
+    ident_bad = (
+        cde.join(dag_c, ["csrc", "cdst"], "left_anti").count()
+        + dag_c.join(cde, ["csrc", "cdst"], "left_anti").count()
+    )
+    lv = topological_levels(spark, cde).state.localCheckpoint(eager=True)
+    order_bad = (
+        cde.join(
+            lv.select(F.col("comp").alias("csrc"), F.col("level").alias("ls")),
+            "csrc",
+        )
+        .join(
+            lv.select(F.col("comp").alias("cdst"), F.col("level").alias("ld")),
+            "cdst",
+        )
+        .filter(F.col("ld") <= F.col("ls"))
+        .count()
+    )
+    r = lv.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("level") * _fpw("comp")).alias("fp"),
+    ).collect()[0]
+    rows.append(
+        ("toposort", int(r["n"]), ident_bad + order_bad, float(r["fp"]))
+    )
+
     return spark.createDataFrame(rows, CHECK_SCHEMA).orderBy("op")
 
 
@@ -945,6 +996,9 @@ SSSP_SQL_ROUNDS = 24  # ≥ max hop count of any optimal weighted path at the
 TREACH_SQL_ROUNDS = 28  # ≥ temporal eccentricity of the treach landmarks at
                         # the gate SF (measured fixpoint: round 22 at
                         # sf0.01) — same in-band tconv certificate as sssp
+TOPO_SQL_ROUNDS = 26  # ≥ longest path of the thinned toposort DAG at the
+                      # gate SF (measured depth: 21 at sf0.01) — same
+                      # in-band certificate (tpconv)
 
 
 def corpus_ops_oracle() -> str:
@@ -1541,6 +1595,42 @@ def directed_kernels_oracle() -> str:
   FROM t{TREACH_SQL_ROUNDS})"""
     )
 
+    # ---- topological levels of the id-oriented thinned DAG ----
+    # acyclicity is structural (src < dst), so the twin needs no SCC
+    # recomputation: condensation(dag) == dag is pinned Spark-side via n2
+    ctes.append(
+        f"""tpde AS MATERIALIZED (
+  SELECT src AS csrc, dst AS cdst FROM de
+  WHERE src < dst AND (3 * src + dst) % {TOPO_THIN} = 0)"""
+    )
+    ctes.append(
+        """tp0 AS (SELECT DISTINCT c AS comp, 0 AS lvl FROM
+  (SELECT csrc AS c FROM tpde UNION ALL SELECT cdst FROM tpde))"""
+    )
+    for t in range(1, TOPO_SQL_ROUNDS + 1):
+        ctes.append(
+            f"""tp{t} AS MATERIALIZED (
+  SELECT comp, MAX(lvl) AS lvl FROM (
+    SELECT comp, lvl FROM tp{t-1}
+    UNION ALL
+    SELECT e.cdst AS comp, l.lvl + 1 AS lvl
+    FROM tp{t-1} l JOIN tpde e ON l.comp = e.csrc)
+  GROUP BY comp)"""
+        )
+    ctes.append(
+        f"""tpconv AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS viol
+  FROM tp{TOPO_SQL_ROUNDS} a JOIN tp{TOPO_SQL_ROUNDS - 1} b USING (comp)
+  WHERE a.lvl <> b.lvl)"""
+    )
+    ctes.append(
+        f"""tp_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+         (SELECT viol FROM tpconv) AS n2,
+         CAST(SUM(lvl * (comp % {FP_MOD} + 1)) AS DOUBLE) AS x
+  FROM tp{TOPO_SQL_ROUNDS})"""
+    )
+
     kernel_ctes = _KERNEL_PRELUDE.split("WITH RECURSIVE", 1)[1]
     return (
         _DIRECTED_PRELUDE
@@ -1553,6 +1643,7 @@ SELECT 'dpagerank' AS op, n1, n2, x FROM pr_agg
 UNION ALL SELECT 'hits', n1, n2, x FROM hits_agg
 UNION ALL SELECT 'scc', n1, n2, x FROM scc_agg
 UNION ALL SELECT 'sssp', n1, n2, x FROM sssp_agg
+UNION ALL SELECT 'toposort', n1, n2, x FROM tp_agg
 UNION ALL SELECT 'treach', n1, n2, x FROM tr_agg
 ORDER BY op"""
     )

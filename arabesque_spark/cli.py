@@ -50,7 +50,8 @@ def main(argv: list[str] | None = None) -> int:
 
     for name in ("pagerank", "cc", "lpa", "triangles", "motifs", "fsm", "walks",
                  "kcore", "ktruss", "truss", "bfs", "census", "louvain", "mis",
-                 "coloring", "mst", "katz", "eigenvector", "wl", "maxclique"):
+                 "coloring", "mst", "katz", "eigenvector", "wl", "maxclique",
+                 "topo"):
         p = sub.add_parser(name)
         p.add_argument("--edges", required=True, help="parquet dir with (src,dst)")
         p.add_argument("--out", default=None, help="result parquet dir")
@@ -332,6 +333,25 @@ def main(argv: list[str] | None = None) -> int:
         )
         out_df = res.state.select("vid", "ec")
         info = {"iterations": res.num_iterations, "converged": res.converged}
+    elif args.cmd == "topo":
+        from arabesque_spark.graph.scc import (
+            condensation,
+            strongly_connected_components,
+            topological_levels,
+        )
+
+        sc = strongly_connected_components(spark, edges)
+        cde = condensation(spark, edges, scc=sc).localCheckpoint(eager=True)
+        res = topological_levels(
+            spark, cde, checkpoint_dir=args.checkpoint, resume=args.resume
+        )
+        out_df = res.state
+        info = {
+            "components": out_df.count(),
+            "dag_edges": cde.count(),
+            "depth": (out_df.agg(F.max("level")).collect()[0][0] or 0),
+            "iterations": res.num_iterations,
+        }
     elif args.cmd == "wl":
         from arabesque_spark.graph.wl import wl_graph_fingerprint, wl_refinement
 

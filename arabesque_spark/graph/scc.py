@@ -39,10 +39,16 @@ Scale notes
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from arabesque_spark.engine.superstep import stats_reset_checkpoint as _srck
+from arabesque_spark.engine.superstep import (
+    RunResult,
+    SuperstepRunner,
+    stats_reset_checkpoint as _srck,
+)
 
 
 def strongly_connected_components(
@@ -187,3 +193,121 @@ def strongly_connected_components(
     for p in done_parts[1:]:
         out = out.union(p)
     return out
+
+
+def condensation(
+    spark: SparkSession,
+    edges: DataFrame,
+    scc: DataFrame | None = None,
+) -> DataFrame:
+    """Condensation DAG of a directed edge table → (csrc, cdst), one row
+    per distinct inter-component edge.
+
+    Contracting every SCC to a single vertex yields an acyclic graph by
+    construction (a cycle through two components would merge them). On a
+    source-code link graph this is the dependency skeleton: mutually
+    entangled repo/file clusters collapse to one node and what remains
+    is a build/propagation ordering. Pass a precomputed ``scc`` labeling
+    (vid, scc) to skip the SCC run — the gate and any caller that
+    already labeled the graph should.
+
+    Shape: two V-scale equi-joins to relabel endpoints + a distinct —
+    all hash-shuffle on vid/component, nothing driver-side; the output
+    is at most |E| rows and typically far smaller.
+    """
+    if scc is None:
+        scc = strongly_connected_components(spark, edges)
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    return (
+        e.join(
+            scc.select(F.col("vid").alias("src"), F.col("scc").alias("csrc")),
+            "src",
+        )
+        .join(
+            scc.select(F.col("vid").alias("dst"), F.col("scc").alias("cdst")),
+            "dst",
+        )
+        .filter(F.col("csrc") != F.col("cdst"))
+        .select("csrc", "cdst")
+        .dropDuplicates(["csrc", "cdst"])
+    )
+
+
+def topological_levels(
+    spark: SparkSession,
+    dag_edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iterations: int = 256,
+    checkpoint_dir: str | Path | None = None,
+    resume: bool = False,
+) -> RunResult:
+    """Longest-path layering of a DAG (csrc, cdst) → state (comp, level),
+    the canonical parallel topological order.
+
+    ``level(c) = 0`` for source components, else ``1 + max(level(p))``
+    over predecessors — every edge goes strictly level-upward, and the
+    layering is the minimum-depth parallel schedule (all components in a
+    level are mutually independent given lower levels). Feed it
+    :func:`condensation` output for an arbitrary directed graph; on a
+    dependency graph the levels ARE the build waves.
+
+    Superstep shape (C2 expand-join + C9 max-reduction + C22 observed
+    halt): one round pushes ``level + 1`` across every DAG edge and
+    max-merges per component. Levels are monotone non-decreasing and
+    bounded by the DAG depth, so the run converges in depth+1 rounds and
+    (rows, level mass) is a fixpoint certificate — the same bounded plan
+    as :func:`~arabesque_spark.graph.bfs.earliest_arrival` with max in
+    place of min. A CYCLE in the input never converges (levels grow
+    forever); ``max_iterations`` is the guard — run SCC+condensation
+    first, which makes acyclicity structural.
+
+    ``vertices`` (single ``comp`` column) adds isolated components that
+    have no DAG edge; endpoints of ``dag_edges`` are always included.
+    """
+    cde = dag_edges.select("csrc", "cdst")
+    comps = (
+        cde.select(F.col("csrc").alias("comp"))
+        .union(cde.select(F.col("cdst").alias("comp")))
+    )
+    if vertices is not None:
+        comps = comps.union(vertices.select("comp"))
+    state0 = comps.dropDuplicates(["comp"]).select(
+        "comp", F.lit(0).cast("long").alias("level")
+    )
+    prev: list[tuple | None] = [None]
+
+    def step(state: DataFrame, i: int):
+        pushed = (
+            state.join(cde, state["comp"] == cde["csrc"])
+            .select(
+                F.col("cdst").alias("comp"),
+                (F.col("level") + F.lit(1)).alias("level"),
+            )
+        )
+        merged = (
+            state.unionByName(pushed)
+            .groupBy("comp")
+            .agg(F.max("level").alias("level"))
+        )
+        return merged, {"round": i + 1}
+
+    def halt_decide(m: dict, i: int) -> bool:
+        fp = (m["rows"], m["level_mass"])
+        done = fp == prev[0]
+        prev[0] = fp
+        return done
+
+    runner = SuperstepRunner(
+        spark, checkpoint_dir=checkpoint_dir, max_iterations=max_iterations
+    )
+    return runner.run(
+        state0,
+        step,
+        resume=resume,
+        halt_exprs={"level_mass": F.sum(F.col("level"))},
+        halt_decide=halt_decide,
+    )

@@ -1,0 +1,151 @@
+"""Condensation DAG + topological levels vs a brute-force reference."""
+
+from __future__ import annotations
+
+import random
+
+from arabesque_spark.graph.scc import (
+    condensation,
+    strongly_connected_components,
+    topological_levels,
+)
+
+
+def _brute_scc(edges):
+    """Tarjan, iterative (returns vid -> max-vid-of-component label)."""
+    adj: dict[int, list[int]] = {}
+    verts = set()
+    for s, d in edges:
+        verts.add(s)
+        verts.add(d)
+        if s != d:
+            adj.setdefault(s, []).append(d)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on: set[int] = set()
+    stack: list[int] = []
+    label: dict[int, int] = {}
+    counter = [0]
+
+    def strongconnect(root):
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on.add(v)
+            recurse = False
+            nbrs = adj.get(v, [])
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if pi >= len(nbrs) or not recurse:
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w = stack.pop()
+                        on.discard(w)
+                        comp.append(w)
+                        if w == v:
+                            break
+                    rep = max(comp)
+                    for w in comp:
+                        label[w] = rep
+                work.pop()
+                if work:
+                    u, _ = work[-1]
+                    low[u] = min(low[u], low[v])
+
+    for v in verts:
+        if v not in index:
+            strongconnect(v)
+    return label
+
+
+def _brute_levels(dag_edges):
+    """Longest-path level per DAG vertex by fixpoint relaxation."""
+    level = {}
+    for s, d in dag_edges:
+        level.setdefault(s, 0)
+        level.setdefault(d, 0)
+    changed = True
+    while changed:
+        changed = False
+        for s, d in dag_edges:
+            if level[s] + 1 > level[d]:
+                level[d] = level[s] + 1
+                changed = True
+    return level
+
+
+def _random_digraph(seed, n=40, m=160):
+    rng = random.Random(seed)
+    return list({(rng.randrange(n), rng.randrange(n)) for _ in range(m)})
+
+
+def test_condensation_matches_brute_force(spark):
+    for seed in (1, 2, 3):
+        edges = _random_digraph(seed)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        sc = strongly_connected_components(spark, df)
+        want_lab = _brute_scc(edges)
+        got_lab = {r["vid"]: r["scc"] for r in sc.collect()}
+        assert got_lab == want_lab, f"scc labels differ, seed {seed}"
+        got = {
+            (r["csrc"], r["cdst"]) for r in condensation(spark, df, scc=sc).collect()
+        }
+        want = {
+            (want_lab[s], want_lab[d])
+            for s, d in edges
+            if want_lab[s] != want_lab[d]
+        }
+        assert got == want, f"condensation differs, seed {seed}"
+
+
+def test_levels_match_brute_force_and_respect_edges(spark):
+    for seed in (4, 5):
+        edges = _random_digraph(seed)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        sc = strongly_connected_components(spark, df)
+        cde = condensation(spark, df, scc=sc)
+        dag = [(r["csrc"], r["cdst"]) for r in cde.collect()]
+        res = topological_levels(spark, cde)
+        got = {r["comp"]: r["level"] for r in res.state.collect()}
+        want = _brute_levels(dag)
+        assert got == want, f"levels differ, seed {seed}"
+        # structural invariant: every DAG edge strictly increases level
+        assert all(got[s] < got[d] for s, d in dag)
+
+
+def test_isolated_components_via_vertices_param(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    cde = condensation(spark, df)  # chain: three singleton SCCs
+    verts = spark.createDataFrame([(99,)], "comp long")
+    got = {
+        r["comp"]: r["level"]
+        for r in topological_levels(spark, cde, vertices=verts).state.collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 99: 0}
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    edges = _random_digraph(7)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    cde = condensation(spark, df).localCheckpoint(eager=True)
+    full = topological_levels(spark, cde).state.collect()
+    ck = str(tmp_path / "topo")
+    topological_levels(spark, cde, checkpoint_dir=ck, max_iterations=2)
+    resumed = topological_levels(
+        spark, cde, checkpoint_dir=ck, resume=True
+    ).state.collect()
+    assert sorted(map(tuple, resumed)) == sorted(map(tuple, full))
