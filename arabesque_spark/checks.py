@@ -835,6 +835,9 @@ def q_directed_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       level-ordering + oracle convergence violations (0), x = Σ level·w
       longest-path-level fingerprint vs an unrolled max-relaxation twin
       on the id-oriented thinned subgraph
+    - ``reciprocity``  n1 = directed edges, n2 = reciprocated edges
+      (both exact counts), x = their raw IEEE quotient — the classic
+      directed-graph statistic, one self-semi-join
     """
     from arabesque_spark.graph.bfs import weighted_distances
     from arabesque_spark.graph.hits import hits_fixed
@@ -980,6 +983,16 @@ def q_directed_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.append(
         ("toposort", int(r["n"]), ident_bad + order_bad, float(r["fp"]))
     )
+
+    # reciprocity: fraction of directed edges whose reverse also exists —
+    # one self-semi-join on the swapped key pair, map-side prunable
+    from arabesque_spark.graph.stats import reciprocity
+
+    # x is the raw IEEE quotient of two exact integer counts — both
+    # engines divide the same operands, so no rounding is needed (and
+    # Python's half-even round vs SQL's half-away ROUND could disagree)
+    n_edges, n_recip, ratio = reciprocity(de)
+    rows.append(("reciprocity", n_edges, n_recip, ratio))
 
     return spark.createDataFrame(rows, CHECK_SCHEMA).orderBy("op")
 
@@ -1631,6 +1644,20 @@ def directed_kernels_oracle() -> str:
   FROM tp{TOPO_SQL_ROUNDS})"""
     )
 
+    # ---- reciprocity of the directed graph ----
+    ctes.append(
+        """rc_agg AS (
+  SELECT CAST((SELECT COUNT(*) FROM de) AS BIGINT) AS n1,
+         CAST((SELECT COUNT(*) FROM de a
+               WHERE EXISTS (SELECT 1 FROM de b
+                             WHERE b.src = a.dst AND b.dst = a.src))
+              AS BIGINT) AS n2,
+         (SELECT COUNT(*) FROM de a
+          WHERE EXISTS (SELECT 1 FROM de b
+                        WHERE b.src = a.dst AND b.dst = a.src))
+         * 1.0 / (SELECT COUNT(*) FROM de) AS x)"""
+    )
+
     kernel_ctes = _KERNEL_PRELUDE.split("WITH RECURSIVE", 1)[1]
     return (
         _DIRECTED_PRELUDE
@@ -1641,6 +1668,7 @@ def directed_kernels_oracle() -> str:
         + """
 SELECT 'dpagerank' AS op, n1, n2, x FROM pr_agg
 UNION ALL SELECT 'hits', n1, n2, x FROM hits_agg
+UNION ALL SELECT 'reciprocity', n1, n2, x FROM rc_agg
 UNION ALL SELECT 'scc', n1, n2, x FROM scc_agg
 UNION ALL SELECT 'sssp', n1, n2, x FROM sssp_agg
 UNION ALL SELECT 'toposort', n1, n2, x FROM tp_agg

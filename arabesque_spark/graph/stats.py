@@ -50,3 +50,25 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
             F.try_divide(F.col("cv"), F.col("sx") * F.col("sy")), 6
         ).alias("assortativity"),
     )
+
+
+def reciprocity(edges: DataFrame) -> tuple[int, int, float]:
+    """(n_edges, n_reciprocated, ratio) of a DIRECTED edge table —
+    the fraction of edges u→v whose reverse v→u also exists (Newman's
+    r, the standard directed-graph mutuality statistic; 1.0 for any
+    symmetrized graph, so only meaningful on raw directed input).
+
+    One dedup + one self-semi-join on the swapped key pair — both ends
+    hash-partition on (src, dst), no driver data path beyond the two
+    scalar counts. Self-loops are excluded (their reverse is
+    themselves, which would inflate r).
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_edges = e.count()
+    n_recip = e.join(rev, ["src", "dst"], "left_semi").count()
+    return n_edges, n_recip, (n_recip / n_edges if n_edges else 0.0)

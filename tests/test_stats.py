@@ -44,3 +44,25 @@ def test_assortativity_sign(spark):
     )
     df2 = spark.createDataFrame(k4s, "src long, dst long")
     assert degree_assortativity(df2).collect()[0]["assortativity"] is None
+
+
+def test_reciprocity_counts(spark):
+    from arabesque_spark.graph.stats import reciprocity
+
+    # 1<->2 mutual, 1->3 and 4->1 one-way, self-loop dropped, dup dropped
+    edges = [(1, 2), (2, 1), (1, 3), (4, 1), (5, 5), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    n, r, ratio = reciprocity(df)
+    assert (n, r) == (4, 2)
+    assert ratio == 2 / 4
+
+    # brute parity on a random digraph
+    import random
+
+    rng = random.Random(9)
+    redges = list({(rng.randrange(20), rng.randrange(20)) for _ in range(80)})
+    clean = [(s, d) for s, d in redges if s != d]
+    want = sum(1 for s, d in clean if (d, s) in set(clean))
+    df2 = spark.createDataFrame(redges, "src long, dst long")
+    n2, r2, _ = reciprocity(df2)
+    assert (n2, r2) == (len(clean), want)
