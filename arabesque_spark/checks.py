@@ -61,6 +61,10 @@ SEMDEDUP_CLUSTERS = 8      # k-means clusters for the semantic-dedup row
 SEMDEDUP_MOD = 5           # every SEMDEDUP_MOD-th embedding gets a planted twin
 TREACH_TMOD = 64       # temporal edge ts = (3*src + dst) % TREACH_TMOD
 TREACH_N_SOURCES = 4   # lowest vids of the directed graph
+BP_K = 8               # balanced-partition part count in the gate
+BP_EPS = 0.15          # balanced-partition capacity slack
+BP_ROUNDS = 8          # balanced-partition local-move round budget
+BP_SEED = 23           # must match balanced_partition's default seed
 TOPO_THIN = 4          # toposort DAG keeps src<dst edges with
                        # (3*src + dst) % TOPO_THIN == 0 (id-orientation
                        # makes acyclicity structural; thinning bounds the
@@ -594,6 +598,9 @@ def q_graph_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``anf``         n1 = vertices (exact NF(0)), n2 = NF monotonicity
       violations (0)
     - ``betweenness`` n1 = vertices scored, n2 = negative scores (0)
+    - ``partition``   n1 = vertices assigned (= V), n2 = completeness +
+      range + capacity + cut-vs-initial violations (all structural, 0),
+      x = k
     """
     from arabesque_spark.graph.anf import neighborhood_function
     from arabesque_spark.graph.betweenness import betweenness_centrality
@@ -809,6 +816,50 @@ def q_graph_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r = degree_assortativity(edges).collect()[0]
     rows.append(("assortativity", int(r["n_edges"]), 0, float(r["assortativity"])))
+
+    # Balanced k-way partitioning (Spinner local moves): every pinned
+    # invariant is STRUCTURAL — assignment completeness/uniqueness,
+    # partition range, degree-mass capacity vs max(initial, capacity)
+    # per partition, and cut(returned) ≤ cut(initial hash) (the better
+    # of final vs initial is returned by construction). n1 = assigned
+    # vertices (oracle recomputes V), n2 = violations (0), x = k.
+    from arabesque_spark.graph.partition import balanced_partition
+
+    bp, bp_info = balanced_partition(
+        spark, edges, k=BP_K, eps=BP_EPS, max_rounds=BP_ROUNDS, seed=BP_SEED
+    )
+    bp = bp.localCheckpoint(eager=True)
+    n_assigned = bp.count()
+    range_bad = bp.filter(
+        (F.col("part") < 0) | (F.col("part") >= BP_K)
+    ).count()
+    miss = verts.join(bp, "vid", "left_anti").count()
+    dup = n_assigned - bp.select("vid").dropDuplicates(["vid"]).count()
+    cut_bad = int(bp_info["cut_final"] > bp_info["cut_init"])
+    kdeg = sym.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").alias("deg")
+    )
+    init_max = (
+        kdeg.select(
+            F.pmod(F.xxhash64("vid", F.lit(BP_SEED)), F.lit(BP_K)).alias("p"),
+            "deg",
+        )
+        .groupBy("p")
+        .agg(F.sum("deg").alias("load"))
+        .agg(F.max("load"))
+        .collect()[0][0]
+    )
+    cap_bad = int(
+        bp_info["max_load"] > max(bp_info["capacity"], float(init_max)) + 1e-9
+    )
+    rows.append(
+        (
+            "partition",
+            n_assigned,
+            range_bad + miss + dup + cut_bad + cap_bad,
+            float(BP_K),
+        )
+    )
 
     return spark.createDataFrame(rows, CHECK_SCHEMA).orderBy("op")
 
@@ -1398,7 +1449,7 @@ def graph_kernels_oracle() -> str:
         _KERNEL_PRELUDE
         + ",\n"
         + ",\n".join(ctes)
-        + """
+        + f"""
 SELECT 'anf' AS op, (SELECT v FROM kcnt) AS n1, CAST(0 AS BIGINT) AS n2,
        CAST(1.0 AS DOUBLE) AS x
 UNION ALL SELECT 'assortativity', n1, CAST(0 AS BIGINT), x FROM as_agg
@@ -1411,6 +1462,7 @@ UNION ALL SELECT 'louvain', (SELECT v FROM kcnt), CAST(0 AS BIGINT), CAST(1.0 AS
 UNION ALL SELECT 'maxclique', (SELECT n FROM mc2), (SELECT n FROM mc3),
                   CAST((SELECT n FROM mc4) AS DOUBLE)
 UNION ALL SELECT 'mis', (SELECT v FROM kcnt), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
+UNION ALL SELECT 'partition', (SELECT v FROM kcnt), CAST(0 AS BIGINT), CAST({BP_K}.0 AS DOUBLE)
 UNION ALL SELECT 'mst', (SELECT v FROM kcnt) - (SELECT c FROM kncomp),
                   (SELECT c FROM kncomp), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'truss', (SELECT e FROM kecnt), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)

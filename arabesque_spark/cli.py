@@ -51,7 +51,7 @@ def main(argv: list[str] | None = None) -> int:
     for name in ("pagerank", "cc", "lpa", "triangles", "motifs", "fsm", "walks",
                  "kcore", "ktruss", "truss", "bfs", "census", "louvain", "mis",
                  "coloring", "mst", "katz", "eigenvector", "wl", "maxclique",
-                 "topo"):
+                 "topo", "partition"):
         p = sub.add_parser(name)
         p.add_argument("--edges", required=True, help="parquet dir with (src,dst)")
         p.add_argument("--out", default=None, help="result parquet dir")
@@ -111,6 +111,11 @@ def main(argv: list[str] | None = None) -> int:
         if name == "eigenvector":
             p.add_argument("--tol", type=float, default=1e-9)
             p.add_argument("--max-iterations", type=int, default=200)
+        if name == "partition":
+            p.add_argument("--k", type=int, required=True)
+            p.add_argument("--eps", type=float, default=0.10,
+                           help="balance slack over perfect degree-mass split")
+            p.add_argument("--max-rounds", type=int, default=30)
         if name == "wl":
             p.add_argument("--rounds", type=int, default=3)
             p.add_argument("--labels", default=None,
@@ -333,6 +338,18 @@ def main(argv: list[str] | None = None) -> int:
         )
         out_df = res.state.select("vid", "ec")
         info = {"iterations": res.num_iterations, "converged": res.converged}
+    elif args.cmd == "partition":
+        from arabesque_spark.graph.partition import balanced_partition
+
+        out_df, info = balanced_partition(
+            spark,
+            edges,
+            k=args.k,
+            eps=args.eps,
+            max_rounds=args.max_rounds,
+            checkpoint_dir=args.checkpoint,
+            resume=args.resume,
+        )
     elif args.cmd == "topo":
         from arabesque_spark.graph.scc import (
             condensation,

@@ -1,0 +1,283 @@
+"""Balanced k-way graph partitioning via label-propagation local moves.
+
+The Spinner algorithm (Martella, Logothetis, Loukas, Siganos —
+"Spinner: Scalable Graph Partitioning in the Cloud", ICDE 2017)
+re-expressed as a DataFrame superstep: each vertex scores every
+candidate partition by the fraction of its neighbors already there,
+discounted by that partition's load, and greedily moves — the
+deterministic, hash-parity-gated synchronous variant of this module's
+Louvain local moves (community.py:173), with a HARD capacity cap
+enforced by per-target prefix admission.
+
+This is the placement primitive the 100-TB story runs on: a k-way
+assignment with bounded load and a small edge cut is exactly what
+co-locates superstep gather-scatter traffic (SURVEY C15/C18 — the
+reference hash-partitions embeddings blindly; a cut-aware assignment
+ships fewer frontier bytes per superstep).
+
+Scale shape per round: one E-scale equi-join (neighbor partition
+gather, map-side combinable into ≤ k rows per vertex), one k-row load
+table (broadcast), and a window ONLY over the round's admitted movers
+(≤ V rows, usually ≪), partitioned k ways. No driver data path beyond
+k-row scalars.
+
+Guarantees (all structural, gate-checked):
+- every input vertex gets exactly one partition in [0, k);
+- per-partition degree mass never exceeds ``max(initial mass,
+  capacity)`` — movers into p are admitted by deterministic
+  hash-ordered prefix while the budget ``capacity − load(p)`` lasts, so
+  an under-cap partition stays under cap and an over-cap one (possible
+  only from a skewed initial hash) can only shed;
+- the RETURNED assignment's edge cut is ≤ the initial hash
+  assignment's: the final state is compared against the (seed-derivable)
+  initial one and the better is returned, so local-move oscillation can
+  never ship a worse-than-hash partition.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arabesque_spark.engine.superstep import SuperstepRunner
+from arabesque_spark.graph.build import symmetric_edges
+
+
+def _edge_cut(sym: DataFrame, assign: DataFrame) -> int:
+    """Directed-pair count of cut edges (each undirected edge counted
+    twice; callers only ever compare cuts, so the factor cancels)."""
+    a = assign.select(F.col("vid").alias("src"), F.col("part").alias("ps"))
+    b = assign.select(F.col("vid").alias("dst"), F.col("part").alias("pd"))
+    return (
+        sym.join(a, "src")
+        .join(b, "dst")
+        .filter(F.col("ps") != F.col("pd"))
+        .count()
+    )
+
+
+def balanced_partition(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int,
+    eps: float = 0.10,
+    max_rounds: int = 30,
+    seed: int = 23,
+    tol: float = 1e-12,
+    checkpoint_dir: str | Path | None = None,
+    resume: bool = False,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Partition the undirected graph into ``k`` parts → ((vid, part),
+    info) with ``info = {cut_init, cut_final, rounds, capacity,
+    max_load, improved}``.
+
+    ``eps`` is the balance slack: capacity = (1+eps) · (2|E|) / k of
+    degree mass per partition (degree mass, not vertex count, because
+    superstep work is proportional to incident edges). Deterministic at
+    any parallelism: scores, parity gates, and admission ranks all
+    derive from ``xxhash64(vid, seed, round)``.
+    """
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    sym = (
+        symmetric_edges(edges.select("src", "dst"))
+        .repartition(n_parts, "dst")
+        .sortWithinPartitions("dst")
+        .persist()
+    )
+    deg = sym.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").alias("deg")
+    )
+    total_mass = float(sym.count())
+    capacity = (1.0 + eps) * total_mass / k
+
+    def initial(d: DataFrame) -> DataFrame:
+        return d.select(
+            "vid",
+            F.pmod(F.xxhash64("vid", F.lit(seed)), F.lit(k))
+            .cast("int")
+            .alias("part"),
+            "deg",
+        )
+
+    state0 = initial(deg).withColumn("wants", F.lit(True))
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
+        cur = state.select("vid", "part", "deg")
+        # k-row load table — broadcast into scoring and admission
+        loads = F.broadcast(
+            cur.groupBy("part").agg(F.sum("deg").alias("load"))
+        )
+        # w(v -> p): neighbor mass per candidate partition
+        nbr = (
+            sym.join(
+                cur.select(F.col("vid").alias("dst"), F.col("part")), "dst"
+            )
+            .groupBy(F.col("src").alias("vid"), "part")
+            .agg(F.count("*").alias("w"))
+        )
+        cand = (
+            nbr.join(
+                cur.select("vid", F.col("part").alias("cur_p"), "deg"), "vid"
+            )
+            .unionByName(
+                cur.select(
+                    "vid",
+                    "part",
+                    F.lit(0).alias("w"),
+                    F.col("part").alias("cur_p"),
+                    "deg",
+                )
+            )
+            .groupBy("vid", "part")
+            .agg(
+                F.max("w").alias("w"),
+                F.max("cur_p").alias("cur_p"),
+                F.max("deg").alias("deg"),
+            )
+        )
+        scored = cand.join(loads, "part").select(
+            "vid",
+            "part",
+            "cur_p",
+            "deg",
+            (
+                (F.col("w") / F.col("deg"))
+                * (1.0 - F.col("load") / F.lit(capacity))
+            ).alias("score"),
+        )
+        best = (
+            scored.groupBy("vid")
+            .agg(
+                F.max(
+                    F.struct(F.col("score"), (-F.col("part")).alias("neg"))
+                ).alias("top"),
+                F.max(
+                    F.when(F.col("part") == F.col("cur_p"), F.col("score"))
+                ).alias("stay"),
+                F.max("cur_p").alias("cur_p"),
+                F.max("deg").alias("deg"),
+            )
+            .select(
+                "vid",
+                "cur_p",
+                "deg",
+                (-F.col("top.neg")).cast("int").alias("target"),
+                (F.col("top.score") > F.col("stay") + F.lit(tol)).alias(
+                    "better"
+                ),
+            )
+        )
+        gate = (
+            F.pmod(F.xxhash64("vid", F.lit(seed), F.lit(i)), F.lit(2)) == 0
+        )
+        flagged = best.select(
+            "vid",
+            "cur_p",
+            "deg",
+            "target",
+            "better",
+            (F.col("better") & gate & (F.col("target") != F.col("cur_p"))).alias(
+                "mover"
+            ),
+        )
+        # hard-cap admission: movers into each target ranked by hash,
+        # admitted while the cumulative degree mass fits the budget
+        # capacity - load(target). Window spans ONLY this round's movers.
+        movers = flagged.filter("mover").join(
+            loads.select(
+                F.col("part").alias("target"), F.col("load").alias("tload")
+            ),
+            "target",
+        )
+        win = Window.partitionBy("target").orderBy(
+            F.xxhash64("vid", F.lit(seed + 1), F.lit(i)), "vid"
+        )
+        admitted = (
+            movers.withColumn(
+                "cum", F.sum("deg").over(win)
+            )
+            .filter(
+                F.col("cum") <= F.greatest(
+                    F.lit(capacity) - F.col("tload"), F.lit(0.0)
+                )
+            )
+            .select("vid", F.col("target").alias("new_p"))
+        )
+        new_state = (
+            flagged.join(admitted, "vid", "left")
+            .select(
+                "vid",
+                F.coalesce("new_p", F.col("cur_p")).alias("part"),
+                "deg",
+                # pre-gate improver flag: wants == 0 certifies that no
+                # vertex can improve its score — exact local optimum
+                F.col("better").alias("wants"),
+            )
+        )
+        return new_state, {}
+
+    STARVE_ROUNDS = 4
+    fps: list = [None] * STARVE_ROUNDS
+
+    def halt_decide(metrics: dict, i: int) -> bool:
+        # wants == 0 is the exact no-improver certificate. The secondary
+        # stop is a STARVATION heuristic, not a certificate: the gate
+        # subset and admission order re-randomize per round, so a
+        # stable assignment could still move later — but 4 consecutive
+        # unchanged rounds means every sampled mover set was capacity-
+        # blocked, and further rounds are overwhelmingly wasted work
+        # (the cut-vs-initial floor below bounds any quality loss).
+        fp = (metrics["rows"], metrics.get("assign_fp"))
+        starved = all(p == fp for p in fps)
+        fps.pop()
+        fps.insert(0, fp)
+        return (metrics.get("wants") or 0) == 0 or starved
+
+    runner = SuperstepRunner(
+        spark,
+        checkpoint_dir=checkpoint_dir,
+        max_iterations=max_rounds,
+        state_partition_keys=["vid"],
+    )
+    try:
+        res = runner.run(
+            state0,
+            step,
+            resume=resume,
+            halt_exprs={
+                "wants": F.sum(F.col("wants").cast("long")),
+                "assign_fp": F.sum(
+                    F.xxhash64("vid", "part").cast("decimal(38,0)")
+                ),
+            },
+            halt_decide=halt_decide,
+        )
+        final = res.state.select("vid", "part").localCheckpoint(eager=True)
+        init_assign = initial(deg).select("vid", "part")
+        cut_f = _edge_cut(sym, final)
+        cut_i = _edge_cut(sym, init_assign)
+        improved = cut_f <= cut_i
+        out = final if improved else init_assign.localCheckpoint(eager=True)
+        max_load = (
+            out.join(deg, "vid")
+            .groupBy("part")
+            .agg(F.sum("deg").alias("load"))
+            .agg(F.max("load"))
+            .collect()[0][0]
+        )
+        info = {
+            "cut_init": cut_i,
+            "cut_final": min(cut_f, cut_i),
+            "rounds": res.num_iterations,
+            "capacity": capacity,
+            "max_load": int(max_load or 0),
+            "improved": improved,
+        }
+        return out, info
+    finally:
+        sym.unpersist()

@@ -1,0 +1,99 @@
+"""Balanced k-way partitioning: structural guarantees + determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.partition import balanced_partition
+from tests.reference_impls import er_graph
+
+
+def _two_cliques(n=8, bridge=True):
+    """Two n-cliques joined by one bridge edge — the obvious 2-cut."""
+    import itertools
+
+    e = list(itertools.combinations(range(n), 2)) + list(
+        itertools.combinations(range(100, 100 + n), 2)
+    )
+    if bridge:
+        e.append((0, 100))
+    return e
+
+
+def test_assignment_complete_and_in_range(spark):
+    edges = er_graph(60, 6.0, seed=3)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out, info = balanced_partition(spark, df, k=4, max_rounds=8)
+    verts = {v for e in edges for v in e}
+    rows = out.collect()
+    assert {r["vid"] for r in rows} == verts
+    assert all(0 <= r["part"] < 4 for r in rows)
+    assert len(rows) == len(verts)
+
+
+def test_cut_never_worse_than_hash_and_capacity_held(spark):
+    for seed in (1, 5):
+        edges = er_graph(80, 8.0, seed=seed)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out, info = balanced_partition(spark, df, k=4, eps=0.15, max_rounds=10)
+        assert info["cut_final"] <= info["cut_init"]
+        # capacity guarantee: final mass <= max(initial mass, capacity)
+        # per partition; with a uniform hash init the global bound is the
+        # capacity plus the largest initial overshoot
+        deg = {}
+        for s, d in edges:
+            deg[s] = deg.get(s, 0) + 1
+            deg[d] = deg.get(d, 0) + 1
+        init_loads = {}
+        init = {
+            r["vid"]: r["part"]
+            for r in spark.createDataFrame(
+                [(v,) for v in deg], "vid long"
+            )
+            .select(
+                "vid",
+                F.pmod(F.xxhash64("vid", F.lit(23)), F.lit(4))
+                .cast("int")
+                .alias("part"),
+            )
+            .collect()
+        }
+        for v, p in init.items():
+            init_loads[p] = init_loads.get(p, 0) + deg[v]
+        bound = max(info["capacity"], max(init_loads.values()))
+        assert info["max_load"] <= bound + 1e-9
+
+
+def test_finds_the_obvious_cut(spark):
+    df = spark.createDataFrame(_two_cliques(), "src long, dst long")
+    out, info = balanced_partition(spark, df, k=2, eps=0.3, max_rounds=12)
+    parts = {r["vid"]: r["part"] for r in out.collect()}
+    left = {parts[v] for v in range(8)}
+    right = {parts[v] for v in range(100, 108)}
+    # each clique ends monochromatic and the two differ (cut == 1 edge)
+    assert len(left) == 1 and len(right) == 1 and left != right
+    assert info["cut_final"] == 2  # one undirected bridge, counted twice
+
+
+def test_deterministic_across_parallelism(spark):
+    edges = er_graph(50, 5.0, seed=7)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a, _ = balanced_partition(spark, df, k=3, max_rounds=6)
+    b, _ = balanced_partition(
+        spark, df.repartition(13), k=3, max_rounds=6, num_partitions=5
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    edges = er_graph(40, 5.0, seed=11)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    full, _ = balanced_partition(spark, df, k=3, max_rounds=8)
+    ck = str(tmp_path / "bp")
+    balanced_partition(spark, df, k=3, max_rounds=2, checkpoint_dir=ck)
+    resumed, _ = balanced_partition(
+        spark, df, k=3, max_rounds=8, checkpoint_dir=ck, resume=True
+    )
+    assert sorted(map(tuple, resumed.collect())) == sorted(
+        map(tuple, full.collect())
+    )
