@@ -130,6 +130,14 @@ def q_corpus_ops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       recomputed), n2 = keeper-cardinality + keeper-recurrence +
       surviving-twin violations (0), x = dropped count — value-exact vs
       the oracle's planted-twin count
+    - ``code_strip``    n1 = docs (planted // and /* */ comments), n2 =
+      residual comment markers (0), x = md5-prefix checksum of every
+      stripped string vs the oracle's own regexp_replace
+    - ``code_imports``  n1 = extracted (doc, module) pairs, n2 = docs
+      missing their planted import (0), x = per-pair checksum
+    - ``code_idents``   n1 = docs, n2 = impossible distinct>total rows
+      (0), x = Σ identifier-subtoken-count·w — integer-exact vs the
+      oracle's own camelCase/snake_case split
     """
     from arabesque_spark.api import load_table
     from arabesque_spark.operators.bpe import bpe_learn
@@ -539,6 +547,111 @@ def q_corpus_ops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             float(dropped),
         )
     )
+
+    # ---- code-aware operators over planted code fragments ----
+    # every doc gets a deterministic code suffix (an import line, a //
+    # line comment, a /* block */ and three identifiers) that the oracle
+    # mirrors verbatim, so comment stripping, import extraction, and
+    # identifier subtokenization are all value-exact against SQL twins.
+    from arabesque_spark.operators.code import (
+        extract_imports,
+        identifier_stats,
+        strip_comments_col,
+    )
+
+    code = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nimport mod"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("\n// c"),
+            F.col("doc_id").cast("string"),
+            F.lit(" tail\n/* b"),
+            F.col("doc_id").cast("string"),
+            F.lit(" */ getUserName"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(" data_buf parseHttpResponse"),
+        ).alias("content"),
+    )
+
+    # code_strip: n1 = docs, n2 = docs with any comment marker left
+    # after stripping (0 — every planted marker is well-formed and the
+    # corpus text contains none), x = md5-prefix checksum of EVERY
+    # stripped string
+    stripped = code.select(
+        "doc_id", strip_comments_col(F.col("content")).alias("s")
+    )
+    r = stripped.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("s").rlike(r"/\*|//|#").cast("long")).alias("bad"),
+        F.pmod(
+            F.sum(
+                F.conv(F.substring(F.md5("s"), 1, 12), 16, 10)
+                .cast(dec)
+                * (F.col("doc_id") % FP_MOD + 1).cast(dec)
+            ),
+            F.lit(str(FP_PRIME)).cast(dec),
+        )
+        .cast("double")
+        .alias("fp"),
+    ).collect()[0]
+    rows.append(("code_strip", int(r["n"]), int(r["bad"] or 0), float(r["fp"])))
+
+    # code_imports: n1 = extracted (doc, module) pairs, n2 = docs whose
+    # planted module is missing (0), x = checksum over every pair
+    imp = extract_imports(
+        code, id_cols=["doc_id"], text_col="content"
+    ).localCheckpoint(eager=True)
+    planted_hit = imp.filter(
+        F.col("module")
+        == F.concat(F.lit("mod"), (F.col("doc_id") % 7).cast("string"))
+    ).count()
+    r = imp.agg(
+        F.count("*").alias("n"),
+        F.pmod(
+            F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit(":"),
+                                F.col("module"),
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast(dec)
+                * (F.col("doc_id") % FP_MOD + 1).cast(dec)
+            ),
+            F.lit(str(FP_PRIME)).cast(dec),
+        )
+        .cast("double")
+        .alias("fp"),
+    ).collect()[0]
+    rows.append(
+        ("code_imports", int(r["n"]), n_docs - planted_hit, float(r["fp"]))
+    )
+
+    # code_idents: n1 = docs, n2 = rows where distinct subtokens exceed
+    # total (impossible, 0), x = Σ n_subtokens·w — integer-exact
+    ist = identifier_stats(code, id_cols=["doc_id"], text_col="content")
+    r = ist.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.col("n_distinct_subtokens") > F.col("n_subtokens")).cast(
+                "long"
+            )
+        ).alias("bad"),
+        F.sum(F.col("n_subtokens") * (F.col("doc_id") % FP_MOD + 1)).alias(
+            "fp"
+        ),
+    ).collect()[0]
+    rows.append(("code_idents", int(r["n"]), int(r["bad"] or 0), float(r["fp"])))
 
     return spark.createDataFrame(rows, CHECK_SCHEMA).orderBy("op")
 
@@ -1270,8 +1383,66 @@ rt_agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1,
            * (CAST(FLOOR(epoch(cohort) / 604800) AS BIGINT) % {FP_MOD} + 1))
        AS DOUBLE) AS x
   FROM rcell),
+-- ---- code-aware operators over planted code fragments ----
+code AS MATERIALIZED (
+  SELECT doc_id,
+         text || chr(10) || 'import mod' || CAST(doc_id % 7 AS VARCHAR)
+              || chr(10) || '// c' || CAST(doc_id AS VARCHAR) || ' tail'
+              || chr(10) || '/* b' || CAST(doc_id AS VARCHAR)
+              || ' */ getUserName' || CAST(doc_id % 10 AS VARCHAR)
+              || ' data_buf parseHttpResponse' AS content
+  FROM documents),
+cstrip AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(content, '(?s)/\\*.*?\\*/', '', 'g'),
+                        '(#|//)[^\\n]*', '', 'g') AS s
+  FROM code),
+cstrip_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN regexp_matches(s, '/\\*|//|#')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CAST(CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT) AS HUGEINT)
+                  * (doc_id % {FP_MOD} + 1)) % {FP_PRIME} AS DOUBLE) AS x
+  FROM cstrip),
+cimp AS (
+  SELECT DISTINCT doc_id, m AS module FROM (
+    SELECT doc_id, unnest(
+      regexp_extract_all(content,
+        '(?m)^[ \t]*from[ \t]+([A-Za-z_][\\w\\.]*)[ \t]+import', 1)
+      || regexp_extract_all(content,
+        '(?m)^[ \t]*import[ \t]+([A-Za-z_][\\w\\.]*)', 1)
+      || regexp_extract_all(content,
+        '(?m)^[ \t]*#include[ \t]*[<"]([\\w\\./]+)[>"]', 1)
+      || regexp_extract_all(content,
+        'require\\([''"]([\\w\\./@-]+)[''"]\\)', 1)) AS m
+    FROM code)
+  WHERE m <> ''),
+cimp_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(CAST(CAST(('0x' || substr(md5(
+                    CAST(doc_id AS VARCHAR) || ':' || module), 1, 12))
+                  AS BIGINT) AS HUGEINT)
+                  * (doc_id % {FP_MOD} + 1)) % {FP_PRIME} AS DOUBLE) AS x
+  FROM cimp),
+cid AS (
+  SELECT doc_id,
+         len(flatten(list_transform(
+           regexp_extract_all(content, '[A-Za-z_][A-Za-z0-9_]*', 0),
+           s -> list_filter(
+             regexp_split_to_array(
+               regexp_replace(s, '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+               '[_ ]+'),
+             t -> t <> '')))) AS n_subtokens
+  FROM code),
+cid_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(n_subtokens * (doc_id % {FP_MOD} + 1)) AS DOUBLE) AS x
+  FROM cid),
 dc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
 SELECT 'asof' AS op, n1, n2, x FROM aj_agg
+UNION ALL SELECT 'code_idents', n1, CAST(0 AS BIGINT), x FROM cid_agg
+UNION ALL SELECT 'code_imports', n1, CAST(0 AS BIGINT), x FROM cimp_agg
+UNION ALL SELECT 'code_strip', n1, n2, x FROM cstrip_agg
 UNION ALL SELECT 'bigram_lm', n1, CAST(0 AS BIGINT), x FROM lm_agg
 UNION ALL SELECT 'bm25', n1, CAST(0 AS BIGINT), x FROM bm_agg
 UNION ALL SELECT 'boilerplate', n1, n2, CAST(1.0 AS DOUBLE) FROM bp_agg

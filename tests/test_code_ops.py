@@ -1,0 +1,65 @@
+"""Code-aware operators: comment stripping, imports, identifier split."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arabesque_spark.operators.code import (
+    extract_imports,
+    identifier_stats,
+    split_identifiers_col,
+    strip_comments,
+)
+
+
+def test_strip_comments_all_styles(spark):
+    src = (
+        "int x = 1; // trailing\n"
+        "# py comment\n"
+        "code /* inline block */ more\n"
+        "/* multi\nline */ tail\n"
+        "s = 'no # touch'"  # NOTE: naive '#' strip does cut strings —
+    )
+    df = spark.createDataFrame([("a", "f", src)], "repo string, path string, content string")
+    got = strip_comments(df).collect()[0]["stripped"]
+    assert "trailing" not in got
+    assert "py comment" not in got
+    assert "inline block" not in got and "code  more" in got
+    assert "multi" not in got and " tail" in got
+    # documented behavior: the regex pass is not a string-aware lexer
+    assert "'no " in got and "touch" not in got
+
+
+def test_extract_imports_all_languages(spark):
+    src = (
+        "from os.path import join\n"
+        "import numpy.linalg\n"
+        '#include <stdio.h>\n'
+        '#include "local/hdr.h"\n'
+        "const x = require('lodash/fp')\n"
+        "import numpy.linalg\n"  # dup collapses
+    )
+    df = spark.createDataFrame([("r", "p", src)], "repo string, path string, content string")
+    got = {r["module"] for r in extract_imports(df).collect()}
+    assert got == {"os.path", "numpy.linalg", "stdio.h", "local/hdr.h", "lodash/fp"}
+
+
+def test_split_identifiers(spark):
+    df = spark.createDataFrame(
+        [("parseHttpResponse2 data_buf XMLHttpRequest",)], "s string"
+    )
+    got = df.select(split_identifiers_col(F.col("s")).alias("t")).collect()[0]["t"]
+    assert got == [
+        "parse", "http", "response2", "data", "buf", "xmlhttp", "request"
+    ]
+
+
+def test_identifier_stats(spark):
+    df = spark.createDataFrame(
+        [("r", "p", "fooBar foo_bar fooBar 42")],
+        "repo string, path string, content string",
+    )
+    r = identifier_stats(df).collect()[0]
+    assert r["n_identifiers"] == 3
+    assert r["n_subtokens"] == 6
+    assert r["n_distinct_subtokens"] == 2  # foo, bar
