@@ -61,6 +61,7 @@ SEMDEDUP_CLUSTERS = 8      # k-means clusters for the semantic-dedup row
 SEMDEDUP_MOD = 5           # every SEMDEDUP_MOD-th embedding gets a planted twin
 TREACH_TMOD = 64       # temporal edge ts = (3*src + dst) % TREACH_TMOD
 TREACH_N_SOURCES = 4   # lowest vids of the directed graph
+HH_T = 400             # heavy-hitter threshold in the gate (token counts)
 BP_K = 8               # balanced-partition part count in the gate
 BP_EPS = 0.15          # balanced-partition capacity slack
 BP_ROUNDS = 8          # balanced-partition local-move round budget
@@ -138,6 +139,10 @@ def q_corpus_ops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``code_idents``   n1 = docs, n2 = impossible distinct>total rows
       (0), x = Σ identifier-subtoken-count·w — integer-exact vs the
       oracle's own camelCase/snake_case split
+    - ``heavy_hitters`` n1 = tokens with count ≥ HH_T (the CMS+verify
+      output is deterministically the exact heavy set), n2 = returned
+      keys below threshold (0), x = Σ md5-prefix(key)·count vs a plain
+      GROUP BY/HAVING twin
     """
     from arabesque_spark.api import load_table
     from arabesque_spark.operators.bpe import bpe_learn
@@ -652,6 +657,34 @@ def q_corpus_ops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).collect()[0]
     rows.append(("code_idents", int(r["n"]), int(r["bad"] or 0), float(r["fp"])))
+
+    # heavy hitters (count-min sketch + exact verification): the output
+    # is DETERMINISTICALLY the exact ≥-threshold key set (the sketch
+    # only bounds memory), so a plain GROUP BY/HAVING is a value-exact
+    # oracle. n1 = heavy keys, n2 = returned keys below threshold (0
+    # structurally), x = Σ md5-prefix(key)·count checksum.
+    from arabesque_spark.operators.sketch import heavy_hitters
+
+    toks = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    hh = heavy_hitters(toks, "tok", HH_T).localCheckpoint(eager=True)
+    r = hh.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("count") < HH_T).cast("long")).alias("bad"),
+        F.pmod(
+            F.sum(
+                F.conv(F.substring(F.md5("key"), 1, 12), 16, 10).cast(dec)
+                * F.col("count").cast(dec)
+            ),
+            F.lit(str(FP_PRIME)).cast(dec),
+        )
+        .cast("double")
+        .alias("fp"),
+    ).collect()[0]
+    rows.append(
+        ("heavy_hitters", int(r["n"]), int(r["bad"] or 0), float(r["fp"]))
+    )
 
     return spark.createDataFrame(rows, CHECK_SCHEMA).orderBy("op")
 
@@ -1438,6 +1471,16 @@ cid_agg AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n1,
          CAST(SUM(n_subtokens * (doc_id % {FP_MOD} + 1)) AS DOUBLE) AS x
   FROM cid),
+hh AS (
+  SELECT t AS key, COUNT(*) AS cnt FROM (
+    SELECT unnest(list_filter({_DOC_TOKS}, x -> x <> '')) AS t
+    FROM documents)
+  GROUP BY t HAVING COUNT(*) >= {HH_T}),
+hh_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(CAST(CAST(('0x' || substr(md5(key), 1, 12)) AS BIGINT)
+                  AS HUGEINT) * cnt) % {FP_PRIME} AS DOUBLE) AS x
+  FROM hh),
 dc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
 SELECT 'asof' AS op, n1, n2, x FROM aj_agg
 UNION ALL SELECT 'code_idents', n1, CAST(0 AS BIGINT), x FROM cid_agg
@@ -1452,6 +1495,7 @@ UNION ALL SELECT 'contamination', n1, n2, x FROM ct_agg
 UNION ALL SELECT 'dsir', (SELECT n FROM dc), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'dup_spans', n1, n2, x FROM ws_agg
 UNION ALL SELECT 'funnel', n1, n2, x FROM fn_agg
+UNION ALL SELECT 'heavy_hitters', n1, CAST(0 AS BIGINT), x FROM hh_agg
 UNION ALL SELECT 'mixture', (SELECT n FROM dc), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'pack', (SELECT n FROM dc), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'quantiles', n1, CAST(0 AS BIGINT), x FROM qt_agg

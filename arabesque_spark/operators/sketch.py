@@ -1,0 +1,105 @@
+"""Count-min-sketch heavy hitters — bounded-memory frequent-key mining.
+
+The 100-TB problem: "which tokens/domains/modules appear ≥ T times"
+over a corpus whose KEY CARDINALITY dwarfs executor memory. A plain
+``groupBy(key).count()`` hash-aggregates every distinct key through
+every mapper and shuffles them all; the count-min sketch (Cormode &
+Muthukrishnan 2005) caps mapper state at a fixed depth×width cell grid
+REGARDLESS of cardinality, and the grid is tiny enough to broadcast.
+
+Two passes, both DataFrame-native:
+
+1. **sketch** — each occurrence increments ``depth`` hashed cells:
+   explode to (row, bucket) pairs, ``groupBy.count``. Map-side combine
+   caps the shuffle at depth·width cells PER MAPPER — the whole sketch
+   is ≤ depth·width rows total (default 4×8192 = 32k cells ≈ 256 KB).
+2. **filter + verify** — the sketch broadcasts; every input row looks
+   up its ``depth`` cells through broadcast hash joins (zero shuffle)
+   and keeps only rows whose estimate ``min(cells) ≥ threshold``; the
+   survivors — occurrences of candidate keys only — get an EXACT
+   ``groupBy.count`` with a final ``HAVING count ≥ threshold``.
+
+Guarantees (deterministic, no probability in the contract):
+- ``estimate(k) ≥ true_count(k)`` always — cells only ever over-count
+  (collisions add, never subtract). Hence NO FALSE NEGATIVES: every
+  truly-heavy key survives the filter.
+- The exact verification pass removes every false positive, so the
+  final output EQUALS the exact heavy-hitter set — the sketch only
+  bounds the memory/shuffle of finding it. The correctness gate
+  exploits this: a plain SQL ``GROUP BY ... HAVING`` is a value-exact
+  oracle.
+
+The ε·N overestimate bound (width trades accuracy) only affects how
+many cold keys survive to the verification pass — a performance knob,
+never a correctness one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cms_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 8192,
+    seed: int = 7,
+) -> DataFrame:
+    """(row, bucket, cnt) — the count-min cell grid of ``key_col``
+    occurrences. ≤ depth·width rows; map-side combine bounds every
+    mapper's aggregation state at the same depth·width cells."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                F.pmod(
+                    F.xxhash64(F.col(key_col), F.lit(seed + r)), F.lit(width)
+                ).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 8192,
+    seed: int = 7,
+) -> DataFrame:
+    """(key, count) — EXACTLY the keys whose true occurrence count is
+    ≥ ``threshold``, with exact counts. The sketch bounds memory and
+    shuffle; the output is deterministic and sketch-parameter-free
+    (width/depth only change intermediate cost, never the result)."""
+    sketch = cms_sketch(df, key_col, depth=depth, width=width, seed=seed)
+    keyed = df.select(F.col(key_col).alias("key"))
+    out = keyed
+    for r in range(depth):
+        sk_r = (
+            sketch.filter(F.col("row") == r)
+            .select(
+                F.col("bucket").alias(f"_b{r}"), F.col("cnt").alias(f"_c{r}")
+            )
+        )
+        out = out.withColumn(
+            f"_b{r}",
+            F.pmod(F.xxhash64("key", F.lit(seed + r)), F.lit(width)),
+        ).join(F.broadcast(sk_r), f"_b{r}")
+    est = F.least(*[F.col(f"_c{r}") for r in range(depth)])
+    # estimate >= true count, so this filter NEVER drops a heavy key;
+    # everything below it touches candidate-key occurrences only
+    cand = out.filter(est >= F.lit(threshold)).select("key")
+    return (
+        cand.groupBy("key")
+        .agg(F.count("*").alias("count"))
+        .filter(F.col("count") >= F.lit(threshold))
+    )

@@ -1,0 +1,63 @@
+"""CMS heavy hitters: exact-set parity, no false negatives, tiny sketch."""
+
+from __future__ import annotations
+
+import collections
+import random
+
+from pyspark.sql import functions as F
+
+from arabesque_spark.operators.sketch import cms_sketch, heavy_hitters
+
+
+def _zipf_keys(seed, n=5000, vocab=400):
+    rng = random.Random(seed)
+    return [f"k{int(rng.paretovariate(1.2)) % vocab}" for _ in range(n)]
+
+
+def test_exact_parity_with_group_by(spark):
+    for seed in (1, 2):
+        keys = _zipf_keys(seed)
+        truth = collections.Counter(keys)
+        df = spark.createDataFrame([(k,) for k in keys], "tok string")
+        for t in (20, 100):
+            got = {
+                r["key"]: r["count"]
+                for r in heavy_hitters(df, "tok", t).collect()
+            }
+            want = {k: c for k, c in truth.items() if c >= t}
+            assert got == want, f"seed {seed} threshold {t}"
+
+
+def test_result_invariant_to_sketch_params(spark):
+    keys = _zipf_keys(3)
+    df = spark.createDataFrame([(k,) for k in keys], "tok string")
+    a = sorted(map(tuple, heavy_hitters(df, "tok", 50, depth=2, width=64).collect()))
+    b = sorted(map(tuple, heavy_hitters(df, "tok", 50, depth=6, width=16384).collect()))
+    assert a == b  # width/depth are cost knobs, never correctness knobs
+
+
+def test_sketch_is_bounded_and_mass_preserving(spark):
+    keys = _zipf_keys(4)
+    df = spark.createDataFrame([(k,) for k in keys], "tok string")
+    sk = cms_sketch(df, "tok", depth=3, width=32).collect()
+    assert len(sk) <= 3 * 32
+    # every row holds the full occurrence mass (each occurrence hits
+    # every row exactly once)
+    by_row = collections.Counter()
+    for r in sk:
+        by_row[r["row"]] += r["cnt"]
+    assert all(v == len(keys) for v in by_row.values())
+
+
+def test_no_false_negatives_even_at_tiny_width(spark):
+    # width 4 -> massive collisions -> estimates way over, candidates
+    # huge, but the verified output still equals the exact answer
+    keys = _zipf_keys(5, n=2000, vocab=50)
+    truth = collections.Counter(keys)
+    df = spark.createDataFrame([(k,) for k in keys], "tok string")
+    got = {
+        r["key"]: r["count"]
+        for r in heavy_hitters(df, "tok", 30, depth=2, width=4).collect()
+    }
+    assert got == {k: c for k, c in truth.items() if c >= 30}
