@@ -80,9 +80,47 @@ def _group_edges(
     return clique.union(star)
 
 
+def import_file_edges(corpus: DataFrame) -> DataFrame:
+    """(repo, src_path, dst_path) — file→file dependency edges resolved
+    from import statements in ``content`` (the THIRD link-graph edge
+    source, beside shared-commit and content-hash co-occurrence).
+
+    Resolution rule: the module's last '.'-segment must equal the target
+    file's stem (basename without extension), within the SAME repo —
+    ``import os.path`` → any ``**/path.*`` of the repo; the synthetic
+    corpus's ``import fNNNN`` lines resolve to their ``src/dK/fNNNN.ext``
+    file. One regex projection + one equi-join on (repo, stem): the join
+    key is bounded-fanout (stems are near-unique per repo), no
+    self-join over content.
+    """
+    from arabesque_spark.operators.code import extract_imports
+
+    imps = extract_imports(corpus, id_cols=["repo", "path"], text_col="content")
+    srcs = imps.select(
+        "repo",
+        F.col("path").alias("src_path"),
+        F.element_at(F.split(F.col("module"), r"\."), -1).alias("mkey"),
+    )
+    tgts = (
+        corpus.select("repo", F.col("path").alias("dst_path"))
+        .dropDuplicates(["repo", "dst_path"])
+        .withColumn(
+            "mkey",
+            F.regexp_extract(F.col("dst_path"), r"([^/]+)\.[A-Za-z0-9]+$", 1),
+        )
+    )
+    return (
+        srcs.join(tgts, ["repo", "mkey"])
+        .filter(F.col("src_path") != F.col("dst_path"))
+        .select("repo", "src_path", "dst_path")
+        .dropDuplicates(["repo", "src_path", "dst_path"])
+    )
+
+
 def build_code_graph(
     corpus: DataFrame,
     include_repo_vertices: bool = True,
+    include_import_edges: bool = False,
     pairwise_limit: int = 16,
     num_partitions: int | None = None,
 ) -> CodeGraph:
@@ -91,6 +129,8 @@ def build_code_graph(
     Edge sources:
     * shared-commit: files touched by the same (repo, commit);
     * content-hash: files (across repos) whose content sha256 is identical;
+    * import statements (if ``include_import_edges``): file → file edges
+      resolved by :func:`import_file_edges`;
     * repo containment (if ``include_repo_vertices``): repo vertex — file
       vertex for every file in the repo.
     """
@@ -140,6 +180,19 @@ def build_code_graph(
     sha_edges = _group_edges(sha_members, "grp", "member", pairwise_limit)
 
     all_edges = commit_edges.union(sha_edges)
+
+    if include_import_edges:
+        iedges = (
+            import_file_edges(corpus)
+            .select(
+                F.concat_ws("\x1f", "repo", "src_path").alias("skey"),
+                F.concat_ws("\x1f", "repo", "dst_path").alias("dkey"),
+            )
+            .join(fmap.select(F.col("fkey").alias("skey"), F.col("fvid").alias("src")), "skey")
+            .join(fmap.select(F.col("fkey").alias("dkey"), F.col("fvid").alias("dst")), "dkey")
+            .select("src", "dst")
+        )
+        all_edges = all_edges.union(iedges)
 
     if include_repo_vertices:
         rmap = vertices.filter(F.col("kind") == "repo").select(

@@ -51,6 +51,7 @@ def synth_corpus(
     seed: int = 42,
     dup_mod: int = 20,
     num_partitions: int | None = None,
+    with_imports: bool = False,
 ) -> DataFrame:
     """Deterministic synthetic corpus → (repo, path, commit, lang, content).
 
@@ -60,6 +61,13 @@ def synth_corpus(
     the repo's file population (with overlap across commits, so
     shared-commit edges form); ``1/dup_mod`` of files copy their content
     from a shared duplication group (cross-repo sha256 collisions).
+
+    ``with_imports=True`` appends one deterministic ``import src.dK.fNNNN``
+    line per file naming another file of the SAME repo (hash-chosen slot)
+    — the module path mirrors the target's ``path`` with '.' for '/' and
+    no extension, so ``code_graph.import_file_edges`` resolves every
+    planted statement to a real file and the import-edge source is
+    exercised end-to-end. Default off: existing fixtures are unchanged.
     """
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
     rows = spark.range(
@@ -112,6 +120,17 @@ def synth_corpus(
         ),
         " ",
     )
+    if with_imports:
+        # target slot derives from content_seed (NOT repo), so
+        # duplication-group files keep byte-identical content across
+        # repos and the sha-edge source is undisturbed; the module is a
+        # bare file stem, resolved per-repo by import_file_edges
+        tgt_fid = F.pmod(h(content_seed, F.lit(8)), F.lit(file_population))
+        content = F.concat(
+            content,
+            F.lit("\nimport "),
+            F.format_string("f%04d", tgt_fid.cast("int")),
+        )
 
     corpus = (
         rows.select(
