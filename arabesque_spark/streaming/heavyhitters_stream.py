@@ -1,0 +1,218 @@
+"""Streaming heavy hitters over a key stream.
+
+The ingestion-side twin of ``operators/sketch.py:heavy_hitters``: a
+micro-batch stream of keys (tokens, domains, modules) where a key must
+be SURFACED EXACTLY ONCE — in the batch whose arrival pushes its
+cumulative count to the threshold. Training-data intake wants "this
+domain just became frequent" as an event, not as a later full-corpus
+scan.
+
+Semantics: after any prefix of committed batches, the union of
+``newly_heavy(b)`` over those batches equals the exact batch
+``heavy_hitters`` key set over the concatenated prefix, and
+``heavy()`` returns it with exact cumulative counts — the property the
+tests pin under redelivery, restart, and shuffled within-batch order.
+
+State layout = the engine's compacted-generation pattern
+(state_store.py, shared with the dedup/triangle/CC trackers):
+
+* ``counts/gen_<g>/`` — per-key cumulative counts as of the last
+  compaction, parquet ``partitionBy(bkt)`` (hash bucket) so a batch's
+  probe reads ONLY its touched buckets — per-batch cost scales with
+  the batch's distinct keys, not the corpus vocabulary;
+* ``delta/batch_<id>/`` — the batch's per-key increments (same bucket
+  scheme); reads sum gen + deltas, compaction folds them;
+* ``emit/batch_<id>/`` — the batch's threshold-crossing events
+  (key, count at crossing) — the exactly-once output, never compacted
+  away;
+* ``counts.jsonl`` append = the commit point: a replayed logged batch
+  is a no-op returning its recorded stats (redelivery-safe), a crash
+  before the append replays against unchanged state.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arabesque_spark.streaming.state_store import CompactedStateStore
+
+
+class IncrementalHeavyHitters(CompactedStateStore):
+    """Exactly-once streaming threshold-crossing detection with exact
+    cumulative counts."""
+
+    GEN_SUBDIR = "counts"
+    DELTA_SUBDIR = "delta"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str | Path,
+        threshold: int,
+        compact_every: int = 16,
+        n_buckets: int = 64,
+        key_col: str = "key",
+    ) -> None:
+        self.threshold = int(threshold)
+        self.key_col = key_col
+        self._n_heavy = 0
+        super().__init__(
+            spark, state_dir, compact_every=compact_every, n_buckets=n_buckets
+        )
+        self.emit_parent = self.state_dir / "emit"
+
+    def _fold_log_entry(self, entry: dict) -> None:
+        self._n_heavy = entry["n_heavy"]
+
+    def _emit_dir(self, batch_id: int) -> Path:
+        return self.state_dir / "emit" / f"batch_{batch_id}"
+
+    def _delta_state_paths(self, batch_id: int) -> list[Path]:
+        # the emission dir is part of a batch's committed state: a
+        # logged batch with a vanished emit dir is corruption, same as a
+        # vanished delta
+        return [self._delta_dir(batch_id), self._emit_dir(batch_id)]
+
+    @property
+    def n_heavy(self) -> int:
+        """Keys that have crossed the threshold so far."""
+        return self._n_heavy
+
+    # ---- state reads ----------------------------------------------------
+    def _stored_counts(self, buckets: list[int] | None) -> DataFrame | None:
+        parts = []
+        if self._gen >= 0:
+            df = self.spark.read.parquet(str(self._gen_dir(self._gen)))
+            if buckets is not None:
+                df = df.filter(F.col("bkt").isin(buckets))
+            parts.append(df.select("key", "cnt"))
+        dirs = [
+            str(self._delta_dir(bid)) for bid in self._logged_delta_ids()
+        ]
+        if dirs:
+            df = self.spark.read.parquet(*dirs)
+            if buckets is not None:
+                df = df.filter(F.col("bkt").isin(buckets))
+            parts.append(df.select("key", "cnt"))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out.groupBy("key").agg(F.sum("cnt").alias("cnt"))
+
+    # ---- the per-batch kernel -------------------------------------------
+    def process_batch(self, batch: DataFrame, batch_id: int) -> dict:
+        """Fold one batch of keys; returns the logged entry
+        {n_in, n_crossed, n_heavy}. Crossing events are stored under the
+        batch's emit dir and retrievable via :meth:`newly_heavy`.
+        Replaying a logged batch_id is a no-op returning the entry."""
+        if batch_id in self._entries:
+            return self._entries[batch_id]
+        if self._should_compact():
+            self._compact()
+        binc = (
+            batch.select(F.col(self.key_col).alias("key"))
+            .groupBy("key")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("bkt", self._bucket(F.col("key")))
+            .localCheckpoint(eager=True)
+        )
+        n_in = int(binc.agg(F.sum("cnt")).collect()[0][0] or 0)
+        buckets = sorted(
+            {r["bkt"] for r in binc.select("bkt").distinct().collect()}
+        )
+        stored = self._stored_counts(buckets)
+        if stored is None:
+            merged = binc.select(
+                "key", "bkt", F.lit(0).alias("before"), F.col("cnt").alias("inc")
+            )
+        else:
+            merged = binc.join(
+                stored.withColumnRenamed("cnt", "before"), "key", "left"
+            ).select(
+                "key",
+                "bkt",
+                F.coalesce("before", F.lit(0)).alias("before"),
+                F.col("cnt").alias("inc"),
+            )
+        crossed = (
+            merged.filter(
+                (F.col("before") < self.threshold)
+                & (F.col("before") + F.col("inc") >= self.threshold)
+            )
+            .select("key", (F.col("before") + F.col("inc")).alias("count"))
+            .localCheckpoint(eager=True)
+        )
+        n_crossed = crossed.count()
+
+        self._emit_dir(batch_id).parent.mkdir(parents=True, exist_ok=True)
+        crossed.write.mode("overwrite").parquet(str(self._emit_dir(batch_id)))
+        # deltas keep bkt as a PLAIN column (a multi-root read of
+        # partitionBy layouts trips Spark's partition discovery); only
+        # the single-root generation dir is hive-partitioned for pruning
+        binc.select("key", "cnt", "bkt").write.mode("overwrite").parquet(
+            str(self._delta_dir(batch_id))
+        )
+        entry = {
+            "batch_id": batch_id,
+            "n_in": n_in,
+            "n_crossed": n_crossed,
+            "n_heavy": self._n_heavy + n_crossed,
+        }
+        self._append_log(entry)  # commit point
+        self._n_heavy = entry["n_heavy"]
+        return entry
+
+    def newly_heavy(self, batch_id: int) -> DataFrame:
+        """(key, count) — keys whose cumulative count crossed the
+        threshold IN this batch, with the count at crossing."""
+        if batch_id not in self._entries:
+            raise KeyError(f"batch {batch_id} was never committed")
+        return self.spark.read.parquet(str(self._emit_dir(batch_id)))
+
+    def current_counts(self) -> DataFrame:
+        """(key, cnt) — exact cumulative counts over committed batches."""
+        stored = self._stored_counts(None)
+        if stored is None:
+            return self.spark.createDataFrame([], "key string, cnt long")
+        return stored
+
+    def heavy(self) -> DataFrame:
+        """(key, cnt) — the exact current heavy-hitter set: equal to the
+        batch operator over the concatenated committed stream."""
+        return self.current_counts().filter(F.col("cnt") >= self.threshold)
+
+    def _compact(self) -> None:
+        ids = self._logged_delta_ids()
+        parts = []
+        if self._gen >= 0:
+            parts.append(
+                self.spark.read.parquet(str(self._gen_dir(self._gen))).select(
+                    "key", "cnt", "bkt"
+                )
+            )
+        if ids:
+            parts.append(
+                self.spark.read.parquet(
+                    *[str(self._delta_dir(bid)) for bid in ids]
+                ).select("key", "cnt", "bkt")
+            )
+        if not parts:
+            return
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.union(p)
+        folded = (
+            merged.groupBy("key", "bkt").agg(F.sum("cnt").alias("cnt"))
+        ).localCheckpoint(eager=True)
+
+        def write_gen(gen_dir: Path) -> None:
+            folded.write.mode("overwrite").partitionBy("bkt").parquet(
+                str(gen_dir)
+            )
+
+        self._commit_generation(write_gen, covered=set(ids))

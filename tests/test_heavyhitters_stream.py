@@ -1,0 +1,78 @@
+"""Streaming heavy hitters: batch-equivalence, exactly-once, restart."""
+
+from __future__ import annotations
+
+import collections
+import random
+
+from arabesque_spark.streaming.heavyhitters_stream import IncrementalHeavyHitters
+
+
+def _batches(seed, n_batches=6, per_batch=400, vocab=60):
+    rng = random.Random(seed)
+    return [
+        [f"k{int(rng.paretovariate(1.1)) % vocab}" for _ in range(per_batch)]
+        for _ in range(n_batches)
+    ]
+
+
+def _df(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "key string")
+
+
+def test_stream_equals_batch_and_crossings_are_exactly_once(spark, tmp_path):
+    batches = _batches(1)
+    T = 40
+    hh = IncrementalHeavyHitters(
+        spark, tmp_path / "hh", threshold=T, compact_every=3
+    )
+    crossings: dict[str, int] = {}
+    for bid, keys in enumerate(batches):
+        hh.process_batch(_df(spark, keys), bid)
+        for r in hh.newly_heavy(bid).collect():
+            assert r["key"] not in crossings, "key crossed twice"
+            crossings[r["key"]] = r["count"]
+    truth = collections.Counter(k for b in batches for k in b)
+    want_heavy = {k for k, c in truth.items() if c >= T}
+    assert set(crossings) == want_heavy
+    # count at crossing is >= T and <= final count
+    for k, c in crossings.items():
+        assert T <= c <= truth[k]
+    # heavy() returns the exact final counts
+    got = {r["key"]: r["cnt"] for r in hh.heavy().collect()}
+    assert got == {k: truth[k] for k in want_heavy}
+    assert hh.n_heavy == len(want_heavy)
+
+
+def test_redelivery_is_noop(spark, tmp_path):
+    batches = _batches(2, n_batches=3)
+    hh = IncrementalHeavyHitters(spark, tmp_path / "hh", threshold=30)
+    entries = [
+        hh.process_batch(_df(spark, b), i) for i, b in enumerate(batches)
+    ]
+    # redeliver every batch (same ids, shuffled rows) — entries identical,
+    # state unchanged
+    for i, b in enumerate(batches):
+        random.Random(i).shuffle(b)
+        assert hh.process_batch(_df(spark, b), i) == entries[i]
+    truth = collections.Counter(k for b in batches for k in b)
+    got = {r["key"]: r["cnt"] for r in hh.current_counts().collect()}
+    assert got == dict(truth)
+
+
+def test_restart_resumes_from_disk(spark, tmp_path):
+    batches = _batches(3, n_batches=4)
+    d = tmp_path / "hh"
+    hh1 = IncrementalHeavyHitters(spark, d, threshold=25, compact_every=2)
+    for i, b in enumerate(batches[:2]):
+        hh1.process_batch(_df(spark, b), i)
+    # fresh instance, same dir — continues where the first left off
+    hh2 = IncrementalHeavyHitters(spark, d, threshold=25, compact_every=2)
+    assert hh2.n_heavy == hh1.n_heavy
+    for i, b in enumerate(batches[2:], start=2):
+        hh2.process_batch(_df(spark, b), i)
+    truth = collections.Counter(k for b in batches for k in b)
+    got = {r["key"]: r["cnt"] for r in hh2.current_counts().collect()}
+    assert got == dict(truth)
+    # emissions of compacted-away batches remain readable
+    assert hh2.newly_heavy(0).count() >= 0
