@@ -19,6 +19,8 @@ twin for the correctness gate.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Column
 from pyspark.sql import functions as F
 
@@ -102,6 +104,205 @@ def split_identifiers_col(text: Column) -> Column:
     return F.filter(
         F.transform(F.flatten(split), F.lower), lambda t: t != ""
     )
+
+
+# ---- license detection -------------------------------------------------
+#
+# The two mechanisms real code-corpus builds use (The Stack / BigCode,
+# go-license-detector): an explicit SPDX tag when present, else phrase
+# fingerprints of the canonical license texts matched against the
+# normalized file header. Phrase matching is deliberately `contains` on a
+# lower-cased whitespace-collapsed prefix — no regex per license — so a
+# 100-TB scan pays one normalization + N substring probes per file, all
+# whole-stage codegen.
+
+SPDX_RE = r"SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)"
+
+# (spdx_id, [required normalized phrases]) — ordered by priority for
+# primary_license: more specific fingerprints first (BSD-3 before BSD-2,
+# GPL-3 before GPL-2, LGPL before GPL) so the first match is the best one.
+LICENSE_PHRASES: list[tuple[str, list[str]]] = [
+    ("MIT", ["permission is hereby granted, free of charge"]),
+    ("Apache-2.0", ["apache license, version 2.0"]),
+    ("BSD-3-Clause", [
+        "redistribution and use in source and binary forms",
+        "neither the name",
+    ]),
+    ("BSD-2-Clause", ["redistribution and use in source and binary forms"]),
+    ("LGPL-2.1-only", ["gnu lesser general public license"]),
+    ("GPL-3.0-only", ["gnu general public license", "version 3"]),
+    ("GPL-2.0-only", ["gnu general public license", "version 2"]),
+    ("MPL-2.0", ["mozilla public license"]),
+    ("ISC", [
+        "permission to use, copy, modify, and/or distribute this software"
+    ]),
+    ("Unlicense", [
+        "free and unencumbered software released into the public domain"
+    ]),
+]
+
+DEFAULT_HEADER_CHARS = 4000  # license headers live at the top of the file
+
+
+def _norm_header(text: Column, header_chars: int) -> Column:
+    return F.lower(
+        F.regexp_replace(F.substring(text, 1, header_chars), r"\s+", " ")
+    )
+
+
+def _phrase_hit(head: Column, phrases: list[str]) -> Column:
+    return reduce(
+        lambda a, b: a & b, [F.contains(head, F.lit(p)) for p in phrases]
+    )
+
+
+def detect_licenses(
+    df: DataFrame,
+    id_cols: list[str] | None = None,
+    text_col: str = "content",
+    header_chars: int = DEFAULT_HEADER_CHARS,
+) -> DataFrame:
+    """(id_cols..., license, via) — every license whose evidence appears
+    in the file header; ``via`` is ``spdx`` (explicit tag) or ``phrase``
+    (canonical-text fingerprint). A file with no evidence emits no rows
+    (callers left-join; :func:`primary_license` yields NOASSERTION).
+
+    Fingerprint semantics are deliberately non-exclusive: a BSD-3 header
+    also carries the BSD-2 fingerprint and emits both rows — consumers
+    that need one answer use :func:`primary_license`, which applies the
+    priority order of ``LICENSE_PHRASES``.
+
+    One projection + one explode — no shuffle, no UDF; at corpus scale
+    this fuses into the ingest scan.
+    """
+    ids = id_cols or ["repo", "path"]
+    raw_head = F.substring(F.col(text_col), 1, header_chars)
+    head = _norm_header(F.col(text_col), header_chars)
+    spdx = F.array_distinct(F.regexp_extract_all(raw_head, F.lit(SPDX_RE), 1))
+    phrase = F.filter(
+        F.array(*[
+            F.when(_phrase_hit(head, phrases), F.lit(lic))
+            for lic, phrases in LICENSE_PHRASES
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    ent = F.concat(
+        F.transform(
+            spdx,
+            lambda s: F.struct(
+                s.alias("license"), F.lit("spdx").alias("via")
+            ),
+        ),
+        F.transform(
+            phrase,
+            lambda s: F.struct(
+                s.alias("license"), F.lit("phrase").alias("via")
+            ),
+        ),
+    )
+    return df.select(*ids, F.explode(ent).alias("e")).select(
+        *ids, F.col("e.license").alias("license"), F.col("e.via").alias("via")
+    )
+
+
+def primary_license(
+    df: DataFrame,
+    id_cols: list[str] | None = None,
+    text_col: str = "content",
+    header_chars: int = DEFAULT_HEADER_CHARS,
+) -> DataFrame:
+    """(id_cols..., license) — ONE license per file: the first explicit
+    SPDX tag if any, else the highest-priority phrase fingerprint, else
+    ``NOASSERTION``. The permissive-filter primitive of a code-corpus
+    build (``filter license IN (...allowlist...)``)."""
+    ids = id_cols or ["repo", "path"]
+    raw_head = F.substring(F.col(text_col), 1, header_chars)
+    head = _norm_header(F.col(text_col), header_chars)
+    # first tag in FILE order (no distinct — element order is the spec);
+    # try_ variant: ANSI mode makes plain element_at throw on no-tag files
+    spdx1 = F.try_element_at(
+        F.regexp_extract_all(raw_head, F.lit(SPDX_RE), 1), F.lit(1)
+    )
+    return df.select(
+        *ids,
+        F.coalesce(
+            spdx1,
+            *[
+                F.when(_phrase_hit(head, phrases), F.lit(lic))
+                for lic, phrases in LICENSE_PHRASES
+            ],
+            F.lit("NOASSERTION"),
+        ).alias("license"),
+    )
+
+
+# ---- secret scanning ----------------------------------------------------
+#
+# Credential scrubbing before training (the detect-secrets / gitleaks
+# regex families, kept inside the Java∩RE2 subset — no lookarounds, so
+# every detector has an exact DuckDB twin). Deliberately deterministic:
+# no entropy heuristics in the gate path (an entropy gate is a tunable
+# FILTER, not a definition of "secret"; it would also make the oracle
+# row seed-sensitive). Ordered: redaction applies them in sequence and
+# earlier whole-match replacements may consume later patterns' text —
+# residual-free output is guaranteed regardless (re-scan of redacted
+# text matches nothing; pytest-pinned).
+
+SECRET_PATTERNS: list[tuple[str, str]] = [
+    ("private_key", r"-----BEGIN [A-Z ]{0,24}PRIVATE KEY-----"),
+    ("aws_key", r"\bAKIA[0-9A-Z]{16}\b"),
+    ("github_token", r"\bgh[pousr]_[A-Za-z0-9]{36}\b"),
+    ("slack_token", r"\bxox[baprs]-[0-9A-Za-z-]{10,48}\b"),
+    ("jwt", r"\beyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\b"),
+    (
+        "assigned_secret",
+        r"""(?i)(api[_-]?key|secret|token|passwd|password)["']?[ \t]*[:=][ \t]*["'][^"'\n]{8,}["']""",
+    ),
+]
+
+
+def scan_secrets(
+    df: DataFrame,
+    id_cols: list[str] | None = None,
+    text_col: str = "content",
+) -> DataFrame:
+    """(id_cols..., detector, n_matches) — one row per (file, detector)
+    with at least one hit. Single projection (array of per-detector
+    counts) + explode + filter — no shuffle, no UDF."""
+    ids = id_cols or ["repo", "path"]
+    txt = F.col(text_col)
+    ent = F.array(*[
+        F.struct(
+            F.lit(name).alias("detector"),
+            F.size(F.regexp_extract_all(txt, F.lit(pat), 0)).alias(
+                "n_matches"
+            ),
+        )
+        for name, pat in SECRET_PATTERNS
+    ])
+    return (
+        df.select(*ids, F.explode(ent).alias("e"))
+        .select(
+            *ids,
+            F.col("e.detector").alias("detector"),
+            F.col("e.n_matches").alias("n_matches"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )
+
+
+def redact_secrets(
+    df: DataFrame, text_col: str = "content", out_col: str = "redacted"
+) -> DataFrame:
+    """Add ``out_col`` = ``text_col`` with every detector match replaced
+    by ``[REDACTED:<detector>]`` (whole-match replacement, applied in
+    ``SECRET_PATTERNS`` order). The replacement token matches no
+    detector, so redaction is idempotent and a re-scan of the output is
+    empty. One projection — fuses into the writing stage at scale."""
+    col: Column = F.col(text_col)
+    for name, pat in SECRET_PATTERNS:
+        col = F.regexp_replace(col, pat, f"[REDACTED:{name}]")
+    return df.withColumn(out_col, col)
 
 
 def identifier_stats(
