@@ -75,6 +75,9 @@ BP_K = 8               # balanced-partition part count in the gate
 BP_EPS = 0.15          # balanced-partition capacity slack
 BP_ROUNDS = 8          # balanced-partition local-move round budget
 BP_SEED = 23           # must match balanced_partition's default seed
+EGO_SEEDS = 6          # ego-net gate roots (the EGO_SEEDS lowest vids);
+                       # radius is pinned at 2 (the SQL twin unrolls two
+                       # membership expansions)
 TOPO_THIN = 4          # toposort DAG keeps src<dst edges with
                        # (3*src + dst) % TOPO_THIN == 0 (id-orientation
                        # makes acyclicity structural; thinning bounds the
@@ -897,6 +900,11 @@ def q_graph_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``partition``   n1 = vertices assigned (= V), n2 = completeness +
       range + capacity + cut-vs-initial violations (all structural, 0),
       x = k
+    - ``ego``         n1 = induced (root, edge) rows of the exact
+      radius-2 ego nets around the EGO_SEEDS lowest vids, n2 = returned
+      edges absent from the base edge table (0), x = per-row checksum —
+      the oracle recomputes the FULL result via a two-hop membership
+      expansion; sampled-mode parity/boundedness is pytest-gated
     """
     from arabesque_spark.graph.anf import neighborhood_function
     from arabesque_spark.graph.betweenness import betweenness_centrality
@@ -1156,6 +1164,51 @@ def q_graph_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             float(BP_K),
         )
     )
+
+    # Ego networks: exact radius-2 induced subgraphs around the EGO_SEEDS
+    # lowest-id vertices — value-exact vs the oracle's own two-hop
+    # membership expansion + induced-edge join. The bounded (sampled)
+    # mode and its full-fanout parity with this exact mode are
+    # pytest-gated (tests/test_walks.py).
+    from arabesque_spark.graph.walks import ego_networks
+
+    dec = "decimal(38,0)"
+    eseeds = verts.orderBy("vid").limit(EGO_SEEDS)
+    ego = ego_networks(spark, edges, eseeds, radius=2).localCheckpoint(
+        eager=True
+    )
+    not_base = ego.join(
+        edges.select("src", "dst"), ["src", "dst"], "left_anti"
+    ).count()
+    r = ego.agg(
+        F.count("*").alias("n"),
+        F.pmod(
+            F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("root").cast("string"),
+                                F.lit(":"),
+                                F.col("src").cast("string"),
+                                F.lit(":"),
+                                F.col("dst").cast("string"),
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast(dec)
+                * (F.col("root") % FP_MOD + 1).cast(dec)
+            ),
+            F.lit(str(FP_PRIME)).cast(dec),
+        )
+        .cast("double")
+        .alias("fp"),
+    ).collect()[0]
+    rows.append(("ego", int(r["n"]), int(not_base), float(r["fp"] or 0.0)))
 
     return spark.createDataFrame(rows, CHECK_SCHEMA).orderBy("op")
 
@@ -1909,6 +1962,41 @@ def graph_kernels_oracle() -> str:
     WHERE x.src = q.a AND y.src = q.b AND z.src = q.c AND w.src = q.d))"""
     )
 
+    # ---- ego networks: exact radius-2 ball membership (two UNION-dedup
+    # expansions over the symmetric edges), then the induced forward-edge
+    # set per root, checksummed row by row ----
+    ctes.append(
+        f"eseed AS (SELECT vid AS root FROM kverts ORDER BY vid LIMIT {EGO_SEEDS})"
+    )
+    # NOTE: the membership CTEs must NOT have a top-level UNION — inside
+    # this WITH RECURSIVE block DuckDB gives any `base UNION step` CTE
+    # recursive-fixpoint semantics (the expansion would run to closure,
+    # not radius 2); the UNION ALL + SELECT DISTINCT wrapper keeps them
+    # ordinary
+    ctes.append(
+        """em1 AS (SELECT DISTINCT root, vid FROM (
+  SELECT root, root AS vid FROM eseed
+  UNION ALL
+  SELECT s.root, e.dst AS vid FROM eseed s JOIN ksym e ON e.src = s.root))"""
+    )
+    ctes.append(
+        """em2 AS (SELECT DISTINCT root, vid FROM (
+  SELECT root, vid FROM em1
+  UNION ALL
+  SELECT m.root, e.dst AS vid FROM em1 m JOIN ksym e ON e.src = m.vid))"""
+    )
+    ctes.append(
+        f"""ego_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n1, CAST(0 AS BIGINT) AS n2,
+         CAST(COALESCE(SUM(CAST(CAST(('0x' || substr(md5(
+               CAST(root AS VARCHAR) || ':' || CAST(src AS VARCHAR)
+               || ':' || CAST(dst AS VARCHAR)), 1, 12)) AS BIGINT) AS HUGEINT)
+             * (root % {FP_MOD} + 1)) % {FP_PRIME}, 0) AS DOUBLE) AS x
+  FROM (SELECT a.root, e.src, e.dst
+        FROM fe e JOIN em2 a ON a.vid = e.src
+        JOIN em2 b ON b.root = a.root AND b.vid = e.dst))"""
+    )
+
     return (
         _KERNEL_PRELUDE
         + ",\n"
@@ -1920,6 +2008,7 @@ UNION ALL SELECT 'assortativity', n1, CAST(0 AS BIGINT), x FROM as_agg
 UNION ALL SELECT 'betweenness', (SELECT v FROM kcnt), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'coloring', (SELECT v FROM kcnt), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'coreness', (SELECT v FROM kcnt), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
+UNION ALL SELECT 'ego', n1, n2, x FROM ego_agg
 UNION ALL SELECT 'eigenvector', n1, n2, x FROM ec_agg
 UNION ALL SELECT 'katz', n1, n2, x FROM kz_agg
 UNION ALL SELECT 'louvain', (SELECT v FROM kcnt), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)

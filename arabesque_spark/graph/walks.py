@@ -148,12 +148,15 @@ def sample_neighborhood(
 
     ``seeds`` is (vid) — the minibatch roots. Layer l keeps at most
     ``fanouts[l]`` deterministically-chosen neighbors per frontier
-    vertex (all of them when deg ≤ fanout): sample slot s of vertex v
-    picks neighbor index ``pmod(xxhash64(root, v, l, s, seed), deg)``
-    (with-replacement, the GraphSAGE default). One composite-key
-    equality join per layer against the shared position-indexed
-    adjacency; frontier growth is bounded by Π fanouts per root —
-    independent of hub degrees.
+    vertex. When deg ≤ fanout the vertex keeps ALL its neighbors, each
+    exactly once (the DGL convention — it also makes fanouts ≥ max
+    degree reproduce the exact neighborhood, which
+    :func:`ego_networks`' parity test pins); above the fanout, sample
+    slot s of vertex v picks neighbor index
+    ``pmod(xxhash64(root, v, l, s, seed), deg)`` (with-replacement, the
+    GraphSAGE default). One composite-key equality join per layer
+    against the shared position-indexed adjacency; frontier growth is
+    bounded by Π fanouts per root — independent of hub degrees.
     """
     ia = indexed if indexed is not None else indexed_adjacency(edges)
     dg = ia.groupBy("src").agg(F.first("deg").alias("deg")).withColumnRenamed("src", "cur")
@@ -168,12 +171,20 @@ def sample_neighborhood(
             "deg",
             F.explode(F.sequence(F.lit(0), F.lit(fanout - 1))).alias("s"),
         )
-        picked = slots.withColumn(
+        picked = slots.filter(
+            (F.col("deg") > F.lit(fanout)) | (F.col("s") < F.col("deg"))
+        ).withColumn(
             "idx",
-            F.pmod(
-                F.xxhash64("root", "cur", F.lit(layer), F.col("s"), F.lit(seed)),
-                F.col("deg"),
-            ).cast("int"),
+            F.when(F.col("deg") <= F.lit(fanout), F.col("s"))
+            .otherwise(
+                F.pmod(
+                    F.xxhash64(
+                        "root", "cur", F.lit(layer), F.col("s"), F.lit(seed)
+                    ),
+                    F.col("deg"),
+                )
+            )
+            .cast("int"),
         )
         block = (
             picked.join(
@@ -193,6 +204,76 @@ def sample_neighborhood(
             ["root", "cur"]
         )
     return out
+
+
+def ego_networks(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame,
+    radius: int = 2,
+    fanouts: list[int] | None = None,
+    seed: int = 71,
+    indexed: DataFrame | None = None,
+) -> DataFrame:
+    """(root, src, dst) — the INDUCED edge set of each seed's radius-k
+    neighborhood: per-seed subgraph batching for GNN training and
+    ego-centric analytics. Edges are reported in their input
+    orientation, one row per (root, edge).
+
+    Two modes:
+
+    * ``fanouts=None`` (exact): the full k-hop ball via ``radius``
+      frontier-join expansions with a left-anti visited filter (each
+      vertex expanded once per root). Ball size is degree-dependent —
+      on a hub-heavy graph this is the VERIFICATION / small-radius
+      analytics mode; it is also SQL-expressible, which is what the
+      ``ego`` gate row checks value-exactly.
+    * ``fanouts=[f1, ..., fk]`` (sampled): membership comes from
+      :func:`sample_neighborhood`, bounded by Π fanouts per root —
+      hub-independent, the 100-TB path. Because sampling keeps every
+      neighbor when deg ≤ fanout, sampled mode with fanouts ≥ max
+      degree equals the exact ball (pytest-pinned parity).
+
+    The induced-edge step is two equi-joins of the (root, vid)
+    membership table against the edge list — never a per-root subgraph
+    collection, so it shuffles O(|membership| + |touched edges|)
+    regardless of seed count.
+    """
+    root_tbl = seeds.select(
+        F.col("vid").alias("root"), F.col("vid").alias("vid")
+    ).dropDuplicates(["root", "vid"])
+    if fanouts is None:
+        sym = edges.select("src", "dst").union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mem = root_tbl
+        frontier = root_tbl
+        for _ in range(radius):
+            nxt = (
+                frontier.withColumnRenamed("vid", "src")
+                .join(sym, "src")
+                .select("root", F.col("dst").alias("vid"))
+                .dropDuplicates(["root", "vid"])
+            )
+            fresh = nxt.join(mem, ["root", "vid"], "left_anti")
+            mem = mem.unionByName(fresh)
+            frontier = fresh
+    else:
+        blocks = sample_neighborhood(
+            spark, edges, seeds, fanouts, seed=seed, indexed=indexed
+        )
+        mem = root_tbl.unionByName(
+            blocks.select("root", F.col("dst").alias("vid"))
+        ).dropDuplicates(["root", "vid"])
+    e = edges.select("src", "dst")
+    m_src = mem.select("root", F.col("vid").alias("src"))
+    m_dst = mem.select("root", F.col("vid").alias("dst"))
+    return (
+        m_src.join(e, "src")
+        .join(m_dst, ["root", "dst"], "left_semi")
+        .select("root", "src", "dst")
+        .dropDuplicates(["root", "src", "dst"])
+    )
 
 
 def node2vec_walks(

@@ -243,3 +243,90 @@ def test_node2vec_return_bias(spark):
         return ret / tot
 
     assert return_rate(0.2) > return_rate(5.0) + 0.05
+
+
+# --- ego networks ------------------------------------------------------------
+
+def _brute_ego(root, radius):
+    """Exact radius-k induced edge set from the shared fixture graph."""
+    adj: dict = {}
+    for u, v in TEST_GRAPH_EDGES:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    ball = {root}
+    frontier = {root}
+    for _ in range(radius):
+        frontier = {w for v in frontier for w in adj.get(v, ())} - ball
+        ball |= frontier
+    return {(u, v) for u, v in TEST_GRAPH_EDGES if u in ball and v in ball}
+
+
+def test_ego_networks_exact_matches_bruteforce(spark, test_graph):
+    from arabesque_spark.graph.walks import ego_networks
+
+    seeds = spark.createDataFrame([(0,), (6,)], "vid long")
+    for radius in (1, 2):
+        got: dict = {}
+        rows = ego_networks(spark, test_graph, seeds, radius=radius).collect()
+        for r in rows:
+            got.setdefault(r["root"], set()).add((r["src"], r["dst"]))
+        assert got == {
+            0: _brute_ego(0, radius),
+            6: _brute_ego(6, radius),
+        }, radius
+
+
+def test_ego_networks_sampled_full_fanout_equals_exact(spark, test_graph):
+    # fanouts >= max degree ⇒ the sampler keeps every neighbor, so the
+    # sampled ego net IS the exact ball (relies on the deg<=fanout full
+    # take in sample_neighborhood)
+    from arabesque_spark.graph.walks import ego_networks
+
+    seeds = spark.createDataFrame([(0,), (5,)], "vid long")
+    exact = sorted(
+        (r["root"], r["src"], r["dst"])
+        for r in ego_networks(spark, test_graph, seeds, radius=2).collect()
+    )
+    sampled = sorted(
+        (r["root"], r["src"], r["dst"])
+        for r in ego_networks(
+            spark, test_graph, seeds, fanouts=[10, 10]
+        ).collect()
+    )
+    assert sampled == exact
+
+
+def test_ego_networks_sampled_is_bounded_subset(spark, test_graph):
+    from arabesque_spark.graph.walks import ego_networks
+
+    seeds = spark.createDataFrame([(0,)], "vid long")
+    full = {
+        (r["src"], r["dst"])
+        for r in ego_networks(spark, test_graph, seeds, radius=2).collect()
+    }
+    rows = ego_networks(spark, test_graph, seeds, fanouts=[1, 1]).collect()
+    got = {(r["src"], r["dst"]) for r in rows}
+    assert got <= full
+    # deterministic across partitioning
+    rows2 = ego_networks(
+        spark, test_graph.repartition(5), seeds, fanouts=[1, 1]
+    ).collect()
+    assert {(r["src"], r["dst"]) for r in rows2} == got
+
+
+def test_sample_neighborhood_full_take_when_small_degree(spark, test_graph):
+    # deg <= fanout ⇒ every neighbor appears exactly once in the block
+    from arabesque_spark.graph.walks import sample_neighborhood
+
+    adj: dict = {}
+    for u, v in TEST_GRAPH_EDGES:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    seeds = spark.createDataFrame([(0,), (3,)], "vid long")
+    rows = sample_neighborhood(spark, test_graph, seeds, fanouts=[10]).collect()
+    by_root: dict = {}
+    for r in rows:
+        assert r["layer"] == 0 and r["src"] == r["root"]
+        by_root.setdefault(r["root"], []).append(r["dst"])
+    for root, dsts in by_root.items():
+        assert sorted(dsts) == sorted(adj[root]), root
