@@ -144,8 +144,9 @@ def closed_triangles(newe: DataFrame, acc_sym: DataFrame | None) -> DataFrame:
     )
 
 
-class IncrementalTriangleCounter(CompactedStateStore):
-    """Exactly-once incremental triangle counting over an edge stream.
+class EdgeStreamStore(CompactedStateStore):
+    """Shared accumulated-edge-set machinery for streaming graph
+    trackers (triangles below; PageRank in pagerank_stream.py).
 
     ``state_dir`` layout (the :class:`CompactedStateStore` protocol):
 
@@ -154,12 +155,11 @@ class IncrementalTriangleCounter(CompactedStateStore):
     * ``compacted/gen_<g>/`` — the symmetric adjacency of all batches
       covered by ``compaction.json``, parquet-partitioned by hash bucket
       (see module docstring).
-    * ``counts.jsonl`` — lineage log, one line per processed batch:
-      new-edge count, triangles closed, running total.
+    * ``counts.jsonl`` — lineage log, one line per processed batch.
     * ``compaction.json`` — {"gen": g, "covered": [batch ids]}; its
       atomic replacement is the compaction commit point.
 
-    A restarted counter resumes from the directory contents alone.
+    A restarted tracker resumes from the directory contents alone.
     """
 
     GEN_SUBDIR = "compacted"
@@ -172,15 +172,11 @@ class IncrementalTriangleCounter(CompactedStateStore):
         compact_every: int = 16,
         n_buckets: int = 64,
     ) -> None:
-        self._total = 0
         super().__init__(
             spark, state_dir, compact_every=compact_every, n_buckets=n_buckets
         )
         self.edges_dir = self.delta_parent
         self.compact_dir = self.gen_parent
-
-    def _fold_log_entry(self, entry: dict) -> None:
-        self._total = entry["total"]
 
     # ---- state ---------------------------------------------------------
     def _delta_batch_dirs(self) -> list[str]:
@@ -242,6 +238,74 @@ class IncrementalTriangleCounter(CompactedStateStore):
             return dsym if comp is None else comp.union(dsym)
         return comp
 
+    # ---- compaction ----------------------------------------------------
+    def _compact(self) -> None:
+        """Fold every un-compacted delta dir (plus the current generation)
+        into a new bucket-partitioned generation. See module docstring for
+        the crash-safety argument."""
+        delta = self._delta_canonical()
+        if delta is None:
+            return
+        covered = set(self._entries)
+        sym = self._symmetrize(delta)
+        comp = self._compacted_sym(None)
+        if comp is not None:
+            sym = comp.union(sym)
+
+        def write_gen(gen_dir: Path) -> None:
+            (
+                sym.withColumn("bkt", self._bucket(F.col("a")))
+                .repartition("bkt")
+                .write.mode("overwrite")
+                .partitionBy("bkt")
+                .parquet(str(gen_dir))
+            )
+
+        self._commit_generation(write_gen, covered)
+
+    # ---- streaming wiring ---------------------------------------------
+    def attach(self, edge_stream: DataFrame, checkpoint_dir: str | Path | None = None):
+        """Wire the kernel into a streaming query via foreachBatch.
+
+        Returns the started StreamingQuery; with availableNow trigger the
+        caller can awaitTermination() for a bounded catch-up run.
+        """
+        ckpt = str(checkpoint_dir or (self.state_dir / "_stream_ckpt"))
+        return (
+            edge_stream.writeStream.foreachBatch(
+                lambda df, bid: self.process_batch(df, bid) and None
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def process_batch(self, batch: DataFrame, batch_id: int):  # pragma: no cover
+        raise NotImplementedError
+
+
+class IncrementalTriangleCounter(EdgeStreamStore):
+    """Exactly-once incremental triangle counting over an edge stream.
+
+    Per-batch lineage log fields: new-edge count, triangles closed,
+    running total. See :class:`EdgeStreamStore` for the state layout.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str | Path,
+        compact_every: int = 16,
+        n_buckets: int = 64,
+    ) -> None:
+        self._total = 0
+        super().__init__(
+            spark, state_dir, compact_every=compact_every, n_buckets=n_buckets
+        )
+
+    def _fold_log_entry(self, entry: dict) -> None:
+        self._total = entry["total"]
+
     @property
     def total(self) -> int:
         return self._total
@@ -298,45 +362,3 @@ class IncrementalTriangleCounter(CompactedStateStore):
         if self._should_compact():
             self._compact()
         return closed
-
-    # ---- compaction ----------------------------------------------------
-    def _compact(self) -> None:
-        """Fold every un-compacted delta dir (plus the current generation)
-        into a new bucket-partitioned generation. See module docstring for
-        the crash-safety argument."""
-        delta = self._delta_canonical()
-        if delta is None:
-            return
-        covered = set(self._entries)
-        sym = self._symmetrize(delta)
-        comp = self._compacted_sym(None)
-        if comp is not None:
-            sym = comp.union(sym)
-
-        def write_gen(gen_dir: Path) -> None:
-            (
-                sym.withColumn("bkt", self._bucket(F.col("a")))
-                .repartition("bkt")
-                .write.mode("overwrite")
-                .partitionBy("bkt")
-                .parquet(str(gen_dir))
-            )
-
-        self._commit_generation(write_gen, covered)
-
-    # ---- streaming wiring ---------------------------------------------
-    def attach(self, edge_stream: DataFrame, checkpoint_dir: str | Path | None = None):
-        """Wire the kernel into a streaming query via foreachBatch.
-
-        Returns the started StreamingQuery; with availableNow trigger the
-        caller can awaitTermination() for a bounded catch-up run.
-        """
-        ckpt = str(checkpoint_dir or (self.state_dir / "_stream_ckpt"))
-        return (
-            edge_stream.writeStream.foreachBatch(
-                lambda df, bid: self.process_batch(df, bid) and None
-            )
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )

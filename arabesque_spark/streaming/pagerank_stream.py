@@ -1,0 +1,177 @@
+"""Evolving-graph PageRank: warm-start re-convergence over an edge stream.
+
+The reference is strictly batch; this is the streaming twin of the
+engine's core kernel (graph/pagerank.py) for the production shape of a
+link graph — commits land continuously, the co-occurrence edge table
+only grows, and consumers want fresh ranks without paying a cold start
+per refresh.
+
+Design (per micro-batch, via ``foreachBatch``):
+
+1. canonicalize + dedupe the batch against the accumulated edge set
+   (the :class:`~arabesque_spark.streaming.graph_stream.EdgeStreamStore`
+   bucketed store shared with the triangle tracker — anti-join against
+   the compacted generation pruned to the batch's source buckets);
+2. run :func:`~arabesque_spark.graph.pagerank.pagerank` over the full
+   accumulated edge set, WARM-STARTED from the previous batch's ranks
+   (``initial_ranks`` — renormalized over the current vertex set, so new
+   vertices enter at the uniform value and the stochastic invariant is
+   preserved exactly). The fixed point is unique, so the result equals a
+   cold batch run at the same tolerance — warm start only changes the
+   iteration COUNT. Convergence is geometric at the graph's mixing rate,
+   so the saving is log(perturbation)/log(rate) supersteps: large on
+   slow-mixing graphs (rate ≈ damping, tens of supersteps saved), modest
+   on fast-mixing ones (pytest pins both the result equality and the
+   iteration saving on a measured example);
+3. write the new ranks to ``ranks/batch_<id>`` and append the lineage
+   log line — the log append is the batch commit point, exactly as in
+   the other trackers: a crash before it replays the batch against
+   unchanged state; a redelivered logged batch is a no-op.
+
+Scale notes. The per-batch cost is dominated by the warm-start
+supersteps (each O(E) with the exchange-free cached adjacency of
+pagerank.py), NOT by the delta: this operator intentionally recomputes
+the global fixed point because PageRank is a global function of the
+graph — localized approximations (residual push) trade exactness for
+locality, and the engine's contract here is exact convergence (the
+north rule's allclose-1e-6 bar). Batch cadence therefore sets the
+freshness/cost trade; the edge store itself stays O(delta) per batch.
+The ranks directory holds ONE generation (the latest logged) plus the
+in-flight write; superseded generations are deleted after the log
+commit, best-effort, and re-swept on later batches.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.build import canonical_edges
+from arabesque_spark.graph.pagerank import pagerank
+from arabesque_spark.streaming.graph_stream import EdgeStreamStore
+
+
+class IncrementalPageRank(EdgeStreamStore):
+    """Exactly-once evolving-graph PageRank over an edge stream.
+
+    Extra ``state_dir`` content beyond :class:`EdgeStreamStore`:
+
+    * ``ranks/batch_<id>/`` — parquet (vid, rank) after folding batch
+      ``id``; the warm-start vector for the next batch and the resume
+      point after a restart (the last LOGGED ranks dir is authoritative).
+
+    Lineage log fields per batch: ``new_edges``, ``n_vertices``,
+    ``iterations`` (supersteps this refresh took), ``converged``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str | Path,
+        damping: float = 0.85,
+        tol: float = 1e-6,
+        max_iterations: int = 100,
+        compact_every: int = 16,
+        n_buckets: int = 64,
+    ) -> None:
+        self._last_ranked: int | None = None
+        super().__init__(
+            spark, state_dir, compact_every=compact_every, n_buckets=n_buckets
+        )
+        self.damping = damping
+        self.tol = tol
+        self.max_iterations = max_iterations
+        self.ranks_parent = self.state_dir / "ranks"
+        if self._last_ranked is not None and not self._ranks_dir(
+            self._last_ranked
+        ).exists():
+            raise RuntimeError(
+                f"logged batch {self._last_ranked} has no ranks at "
+                f"{self._ranks_dir(self._last_ranked)} — state is corrupt; "
+                "refusing to resume from a partial state"
+            )
+
+    def _fold_log_entry(self, entry: dict) -> None:
+        self._last_ranked = entry["batch_id"]
+
+    def _ranks_dir(self, batch_id: int) -> Path:
+        return self.state_dir / "ranks" / f"batch_{batch_id}"
+
+    @property
+    def ranks(self) -> DataFrame | None:
+        """(vid, rank) as of the last logged batch; None before any."""
+        if self._last_ranked is None:
+            return None
+        return self.spark.read.parquet(str(self._ranks_dir(self._last_ranked)))
+
+    # ---- the per-batch kernel -------------------------------------------
+    def process_batch(self, batch: DataFrame, batch_id: int) -> dict:
+        """Fold one batch of raw (src, dst) rows; returns the log entry
+        (replayed batches return the logged entry unchanged, no-op)."""
+        if batch_id in self._entries:
+            return self._entries[batch_id]
+        new_raw = canonical_edges(batch).localCheckpoint(eager=True)
+        src_buckets = sorted(
+            r["sb"]
+            for r in new_raw.select(self._bucket(F.col("src")).alias("sb"))
+            .distinct()
+            .collect()
+        )
+        acc_pruned = self._acc_canonical(src_buckets)
+        newe = (
+            new_raw
+            if acc_pruned is None
+            else new_raw.join(acc_pruned, ["src", "dst"], "left_anti")
+        ).localCheckpoint(eager=True)
+        n_new = newe.count()
+        # the delta dir must exist before the pagerank run reads the
+        # accumulated set (so the run includes THIS batch), but it stays
+        # invisible to restarts until the log line commits
+        newe.write.mode("overwrite").parquet(
+            str(self.edges_dir / f"batch_{batch_id}")
+        )
+        # full accumulated canonical edges = compacted + logged deltas +
+        # this (still-unlogged) batch
+        edges = self._acc_canonical(None)
+        edges = newe if edges is None else edges.union(newe).dropDuplicates(
+            ["src", "dst"]
+        )
+        # union with deltas double-lists this batch's dir contents is NOT
+        # possible: _acc_canonical only reads LOGGED dirs, so add newe once
+        prev = self.ranks
+        res = pagerank(
+            self.spark,
+            edges,
+            damping=self.damping,
+            tol=self.tol,
+            max_iterations=self.max_iterations,
+            initial_ranks=None
+            if prev is None
+            else prev.select("vid", "rank"),
+        )
+        out = res.state.select("vid", "rank")
+        out.write.mode("overwrite").parquet(str(self._ranks_dir(batch_id)))
+        entry = {
+            "batch_id": batch_id,
+            "new_edges": n_new,
+            "n_vertices": out.count(),
+            "iterations": res.num_iterations,
+            "converged": bool(res.converged),
+        }
+        self._append_log(entry)
+        prev_ranked, self._last_ranked = self._last_ranked, batch_id
+        # superseded ranks: swept AFTER the commit point; a crash in
+        # between leaves an orphan dir that later sweeps re-delete
+        for d in self.ranks_parent.glob("batch_*"):
+            try:
+                if int(d.name.removeprefix("batch_")) < batch_id:
+                    shutil.rmtree(d, ignore_errors=True)
+            except ValueError:
+                continue
+        del prev_ranked
+        if self._should_compact():
+            self._compact()
+        return entry
