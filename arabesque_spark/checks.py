@@ -50,6 +50,18 @@ SPLIT_WEIGHTS = {"train": 0.8, "valid": 0.1, "test": 0.1}
 MIX_WEIGHTS = {"s0": 0.5, "s1": 0.3, "s2": 0.2}
 MIX_BUDGET = 10_000
 BPE_CHECK_MERGES = 16
+WINNOW_K = 8           # winnowing k-gram length in the gate
+WINNOW_W = 4           # winnowing window (guarantee length = k + w - 1)
+WINNOW_TEXT_CAP = 400  # chars of (ASCII-stripped) doc text winnowed
+WINNOW_CLONE_MOD = 31  # every WINNOW_CLONE_MOD-th doc gets the clone block
+WINNOW_MIN_SHARED = 3  # clone pair = >= this many shared fingerprints
+WINNOW_FREQ_CAP = 30   # fingerprint doc-frequency cap before the pair join
+# planted clone block: ASCII, apostrophe-free, vocabulary disjoint from the
+# corpus text so its gram doc-frequency is exactly the planted-doc count
+WINNOW_BLOCK = (
+    " def rolling_checksum(buf): acc = 0; "
+    "for b in buf: acc = (acc * 31 + b) % 65521; return acc #"
+)
 
 # ---- graph-kernel constants ---------------------------------------------
 KERNEL_SUPPORT = 2     # support filter for the undirected kernel graph
@@ -839,6 +851,127 @@ def q_corpus_ops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows.append(("secrets", int(r["n"]), int(resid), float(r["fp"])))
 
+    # winnowing (MOSS) fingerprints + clone pairs — run with the portable
+    # poly hasher so the DuckDB twin replays the k-gram hash AND the
+    # window-min selection value-exactly; a distinctive clone block is
+    # planted in every WINNOW_CLONE_MOD-th doc on both sides.
+    # winnow: n1 = fingerprints, n2 = coverage violations (every full
+    #   window of W grams must contain a selected position — gap,
+    #   first-window and last-window checks, all structurally 0),
+    #   x = Σ md5-prefix(doc:pos:h)·w — the full selected set, value-exact
+    # clones: n1 = clone pairs (≥ MIN_SHARED shared uncapped hashes),
+    #   n2 = planted clone pairs missed (0 — the block is ~8× the
+    #   w+k−1 guarantee length), x = Σ md5-prefix(a:b)·shared
+    from arabesque_spark.operators.winnow import clone_pairs, winnow_fingerprints
+
+    wdocs = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring(
+                F.regexp_replace("text", "[^ -~]", ""), 1, WINNOW_TEXT_CAP
+            ),
+            F.when(d % WINNOW_CLONE_MOD == 0, F.lit(WINNOW_BLOCK)).otherwise(
+                F.lit("")
+            ),
+        ).alias("wtext"),
+    )
+    fps = winnow_fingerprints(
+        wdocs, k=WINNOW_K, w=WINNOW_W, text="wtext", hasher="poly"
+    ).localCheckpoint(eager=True)
+    lagw = Window.partitionBy("doc_id").orderBy("pos")
+    gap_viol = (
+        fps.withColumn("prev", F.lag("pos").over(lagw))
+        .filter(
+            F.col("prev").isNotNull()
+            & (F.col("pos") - F.col("prev") > WINNOW_W)
+        )
+        .count()
+    )
+    wlens = wdocs.select(
+        "doc_id", (F.length("wtext") - WINNOW_K + 1).alias("ng")
+    ).filter(F.col("ng") >= WINNOW_W)
+    bound_viol = (
+        fps.groupBy("doc_id")
+        .agg(F.min("pos").alias("p1"), F.max("pos").alias("pm"))
+        .join(wlens, "doc_id")
+        .filter(
+            (F.col("p1") > WINNOW_W)
+            | (F.col("pm") < F.col("ng") - WINNOW_W + 1)
+        )
+        .count()
+    )
+    r = fps.agg(
+        F.count("*").alias("n"),
+        F.pmod(
+            F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("doc_id").cast("string"),
+                                F.col("pos").cast("string"),
+                                F.col("h").cast("string"),
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast(dec)
+                * (F.col("doc_id") % FP_MOD + 1).cast(dec)
+            ),
+            F.lit(str(FP_PRIME)).cast(dec),
+        )
+        .cast("double")
+        .alias("fp"),
+    ).collect()[0]
+    rows.append(("winnow", int(r["n"]), gap_viol + bound_viol, float(r["fp"])))
+
+    cp = clone_pairs(
+        fps, min_shared=WINNOW_MIN_SHARED, cap=WINNOW_FREQ_CAP
+    ).localCheckpoint(eager=True)
+    m_planted = docs.filter(d % WINNOW_CLONE_MOD == 0).count()
+    obs_planted = cp.filter(
+        (F.col("doc_a") % WINNOW_CLONE_MOD == 0)
+        & (F.col("doc_b") % WINNOW_CLONE_MOD == 0)
+    ).count()
+    r = cp.agg(
+        F.count("*").alias("n"),
+        F.pmod(
+            F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("doc_a").cast("string"),
+                                F.col("doc_b").cast("string"),
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast(dec)
+                * F.col("shared").cast(dec)
+            ),
+            F.lit(str(FP_PRIME)).cast(dec),
+        )
+        .cast("double")
+        .alias("fp"),
+    ).collect()[0]
+    rows.append(
+        (
+            "clones",
+            int(r["n"]),
+            m_planted * (m_planted - 1) // 2 - obs_planted,
+            float(r["fp"] or 0.0),
+        )
+    )
+
     return spark.createDataFrame(rows, CHECK_SCHEMA).orderBy("op")
 
 
@@ -1426,6 +1559,12 @@ def corpus_ops_oracle() -> str:
         SPDX_RE,
     )
     from arabesque_spark.operators.text import BOS, PII_PATTERNS
+    from arabesque_spark.operators.winnow import (
+        _POS_CAP as W_POS_CAP,
+        _POS_SPAN as W_POS_SPAN,
+        POLY_BASE as W_POLY_BASE,
+        POLY_MOD as W_POLY_MOD,
+    )
 
     terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_TERMS)))
     k1, b = BM25_K1, BM25_B
@@ -1781,8 +1920,63 @@ sec_agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1,
            AS BIGINT) AS HUGEINT)
            * n * (doc_id % {FP_MOD} + 1)) % {FP_PRIME} AS DOUBLE) AS x
   FROM sec),
+-- ---- winnowing (MOSS) fingerprints: the oracle replays the portable
+-- poly k-gram hash AND the packed-key window-min selection verbatim
+wdoc AS MATERIALIZED (
+  SELECT doc_id,
+    substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, {WINNOW_TEXT_CAP})
+    || (CASE WHEN doc_id % {WINNOW_CLONE_MOD} = 0
+        THEN '{WINNOW_BLOCK}' ELSE '' END) AS t
+  FROM documents),
+wgram AS (
+  SELECT doc_id, i, length(t) - {WINNOW_K} + 1 AS ng,
+    list_reduce(list_transform(generate_series(0, {WINNOW_K - 1}),
+        j -> CAST(ord(substr(t, i + j, 1)) AS BIGINT)),
+      (acc, c) -> (acc * {W_POLY_BASE} + c) % {W_POLY_MOD}) AS h
+  FROM wdoc,
+       LATERAL (SELECT unnest(generate_series(
+                  1, length(t) - {WINNOW_K} + 1)) AS i)
+  WHERE length(t) >= {WINNOW_K + WINNOW_W - 1}),
+wsel AS (
+  SELECT doc_id, i, ng,
+    min(h * {W_POS_SPAN} + ({W_POS_CAP} - i))
+      OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS mk
+  FROM wgram),
+wfp AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+    {W_POS_CAP} - (mk % {W_POS_SPAN}) AS pos, mk // {W_POS_SPAN} AS h
+  FROM wsel WHERE i <= ng - {WINNOW_W - 1}),
+wfp_agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+  CAST(SUM(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+           || CAST(pos AS VARCHAR) || ':' || CAST(h AS VARCHAR)), 1, 12))
+           AS BIGINT) AS HUGEINT)
+           * (doc_id % {FP_MOD} + 1)) % {FP_PRIME} AS DOUBLE) AS x
+  FROM wfp),
+wfd AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM wfp),
+wfreq AS (SELECT h FROM wfd GROUP BY h
+          HAVING COUNT(*) <= {WINNOW_FREQ_CAP}),
+wcp AS MATERIALIZED (
+  SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM wfd a JOIN wfreq f ON a.h = f.h JOIN wfd b ON b.h = a.h
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {WINNOW_MIN_SHARED}),
+wpl AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM documents
+        WHERE doc_id % {WINNOW_CLONE_MOD} = 0),
+wcp_agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+  (SELECT m * (m - 1) // 2 FROM wpl)
+    - COALESCE(SUM(CASE WHEN da % {WINNOW_CLONE_MOD} = 0
+                         AND db % {WINNOW_CLONE_MOD} = 0
+                    THEN 1 ELSE 0 END), 0) AS n2,
+  CAST(COALESCE(SUM(CAST(CAST(('0x' || substr(md5(CAST(da AS VARCHAR) || ':'
+           || CAST(db AS VARCHAR)), 1, 12)) AS BIGINT) AS HUGEINT)
+           * shared), 0) % {FP_PRIME} AS DOUBLE) AS x
+  FROM wcp),
 dc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
 SELECT 'asof' AS op, n1, n2, x FROM aj_agg
+UNION ALL SELECT 'winnow', n1, CAST(0 AS BIGINT), x FROM wfp_agg
+UNION ALL SELECT 'clones', n1, n2, x FROM wcp_agg
 UNION ALL SELECT 'code_idents', n1, CAST(0 AS BIGINT), x FROM cid_agg
 UNION ALL SELECT 'code_imports', n1, CAST(0 AS BIGINT), x FROM cimp_agg
 UNION ALL SELECT 'code_strip', n1, n2, x FROM cstrip_agg

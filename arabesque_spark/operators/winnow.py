@@ -1,0 +1,164 @@
+"""Winnowing fingerprints (MOSS) for code clone detection.
+
+Schleimer, Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+Fingerprinting" (SIGMOD 2003) — the fingerprint scheme behind MOSS.
+From every document's k-gram hash sequence, each sliding window of
+``w`` consecutive hashes contributes its minimum (rightmost on ties);
+the DISTINCT selected (position, hash) set is the fingerprint. The
+guarantee: any substring match of length ≥ w + k − 1 between two
+documents shares at least one selected fingerprint hash, while expected
+density is only 2/(w+1) of all k-grams — an order of magnitude fewer
+rows shuffled than ExactSubstr's every-window hashing
+(``operators/spans.py``) at the cost of detecting only
+window-guarantee-length matches.
+
+Spark-first layout (vs the reference's single-machine scan — the
+reference has no fingerprinting at all; this extends the corpus stack
+the same way ``operators/spans.py`` does):
+
+1. **k-gram hashes**: one projection explodes each doc into
+   (doc_id, pos, h). The gram TEXT never shuffles — only the packed
+   64-bit key below.
+2. **window-min selection**: ``min(key) OVER (PARTITION BY doc_id ORDER
+   BY pos ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING)`` evaluated at
+   every full-window start, then DISTINCT. ``key = h·2²¹ + (2²⁰ − pos)``
+   packs (hash asc, position desc) into one BIGINT so the rightmost-tie
+   rule is plain integer ``min`` — no struct comparisons, and the
+   identical expression runs in any SQL engine (the correctness gate's
+   DuckDB oracle re-runs it verbatim). Per-doc ordering means one doc =
+   one window partition — fine for bounded documents (enforced by
+   ``max_len``); a 2²⁰-char cap keeps the packing exact.
+3. **clone pairs**: self-join the fingerprint table on h with a
+   document-frequency cap (a hash appearing in > ``cap`` docs is
+   boilerplate, joining it would square a heavy hitter), then
+   groupBy(pair) count ≥ ``min_shared``. Same frequency-cap discipline
+   as ``ngram_jaccard_pairs`` (operators/dedup.py:68) — nothing
+   all-pairs on the scale path.
+
+Hashing: ``hasher="xxhash64"`` (default) keeps the k-gram hash fully
+JVM-side and collision-negligible for production. ``hasher="poly"``
+computes the same selection over a portable polynomial hash
+(base-131 mod 1e9+7, folded over code points) so an independent engine
+can replay the ENTIRE pipeline exactly — the correctness gate uses it.
+Both are valid winnowing instances (the selected set depends on the
+hash order); the structural guarantees are pytest-pinned for both.
+
+At 100 TB: step 1 is a single scan emitting ~n rows/doc of 20 B each;
+step 2 shuffles once on doc_id (docs are bounded, no skew); step 3
+shuffles the ~2n/(w+1) fingerprints once on h with the cap absorbing
+boilerplate. No driver loops, no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+POLY_BASE = 131
+POLY_MOD = 1_000_000_007
+# key packing: h * 2^21 + (2^20 - pos). Needs h < 2^42 and pos < 2^20.
+_POS_SPAN = 1 << 21
+_POS_CAP = 1 << 20
+
+
+def _poly_hash_expr(text: str, k: int) -> str:
+    """Portable k-gram hash: left fold of code points, base 131 mod 1e9+7.
+    Identical SQL runs in Spark and DuckDB (``winnow_oracle_cte``)."""
+    return (
+        f"aggregate(transform(sequence(0, {k - 1}), "
+        f"j -> cast(ascii(substr({text}, pos + j, 1)) AS BIGINT)), "
+        f"cast(0 AS BIGINT), (acc, x) -> (acc * {POLY_BASE} + x) % {POLY_MOD})"
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text: str = "text",
+    hasher: str = "xxhash64",
+    max_len: int = _POS_CAP - 1,
+) -> DataFrame:
+    """(doc_id, pos, h): the winnowing fingerprint set — for every full
+    window of ``w`` consecutive k-gram hashes, the minimum hash
+    (rightmost on ties), deduplicated. Docs shorter than k + w − 1
+    chars yield no fingerprints (no full window exists). ``max_len``
+    truncates pathological documents so the BIGINT key packing stays
+    exact; raise it (and the packing span) together if your docs exceed
+    2²⁰ chars."""
+    if not (1 <= w and 1 <= k):
+        raise ValueError("k and w must be >= 1")
+    if max_len >= _POS_CAP:
+        raise ValueError(f"max_len must be < {_POS_CAP} for exact key packing")
+    t = F.substring(F.col(text), 1, max_len)
+    base = docs.select(F.col(id_col).alias("doc_id"), t.alias("_t")).filter(
+        F.length("_t") >= k + w - 1
+    )
+    grams = base.select(
+        "doc_id",
+        (F.length("_t") - k + 1).alias("_n"),
+        F.explode(F.expr(f"sequence(1, length(_t) - {k} + 1)")).alias("pos"),
+        F.col("_t"),
+    )
+    if hasher == "xxhash64":
+        # xxhash64 is signed 64-bit; fold into [0, 2^42) so the packing
+        # h*2^21 + offset stays within BIGINT and order-exact. 42-bit
+        # collisions between unequal grams shift the selection harmlessly
+        # (any min is a valid winnow) and a FALSE clone pair needs
+        # min_shared independent collisions on the same doc pair —
+        # negligible; exact-dedup decisions re-verify candidates anyway.
+        h = F.pmod(F.xxhash64(F.expr(f"substr(_t, pos, {k})")), F.lit(1 << 42))
+    elif hasher == "poly":
+        h = F.expr(_poly_hash_expr("_t", k))
+    else:
+        raise ValueError(f"unknown hasher: {hasher!r}")
+    keyed = grams.select(
+        "doc_id",
+        "_n",
+        "pos",
+        (h * F.lit(_POS_SPAN) + (F.lit(_POS_CAP) - F.col("pos"))).alias("key"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = (
+        keyed.withColumn("mk", F.min("key").over(win))
+        .filter(F.col("pos") <= F.col("_n") - (w - 1))  # full windows only
+        .select("doc_id", "mk")
+        .distinct()
+    )
+    return sel.select(
+        "doc_id",
+        (F.lit(_POS_CAP) - F.pmod("mk", F.lit(_POS_SPAN))).alias("pos"),
+        (F.col("mk") / F.lit(_POS_SPAN)).cast("long").alias("h"),
+    )
+
+
+def clone_pairs(
+    fingerprints: DataFrame,
+    min_shared: int = 2,
+    cap: int = 50,
+) -> DataFrame:
+    """(doc_a, doc_b, shared): unordered doc pairs sharing ≥
+    ``min_shared`` distinct fingerprint hashes, doc_a < doc_b.
+    Fingerprint hashes present in more than ``cap`` documents are
+    boilerplate and excluded BEFORE the self-join (the join cost of one
+    hash is quadratic in its doc frequency — the cap bounds it; same
+    guard as ngram_jaccard_pairs). Input is ``winnow_fingerprints``
+    output or anything shaped (doc_id, h)."""
+    fp = fingerprints.select("doc_id", "h").distinct()
+    freq = fp.groupBy("h").count().filter(F.col("count") <= cap).select("h")
+    capped = fp.join(freq, "h")
+    a = capped.select(F.col("h"), F.col("doc_id").alias("doc_a"))
+    b = capped.select(F.col("h"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
