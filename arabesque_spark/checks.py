@@ -90,6 +90,9 @@ BP_SEED = 23           # must match balanced_partition's default seed
 EGO_SEEDS = 6          # ego-net gate roots (the EGO_SEEDS lowest vids);
                        # radius is pinned at 2 (the SQL twin unrolls two
                        # membership expansions)
+BIP_CAP = 100          # bipartite-projection group-size cap in the gate
+BIP_MIN_SHARED = 2     # bipartite-projection minimum shared groups
+PL_DMIN = 2            # power-law MLE tail threshold in the gate
 TOPO_THIN = 4          # toposort DAG keeps src<dst edges with
                        # (3*src + dst) % TOPO_THIN == 0 (id-orientation
                        # makes acyclicity structural; thinning bounds the
@@ -1038,6 +1041,18 @@ def q_graph_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       edges absent from the base edge table (0), x = per-row checksum —
       the oracle recomputes the FULL result via a two-hop membership
       expansion; sampled-mode parity/boundedness is pytest-gated
+    - ``sparsify``    n1 = L-Spar kept edges, n2 = vertices isolated by
+      the sparsifier (0 under the either-endpoint union rule — recomputed
+      on both sides), x = per-edge checksum — the oracle recomputes the
+      entire kept set (common-neighbor join, exact ⌈√deg⌉ budgets,
+      (sim DESC, nbr ASC) tie order)
+    - ``bipartite``   n1 = weighted-projection pairs of the raw
+      (order, part) incidence with shared ≥ BIP_MIN_SHARED, n2 =
+      Cauchy-Schwarz violations cosine > 1 (0), x = Σ round(cos,6)·w —
+      full SQL twin
+    - ``powerlaw``    n1 = vertices, n2 = tail size (deg ≥ PL_DMIN),
+      x = Clauset-Shalizi-Newman α̂ (6 dp) — oracle recomputes the MLE
+      from its own degree table
     """
     from arabesque_spark.graph.anf import neighborhood_function
     from arabesque_spark.graph.betweenness import betweenness_centrality
@@ -1342,6 +1357,85 @@ def q_graph_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fp"),
     ).collect()[0]
     rows.append(("ego", int(r["n"]), int(not_base), float(r["fp"] or 0.0)))
+
+    # L-Spar local-similarity sparsification: the oracle recomputes the
+    # ENTIRE kept-edge set (common-neighbor join + exact ⌈√deg⌉ budgets +
+    # deterministic (sim DESC, nbr ASC) tie order), so n1 and the per-edge
+    # checksum are value-exact; n2 = vertices left isolated by the
+    # sparsifier — structurally 0 under the either-endpoint union rule,
+    # recomputed (not pinned) on both sides.
+    from arabesque_spark.graph.sparsify import sparsify_edges
+
+    sp = sparsify_edges(spark, edges).localCheckpoint(eager=True)
+    attached = (
+        sp.select(F.explode(F.array("src", "dst")).alias("vid"))
+        .dropDuplicates(["vid"])
+        .count()
+    )
+    r = sp.agg(
+        F.count("*").alias("n"),
+        F.pmod(
+            F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("src").cast("string"),
+                                F.col("dst").cast("string"),
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast(dec)
+                * (F.col("src") % FP_MOD + 1).cast(dec)
+            ),
+            F.lit(str(FP_PRIME)).cast(dec),
+        )
+        .cast("double")
+        .alias("fp"),
+    ).collect()[0]
+    rows.append(
+        ("sparsify", int(r["n"]), verts.count() - attached, float(r["fp"] or 0.0))
+    )
+
+    # Weighted bipartite projection over the RAW (order, part) incidence:
+    # full SQL twin (distinct incidence → cap filter → pair counts →
+    # cosine over true group-degrees). n1 = projected pairs with shared ≥
+    # BIP_MIN_SHARED, n2 = Cauchy-Schwarz violations cosine > 1 (0),
+    # x = Σ round(cosine,6)·w — value-exact (integer ÷ and correctly-
+    # rounded sqrt are IEEE-identical across engines).
+    from arabesque_spark.api import load_table
+    from arabesque_spark.graph.bipartite import project_bipartite
+
+    inc = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("grp"), F.col("l_partkey").alias("member")
+    )
+    bp = project_bipartite(
+        inc, cap=BIP_CAP, min_shared=BIP_MIN_SHARED
+    ).localCheckpoint(eager=True)
+    r = bp.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("cosine") > 1.0 + 1e-12).cast("long")).alias("bad"),
+        F.round(
+            F.sum(F.round("cosine", 6) * (F.col("src") % FP_MOD + 1)), 4
+        ).alias("fp"),
+    ).collect()[0]
+    rows.append(("bipartite", int(r["n"]), int(r["bad"] or 0), float(r["fp"] or 0.0)))
+
+    # Power-law degree-exponent MLE on the kernel graph: n1 = vertices,
+    # n2 = tail size (deg ≥ PL_DMIN), x = α̂ rounded to 6 dp — the oracle
+    # recomputes the Clauset-Shalizi-Newman estimator from its own degree
+    # table.
+    from arabesque_spark.graph.stats import degree_distribution
+
+    rdd = degree_distribution(edges, dmin=PL_DMIN).collect()[0]
+    rows.append(
+        ("powerlaw", int(rdd.n_vertices), int(rdd.n_tail), float(rdd.alpha))
+    )
 
     return spark.createDataFrame(rows, CHECK_SCHEMA).orderBy("op")
 
@@ -2159,6 +2253,49 @@ def graph_kernels_oracle() -> str:
     # ---- ego networks: exact radius-2 ball membership (two UNION-dedup
     # expansions over the symmetric edges), then the induced forward-edge
     # set per root, checksummed row by row ----
+    # ---- weighted bipartite projection + power-law MLE twins ----
+    ctes.append(
+        """bp_inc AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS g, l_partkey AS m FROM lineitem)"""
+    )
+    ctes.append(
+        """bp_gd AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS gd
+  FROM bp_inc GROUP BY m)"""
+    )
+    ctes.append(
+        f"""bp_ok AS (SELECT g FROM bp_inc GROUP BY g
+  HAVING COUNT(*) <= {BIP_CAP})"""
+    )
+    ctes.append(
+        f"""bp_pairs AS (
+  SELECT a.m AS src, b.m AS dst, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM bp_inc a JOIN bp_ok o ON a.g = o.g JOIN bp_inc b ON b.g = a.g
+  WHERE a.m < b.m
+  GROUP BY a.m, b.m HAVING COUNT(*) >= {BIP_MIN_SHARED})"""
+    )
+    ctes.append(
+        f"""bp_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN cosine > 1.0 + 1e-12 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n2,
+         ROUND(SUM(ROUND(cosine, 6) * (src % {FP_MOD} + 1)), 4) AS x
+  FROM (SELECT p.src, p.dst,
+               CAST(p.shared AS DOUBLE)
+                 / sqrt(CAST(sa.gd * sb.gd AS DOUBLE)) AS cosine
+        FROM bp_pairs p JOIN bp_gd sa ON sa.m = p.src
+        JOIN bp_gd sb ON sb.m = p.dst))"""
+    )
+    ctes.append(
+        f"""pl_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN deg >= {PL_DMIN} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n2,
+         ROUND(1.0 + SUM(CASE WHEN deg >= {PL_DMIN} THEN 1 ELSE 0 END)
+               / SUM(CASE WHEN deg >= {PL_DMIN}
+                     THEN LN(deg / {PL_DMIN - 0.5}) END), 6) AS x
+  FROM kdeg)"""
+    )
+
     ctes.append(
         f"eseed AS (SELECT vid AS root FROM kverts ORDER BY vid LIMIT {EGO_SEEDS})"
     )
@@ -2179,6 +2316,60 @@ def graph_kernels_oracle() -> str:
   UNION ALL
   SELECT m.root, e.dst AS vid FROM em1 m JOIN ksym e ON e.src = m.vid))"""
     )
+    # ---- L-Spar sparsification: full twin — common neighbors per edge,
+    # exact ceil-sqrt budgets (float sqrt with a ±1 integer correction,
+    # never trusting libm at perfect squares), deterministic tie order
+    ctes.append(
+        """lsp_common AS (
+  SELECT e.src AS u, e.dst AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM fe e JOIN ksym x ON x.src = e.src
+  JOIN ksym y ON y.src = e.dst AND y.dst = x.dst
+  GROUP BY e.src, e.dst)"""
+    )
+    ctes.append(
+        """lsp_sim AS MATERIALIZED (
+  SELECT e.src, e.dst, COALESCE(c.c, 0) AS common,
+         CAST(COALESCE(c.c, 0) + 2 AS DOUBLE)
+           / (a.deg + b.deg - COALESCE(c.c, 0)) AS sim
+  FROM fe e
+  LEFT JOIN lsp_common c ON c.u = e.src AND c.v = e.dst
+  JOIN kdeg a ON a.src = e.src JOIN kdeg b ON b.src = e.dst)"""
+    )
+    ctes.append(
+        """lsp_budget AS (
+  SELECT src AS vid,
+         CASE WHEN (s0 - 1) * (s0 - 1) >= deg THEN s0 - 1
+              WHEN s0 * s0 >= deg THEN s0 ELSE s0 + 1 END AS budget
+  FROM (SELECT src, deg,
+               CAST(floor(sqrt(CAST(deg AS DOUBLE))) AS BIGINT) AS s0
+        FROM kdeg))"""
+    )
+    ctes.append(
+        """lsp_kept AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT vid, src, dst,
+           ROW_NUMBER() OVER (PARTITION BY vid
+                              ORDER BY sim DESC, nbr ASC) AS rk
+    FROM (SELECT src AS vid, dst AS nbr, src, dst, sim FROM lsp_sim
+          UNION ALL
+          SELECT dst AS vid, src AS nbr, src, dst, sim FROM lsp_sim)) r
+  JOIN lsp_budget b USING (vid)
+  WHERE r.rk <= b.budget)"""
+    )
+    ctes.append(
+        f"""lsp_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+         (SELECT v FROM kcnt)
+           - (SELECT CAST(COUNT(DISTINCT vv) AS BIGINT) FROM
+              (SELECT src AS vv FROM lsp_kept
+               UNION ALL SELECT dst FROM lsp_kept)) AS n2,
+         CAST(COALESCE(SUM(CAST(CAST(('0x' || substr(md5(
+               CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)),
+               1, 12)) AS BIGINT) AS HUGEINT)
+             * (src % {FP_MOD} + 1)) % {FP_PRIME}, 0) AS DOUBLE) AS x
+  FROM lsp_kept)"""
+    )
+
     ctes.append(
         f"""ego_agg AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n1, CAST(0 AS BIGINT) AS n2,
@@ -2210,6 +2401,9 @@ UNION ALL SELECT 'maxclique', (SELECT n FROM mc2), (SELECT n FROM mc3),
                   CAST((SELECT n FROM mc4) AS DOUBLE)
 UNION ALL SELECT 'mis', (SELECT v FROM kcnt), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'partition', (SELECT v FROM kcnt), CAST(0 AS BIGINT), CAST({BP_K}.0 AS DOUBLE)
+UNION ALL SELECT 'sparsify', n1, n2, x FROM lsp_agg
+UNION ALL SELECT 'bipartite', n1, n2, x FROM bp_agg
+UNION ALL SELECT 'powerlaw', n1, n2, x FROM pl_agg
 UNION ALL SELECT 'mst', (SELECT v FROM kcnt) - (SELECT c FROM kncomp),
                   (SELECT c FROM kncomp), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'truss', (SELECT e FROM kecnt), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)

@@ -1,0 +1,111 @@
+"""Weighted bipartite projection.
+
+Projects a (group, member) incidence table onto a weighted member-member
+graph: ``shared`` = number of distinct groups both members belong to,
+plus the cosine normalization shared/√(g(a)·g(b)) where g(m) is m's
+group-degree — the standard co-occurrence similarity for repo-repo /
+file-file affinity in a code corpus (members = repos, groups = shared
+files or commits).
+
+Relation to the engine's link-graph builder: ``sources/code_graph.py::
+_group_edges`` produces the UNWEIGHTED projection with a star fallback
+for giant groups (the fallback preserves connectivity but not pairwise
+counts). This operator is its weighted twin, and therefore must drop —
+not star-replace — groups above ``cap``: one group of size s emits
+s(s−1)/2 pairs, so the cap bounds the quadratic term exactly the way
+``ngram_jaccard_pairs`` caps shingle frequency (operators/dedup.py:68).
+Dropped-group counts are reported by the companion ``projection_stats``
+so the truncation is never silent.
+
+Scale shape: one window pass stamps group sizes (no groupBy+join-back),
+the pair join shuffles only capped groups, and the member group-degrees
+broadcast-join back onto E' pairs (members ≪ pairs). Cosine uses only
+IEEE-exact ops (integer division + correctly-rounded sqrt), so the
+correctness-gate oracle reproduces it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def project_bipartite(
+    incidence: DataFrame,
+    group_col: str = "grp",
+    member_col: str = "member",
+    cap: int = 1000,
+    min_shared: int = 1,
+) -> DataFrame:
+    """(src, dst, shared, cosine): weighted projection of the bipartite
+    incidence table, src < dst, groups with more than ``cap`` distinct
+    members excluded from pairing (weighted counts cannot use a star
+    fallback; see module docstring). ``g(m)`` counts ALL of m's groups —
+    including over-cap ones — so the cosine denominator is the true
+    group-degree and dropping a giant group only removes its numerator
+    contribution (weights under-, never over-estimate)."""
+    inc = incidence.select(
+        F.col(group_col).alias("g"), F.col(member_col).alias("m")
+    ).distinct()
+    gdeg = inc.groupBy("m").agg(F.count("*").alias("gd"))
+    sized = inc.withColumn(
+        "gsz", F.count("*").over(Window.partitionBy("g"))
+    ).filter(F.col("gsz") <= cap)
+    a = sized.select(F.col("g"), F.col("m").alias("src"))
+    b = sized.select(F.col("g"), F.col("m").alias("dst"))
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs.join(
+            gdeg.select(F.col("m").alias("src"), F.col("gd").alias("sgd")), "src"
+        )
+        .join(
+            gdeg.select(F.col("m").alias("dst"), F.col("gd").alias("dgd")), "dst"
+        )
+        .select(
+            "src",
+            "dst",
+            "shared",
+            (
+                F.col("shared").cast("double")
+                / F.sqrt((F.col("sgd") * F.col("dgd")).cast("double"))
+            ).alias("cosine"),
+        )
+    )
+
+
+def projection_stats(
+    incidence: DataFrame,
+    group_col: str = "grp",
+    member_col: str = "member",
+    cap: int = 1000,
+) -> DataFrame:
+    """One row: groups total, groups over ``cap`` (dropped by
+    ``project_bipartite``), and the pair-row volume the cap saved —
+    report this next to any capped projection so truncation is never
+    silent."""
+    sizes = (
+        incidence.select(
+            F.col(group_col).alias("g"), F.col(member_col).alias("m")
+        )
+        .distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("gsz"))
+    )
+    return sizes.agg(
+        F.count("*").alias("n_groups"),
+        F.sum((F.col("gsz") > cap).cast("long")).alias("n_dropped"),
+        F.sum(
+            F.when(
+                F.col("gsz") > cap, F.col("gsz") * (F.col("gsz") - 1) / 2
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("pairs_saved"),
+    )

@@ -52,6 +52,44 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     )
 
 
+def degree_distribution(edges: DataFrame, dmin: int = 2) -> DataFrame:
+    """One row (n_vertices, n_tail, max_deg, mean_deg, alpha): degree
+    summary plus the discrete power-law exponent MLE of Clauset,
+    Shalizi & Newman 2009 (eq. 3.7 approximation):
+
+        α ≈ 1 + n_tail / Σ_{d ≥ dmin} ln(d / (dmin − ½))
+
+    over vertices with degree ≥ ``dmin``. A link graph's α (typically
+    2-3) drives the skew decisions downstream: α ≤ 2.5 means hub degree
+    grows superlinearly with graph size, so salting and the star
+    fallback stop being optional. NULL α when no vertex reaches dmin.
+
+    One degree aggregation + one scalar aggregate — map-side
+    combinable; nothing scales with E beyond the first groupBy.
+    """
+    deg = symmetric_edges(edges).groupBy("src").agg(F.count("*").alias("deg"))
+    tail_term = F.when(
+        F.col("deg") >= dmin,
+        F.log(F.col("deg").cast("double") / (dmin - 0.5)),
+    )
+    agg = deg.agg(
+        F.count("*").alias("n_vertices"),
+        F.sum((F.col("deg") >= dmin).cast("long")).alias("n_tail"),
+        F.max("deg").alias("max_deg"),
+        F.round(F.avg("deg"), 6).alias("mean_deg"),
+        F.sum(tail_term).alias("lsum"),
+    )
+    return agg.select(
+        "n_vertices",
+        "n_tail",
+        "max_deg",
+        "mean_deg",
+        F.round(
+            F.lit(1.0) + F.try_divide(F.col("n_tail"), F.col("lsum")), 6
+        ).alias("alpha"),
+    )
+
+
 def reciprocity(edges: DataFrame) -> tuple[int, int, float]:
     """(n_edges, n_reciprocated, ratio) of a DIRECTED edge table —
     the fraction of edges u→v whose reverse v→u also exists (Newman's

@@ -1,0 +1,99 @@
+"""Weighted bipartite projection and degree-distribution MLE:
+brute-force parity, cap semantics, truncation accounting."""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import Counter
+
+from arabesque_spark.graph.bipartite import project_bipartite, projection_stats
+from arabesque_spark.graph.stats import degree_distribution
+
+
+def _rand_incidence(seed: int, n_groups: int = 25, n_members: int = 18):
+    rng = random.Random(seed)
+    rows = set()
+    for g in range(n_groups):
+        for m in rng.sample(range(n_members), rng.randint(1, 6)):
+            rows.add((g, m))
+    return sorted(rows)
+
+
+def _brute_projection(rows, cap):
+    by_g: dict[int, set[int]] = {}
+    gd: Counter = Counter()
+    for g, m in rows:
+        by_g.setdefault(g, set()).add(m)
+        gd[m] += 1
+    shared: Counter = Counter()
+    for g, ms in by_g.items():
+        if len(ms) > cap:
+            continue
+        ms = sorted(ms)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                shared[(ms[i], ms[j])] += 1
+    return {
+        p: (c, c / math.sqrt(gd[p[0]] * gd[p[1]])) for p, c in shared.items()
+    }, gd
+
+
+def test_projection_matches_bruteforce(spark):
+    rows = _rand_incidence(4)
+    df = spark.createDataFrame(rows, "grp long, member long")
+    want, _ = _brute_projection(rows, cap=1000)
+    got = {
+        (r.src, r.dst): (r.shared, r.cosine)
+        for r in project_bipartite(df).collect()
+    }
+    assert set(got) == set(want)
+    for p, (c, cos) in want.items():
+        assert got[p][0] == c
+        assert abs(got[p][1] - cos) < 1e-12
+
+
+def test_cap_drops_giant_groups_but_keeps_true_gdeg(spark):
+    rows = [(0, m) for m in range(10)] + [(1, 0), (1, 1), (2, 0), (2, 1)]
+    df = spark.createDataFrame(rows, "grp long, member long")
+    got = {
+        (r.src, r.dst): (r.shared, r.cosine)
+        for r in project_bipartite(df, cap=5).collect()
+    }
+    # group 0 (size 10) is dropped: only the (0,1) pair from groups 1,2
+    assert set(got) == {(0, 1)}
+    c, cos = got[(0, 1)]
+    assert c == 2
+    # g-degrees count ALL groups (3 each), incl. the dropped giant
+    assert abs(cos - 2 / math.sqrt(3 * 3)) < 1e-12
+    st = projection_stats(df, cap=5).collect()[0]
+    assert (st.n_groups, st.n_dropped, st.pairs_saved) == (3, 1, 45)
+
+
+def test_min_shared_filter(spark):
+    rows = _rand_incidence(9)
+    df = spark.createDataFrame(rows, "grp long, member long")
+    all_pairs = project_bipartite(df, min_shared=1).collect()
+    strong = {
+        (r.src, r.dst) for r in project_bipartite(df, min_shared=2).collect()
+    }
+    assert strong == {(r.src, r.dst) for r in all_pairs if r.shared >= 2}
+
+
+def test_degree_distribution_matches_formula(spark, test_graph):
+    # golden 7-vertex graph: degrees 0:4 1:1 2:1 3:2 4:3 5:3 6:2
+    r = degree_distribution(test_graph, dmin=2).collect()[0]
+    degs = [4, 1, 1, 2, 3, 3, 2]
+    tail = [d for d in degs if d >= 2]
+    alpha = 1 + len(tail) / sum(math.log(d / 1.5) for d in tail)
+    assert r.n_vertices == 7
+    assert r.n_tail == len(tail)
+    assert r.max_deg == 4
+    assert abs(r.mean_deg - sum(degs) / 7) < 1e-6
+    assert abs(r.alpha - alpha) < 1e-5
+
+
+def test_degree_distribution_null_alpha_below_dmin(spark):
+    df = spark.createDataFrame([(0, 1), (2, 3)], "src long, dst long")
+    r = degree_distribution(df, dmin=5).collect()[0]
+    assert r.n_tail == 0 and r.alpha is None

@@ -1,0 +1,99 @@
+"""L-Spar sparsification: brute-force similarity and kept-set parity,
+exact ⌈√d⌉ budgets, the no-isolated-vertex guarantee, determinism."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.sparsify import (
+    edge_similarity,
+    sparsify_edges,
+)
+
+
+def _rand_edges(seed: int, n: int = 40, p: float = 0.15) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (u, v) for u in range(n) for v in range(u + 1, n) if rng.random() < p
+    ]
+
+
+def _brute(edges: list[tuple[int, int]], exponent: float = 0.5):
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    sims = {}
+    for u, v in edges:
+        c = len(adj[u] & adj[v])
+        sims[(u, v)] = (c, (c + 2) / (len(adj[u]) + len(adj[v]) - c))
+    kept = set()
+    for vid, nbrs in adj.items():
+        budget = math.isqrt(len(nbrs))
+        if budget * budget < len(nbrs):
+            budget += 1
+        ranked = sorted(
+            nbrs,
+            key=lambda nb: (-sims[(min(vid, nb), max(vid, nb))][1], nb),
+        )
+        for nb in ranked[:budget]:
+            kept.add((min(vid, nb), max(vid, nb)))
+    return sims, kept
+
+
+def test_similarity_matches_bruteforce(spark):
+    edges = _rand_edges(3)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sims, _ = _brute(edges)
+    got = {
+        (r.src, r.dst): (r.common, r.sim)
+        for r in edge_similarity(spark, df).collect()
+    }
+    assert set(got) == set(sims)
+    for e, (c, s) in sims.items():
+        assert got[e][0] == c, e
+        assert abs(got[e][1] - s) < 1e-12, e
+
+
+def test_sparsify_matches_bruteforce(spark):
+    for seed in (1, 8):
+        edges = _rand_edges(seed)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        _, kept = _brute(edges)
+        got = {
+            (r.src, r.dst) for r in sparsify_edges(spark, df).collect()
+        }
+        assert got == kept, seed
+
+
+def test_no_isolated_vertices_and_shrinkage(spark):
+    edges = _rand_edges(13, n=60, p=0.3)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    kept = sparsify_edges(spark, df)
+    orig_v = {x for e in edges for x in e}
+    kept_v = {
+        r.v
+        for r in kept.select(F.explode(F.array("src", "dst")).alias("v"))
+        .distinct()
+        .collect()
+    }
+    assert kept_v == orig_v  # union rule keeps every vertex attached
+    assert kept.count() < len(edges)  # dense graph actually thins
+
+
+def test_deterministic_across_partitioning(spark):
+    edges = _rand_edges(21, n=50, p=0.2)
+    df1 = spark.createDataFrame(edges, "src long, dst long").repartition(7)
+    df2 = spark.createDataFrame(list(reversed(edges)), "src long, dst long").repartition(2)
+    k1 = {(r.src, r.dst) for r in sparsify_edges(spark, df1).collect()}
+    k2 = {(r.src, r.dst) for r in sparsify_edges(spark, df2).collect()}
+    assert k1 == k2
+
+
+def test_exponent_one_keeps_everything(spark):
+    edges = _rand_edges(5)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert sparsify_edges(spark, df, exponent=1.0).count() == len(edges)
