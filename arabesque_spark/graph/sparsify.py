@@ -108,6 +108,9 @@ def sparsify_edges(
     survives iff either endpoint ranks it within its top ⌈deg^exponent⌉
     by (sim DESC, neighbor ASC). ``exponent=0.5`` (default) uses the
     exact integer ⌈√deg⌉ budget."""
+    # (common, sim) ride the exploded endpoint rows so the similarity
+    # subplan (and its triangle enumeration) appears exactly ONCE in the
+    # final plan — no join-back against a second copy of the lineage
     sims = edge_similarity(spark, edges)
     ends = sims.select(
         F.explode(
@@ -122,8 +125,16 @@ def sparsify_edges(
         ).alias("p"),
         "src",
         "dst",
+        "common",
         "sim",
-    ).select(F.col("p.vid").alias("vid"), F.col("p.nbr").alias("nbr"), "src", "dst", "sim")
+    ).select(
+        F.col("p.vid").alias("vid"),
+        F.col("p.nbr").alias("nbr"),
+        "src",
+        "dst",
+        "common",
+        "sim",
+    )
     deg = degrees(edges)
     if exponent == 0.5:
         budget = _ceil_sqrt(F.col("deg"))
@@ -131,11 +142,10 @@ def sparsify_edges(
         budget = F.ceil(F.pow(F.col("deg").cast("double"), F.lit(float(exponent)))).cast("long")
     budgets = deg.select("vid", budget.alias("budget"))
     w = Window.partitionBy("vid").orderBy(F.desc("sim"), F.asc("nbr"))
-    kept = (
+    return (
         ends.withColumn("rk", F.row_number().over(w))
         .join(budgets, "vid")
         .filter(F.col("rk") <= F.col("budget"))
-        .select("src", "dst")
-        .distinct()
+        .select("src", "dst", "common", "sim")
+        .dropDuplicates(["src", "dst"])
     )
-    return kept.join(sims, ["src", "dst"]).select("src", "dst", "common", "sim")
