@@ -93,6 +93,12 @@ EGO_SEEDS = 6          # ego-net gate roots (the EGO_SEEDS lowest vids);
 BIP_CAP = 100          # bipartite-projection group-size cap in the gate
 BIP_MIN_SHARED = 2     # bipartite-projection minimum shared groups
 PL_DMIN = 2            # power-law MLE tail threshold in the gate
+SR_NV = 120            # simrank gate subgraph: induced on the SR_NV
+                       # highest-degree kernel vertices (deg DESC, vid
+                       # ASC) — dense at every SF, pair state bounded
+                       # by SR_NV² regardless of data scale
+SR_ITERS = 2           # simrank exact truncation depth in the gate
+SR_C = 0.8             # simrank decay constant
 TOPO_THIN = 4          # toposort DAG keeps src<dst edges with
                        # (3*src + dst) % TOPO_THIN == 0 (id-orientation
                        # makes acyclicity structural; thinning bounds the
@@ -1437,6 +1443,45 @@ def q_graph_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("powerlaw", int(rdd.n_vertices), int(rdd.n_tail), float(rdd.alpha))
     )
 
+    # SimRank (exact truncation, SR_ITERS rounds) on the induced kernel
+    # subgraph of the SR_NV highest-degree vertices (deg DESC, vid ASC —
+    # dense at every SF, state bounded by SR_NV²): the exact mode is the
+    # validation twin of the coalescing-fingerprint MC scale path
+    # (MC-vs-exact parity is pytest-gated, tests/test_simrank.py) —
+    # value-exact here against the oracle's unrolled pair-iteration
+    # CTEs. n1 = similar pairs, n2 = range violations sim ∉ (0, c]
+    # (structurally 0), x = rounded weighted fingerprint over every pair.
+    from arabesque_spark.graph.build import degrees as _degrees
+    from arabesque_spark.graph.simrank import simrank_exact
+
+    sr_top = (
+        _degrees(edges)
+        .orderBy(F.desc("deg"), F.asc("vid"))
+        .limit(SR_NV)
+        .select("vid")
+        .localCheckpoint(eager=True)
+    )
+    sre = edges.join(
+        sr_top.withColumnRenamed("vid", "src"), "src", "left_semi"
+    ).join(sr_top.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+    sr = simrank_exact(
+        spark, sre, c=SR_C, iterations=SR_ITERS
+    ).localCheckpoint(eager=True)
+    r = sr.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            ((F.col("sim") <= 0) | (F.col("sim") > SR_C + 1e-12)).cast("long")
+        ).alias("bad"),
+        F.round(
+            F.sum(
+                F.round("sim", 6)
+                * ((F.col("a") % FP_MOD + 1) * (F.col("b") % FP_MOD + 1))
+            ),
+            4,
+        ).alias("fp"),
+    ).collect()[0]
+    rows.append(("simrank", int(r["n"]), int(r["bad"] or 0), float(r["fp"] or 0.0)))
+
     return spark.createDataFrame(rows, CHECK_SCHEMA).orderBy("op")
 
 
@@ -2382,6 +2427,69 @@ def graph_kernels_oracle() -> str:
         JOIN em2 b ON b.root = a.root AND b.vid = e.dst))"""
     )
 
+    # ---- SimRank, SR_ITERS exact rounds on the induced subgraph of the
+    # SR_NV highest-degree kernel vertices: unrolled pair-iteration CTEs
+    # mirroring simrank_exact term by term (s_1 = c/(da·db)·|common|;
+    # s_t = c/(da·db)·(|common| + Σ s_{t-1} over ordered neighbor
+    # pairs)) ----
+    ctes.append(
+        f"""srtop AS MATERIALIZED (
+  SELECT src AS vid FROM ksym GROUP BY src
+  ORDER BY COUNT(*) DESC, src ASC LIMIT {SR_NV})"""
+    )
+    ctes.append(
+        """srfe AS MATERIALIZED (
+  SELECT e.src, e.dst FROM fe e
+  JOIN srtop a ON a.vid = e.src JOIN srtop b ON b.vid = e.dst)"""
+    )
+    ctes.append(
+        """srsym AS MATERIALIZED (
+  SELECT src, dst FROM srfe UNION ALL SELECT dst, src FROM srfe)"""
+    )
+    ctes.append(
+        "srdeg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS deg FROM srsym GROUP BY src)"
+    )
+    ctes.append(
+        """srcn AS MATERIALIZED (
+  SELECT x.src AS a, y.src AS b, CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM srsym x JOIN srsym y ON x.dst = y.dst AND x.src < y.src
+  GROUP BY x.src, y.src)"""
+    )
+    ctes.append(
+        f"""sr1 AS MATERIALIZED (
+  SELECT c.a, c.b, {SR_C} / (da.deg * db.deg) * c.cnt AS s
+  FROM srcn c JOIN srdeg da ON da.vid = c.a
+  JOIN srdeg db ON db.vid = c.b)"""
+    )
+    for t in range(2, SR_ITERS + 1):
+        ctes.append(
+            f"""sr{t}off AS MATERIALIZED (
+  SELECT e1.dst AS a, e2.dst AS b, SUM(p.s) AS contrib
+  FROM (SELECT a, b, s FROM sr{t-1}
+        UNION ALL SELECT b AS a, a AS b, s FROM sr{t-1}) p
+  JOIN srsym e1 ON e1.src = p.a
+  JOIN srsym e2 ON e2.src = p.b
+  WHERE e1.dst < e2.dst
+  GROUP BY e1.dst, e2.dst)"""
+        )
+        ctes.append(
+            f"""sr{t} AS MATERIALIZED (
+  SELECT u.a, u.b, {SR_C} / (da.deg * db.deg) * u.contrib AS s
+  FROM (SELECT a, b, SUM(contrib) AS contrib FROM
+        (SELECT a, b, cnt AS contrib FROM srcn
+         UNION ALL SELECT a, b, contrib FROM sr{t}off)
+        GROUP BY a, b) u
+  JOIN srdeg da ON da.vid = u.a
+  JOIN srdeg db ON db.vid = u.b)"""
+        )
+    ctes.append(
+        f"""sr_agg AS (
+  SELECT CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN s <= 0 OR s > {SR_C} + 1e-12 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         ROUND(SUM(ROUND(s, 6) * ((a % {FP_MOD} + 1) * (b % {FP_MOD} + 1))), 4) AS x
+  FROM sr{SR_ITERS})"""
+    )
+
     return (
         _KERNEL_PRELUDE
         + ",\n"
@@ -2404,6 +2512,7 @@ UNION ALL SELECT 'partition', (SELECT v FROM kcnt), CAST(0 AS BIGINT), CAST({BP_
 UNION ALL SELECT 'sparsify', n1, n2, x FROM lsp_agg
 UNION ALL SELECT 'bipartite', n1, n2, x FROM bp_agg
 UNION ALL SELECT 'powerlaw', n1, n2, x FROM pl_agg
+UNION ALL SELECT 'simrank', n1, n2, x FROM sr_agg
 UNION ALL SELECT 'mst', (SELECT v FROM kcnt) - (SELECT c FROM kncomp),
                   (SELECT c FROM kncomp), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'truss', (SELECT e FROM kecnt), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)

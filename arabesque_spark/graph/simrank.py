@@ -1,0 +1,244 @@
+"""SimRank structural similarity (Jeh & Widom, KDD'02).
+
+Two vertices are similar when their neighborhoods are similar:
+``s(a,b) = c / (|N(a)||N(b)|) · Σ_{i∈N(a), j∈N(b)} s(i,j)`` with
+``s(v,v) = 1``. The classic link-graph companion to the engine's
+PageRank/HITS family — "two files are similar because they co-occur
+with similar files" — and a capability the reference's pattern-centric
+API reaches only through motif aggregation (SURVEY §2.4; the embedding
+map/reduce hooks of io/arabesque/computation/BasicComputation.java are
+the analogous extension surface).
+
+Two modes, mirroring ``embed_near_dup``'s exact/LSH split:
+
+* :func:`simrank_exact` — the synchronous pair-table iteration. State is
+  O(pairs-within-2t-hops) and each round joins the pair table against
+  the adjacency twice, so this is the VALIDATION-scale twin (it is the
+  oracle for the gate row and the ground truth for the MC tests), not
+  the 100-TB path. Quarantined exactly like ``similarity.py``'s
+  brute-force cosine.
+* :func:`simrank_fingerprints` — the Fogaras–Rácz coalescing-fingerprint
+  estimator (Scaling link-based similarity search, WWW'05): SimRank
+  truncated at horizon L equals ``E[c^τ]`` where τ is the first-meeting
+  time of two simultaneous uniform walks. One shared successor function
+  ``next(v, t) = N(v)[h(v, t, fp) mod deg(v)]`` makes all walks of one
+  fingerprint coalesce after meeting WITHOUT changing any pairwise
+  first-meeting distribution (before the meeting the two hash streams
+  are disjoint), so ONE V-row frontier per fingerprint serves every
+  query pair at once. R fingerprints × L steps = R·L equality joins of
+  V-row frontiers against the indexed adjacency — frontier size is
+  R·V rows, never pair-quadratic, and the per-step join is the same
+  expand-join shape as the superstep engine (C2). Determinism: the
+  successor is a pure xxhash64 of (cur, t, fp, seed) — identical output
+  at any parallelism, resumable by re-derivation.
+
+100-TB notes: the fingerprint trajectories are an O(R·V·L) table built
+once and reusable for ANY query workload (write it to storage in a
+production pipeline); query pairs join it twice on (fp, t) — per-pair
+cost O(R·L) rows. No per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.build import degrees, symmetric_edges
+from arabesque_spark.graph.walks import indexed_adjacency
+
+
+def simrank_exact(
+    spark: SparkSession,
+    edges: DataFrame,
+    c: float = 0.8,
+    iterations: int = 3,
+) -> DataFrame:
+    """Exact truncated SimRank: ``(a, b, sim)`` for a < b, sim > 0.
+
+    Synchronous iteration ``s_t`` — by induction ``s_t(a,b) =
+    E[c^τ · 1{τ ≤ t}]`` over coupled uniform walks, so
+    :func:`simrank_fingerprints` at horizon L estimates exactly
+    ``s_L``. The pair state is materialized per round (localCheckpoint:
+    small by contract — validation scale), mirroring the oracle's
+    unrolled CTEs term for term.
+    """
+    sym = symmetric_edges(edges).localCheckpoint(eager=True)
+    deg = degrees(edges).localCheckpoint(eager=True)
+    dega = deg.withColumnRenamed("vid", "a").withColumnRenamed("deg", "da")
+    degb = deg.withColumnRenamed("vid", "b").withColumnRenamed("deg", "db")
+
+    # common-neighbor counts: the diagonal s(i,i)=1 contribution — pairs
+    # (a,b) with a<b and |N(a)∩N(b)| > 0. Computed once; constant across
+    # rounds.
+    cn = (
+        sym.alias("x")
+        .join(sym.alias("y"), F.col("x.dst") == F.col("y.dst"))
+        .filter(F.col("x.src") < F.col("y.src"))
+        .groupBy(
+            F.col("x.src").alias("a"), F.col("y.src").alias("b")
+        )
+        .agg(F.count("*").cast("double").alias("contrib"))
+        .localCheckpoint(eager=True)
+    )
+    scale = (
+        cn.select("a", "b")
+        .join(dega, "a")
+        .join(degb, "b")
+        .select(
+            "a", "b", (F.lit(float(c)) / (F.col("da") * F.col("db"))).alias("k")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # s_1 = k · cn  (the off-diagonal state is empty at t=0)
+    state = cn.join(scale, ["a", "b"]).select(
+        "a", "b", (F.col("k") * F.col("contrib")).alias("s")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(1, iterations):
+        both = state.unionByName(
+            state.select(
+                F.col("b").alias("a"), F.col("a").alias("b"), "s"
+            )
+        )
+        # Σ_{i∈N(a), j∈N(b), i≠j} s_{t-1}(i,j): expand each stored pair
+        # (i,j) to every (a,b) with a∈N(i), b∈N(j); the a<b filter keeps
+        # one canonical orientation (the expansion is already ordered in
+        # (i,j), so no double count).
+        off = (
+            both.join(
+                sym.select(F.col("src").alias("a_i"), F.col("dst").alias("na")),
+                F.col("a") == F.col("a_i"),
+            )
+            .join(
+                sym.select(F.col("src").alias("b_j"), F.col("dst").alias("nb")),
+                F.col("b") == F.col("b_j"),
+            )
+            .filter(F.col("na") < F.col("nb"))
+            .groupBy(F.col("na").alias("a"), F.col("nb").alias("b"))
+            .agg(F.sum("s").alias("contrib"))
+        )
+        total = (
+            cn.unionByName(off)
+            .groupBy("a", "b")
+            .agg(F.sum("contrib").alias("contrib"))
+        )
+        state = (
+            total.join(scale, ["a", "b"], "left")
+            .join(dega, "a")
+            .join(degb, "b")
+            .select(
+                "a",
+                "b",
+                (
+                    F.coalesce(
+                        F.col("k"),
+                        F.lit(float(c)) / (F.col("da") * F.col("db")),
+                    )
+                    * F.col("contrib")
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.filter(F.col("s") > 0).select(
+        "a", "b", F.col("s").alias("sim")
+    )
+
+
+def fingerprint_trajectories(
+    spark: SparkSession,
+    edges: DataFrame,
+    num_fingerprints: int = 64,
+    horizon: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Coalescing-walk trajectory table ``(fp, start, t, cur)``.
+
+    For every vertex and every fingerprint 0..R-1, the position of the
+    shared-successor walk at steps 1..L. Build once; any SimRank query
+    workload joins it. Frontier per step is R·V rows (join against the
+    chunked indexed adjacency — hub-safe), trajectories accumulate to
+    R·V·L rows.
+    """
+    idx = indexed_adjacency(edges).localCheckpoint(eager=True)
+    # checkpoint: the first frontier must not share lineage with idx
+    # (the per-step join would otherwise be an ambiguous self-join)
+    verts = (
+        idx.select(F.col("src").alias("start"))
+        .dropDuplicates(["start"])
+        .localCheckpoint(eager=True)
+    )
+    frontier = verts.crossJoin(
+        spark.range(num_fingerprints).select(F.col("id").cast("int").alias("fp"))
+    ).select("fp", "start", F.col("start").alias("cur"))
+    out: DataFrame | None = None
+    for t in range(1, horizon + 1):
+        nxt = F.pmod(
+            F.xxhash64(F.col("cur"), F.lit(t), F.col("fp"), F.lit(seed)),
+            F.col("deg"),
+        )
+        frontier = (
+            frontier.join(idx, frontier["cur"] == idx["src"])
+            .filter(idx["pos"] == nxt)
+            .select("fp", "start", F.col("nbr").alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+        step = frontier.select(
+            "fp", "start", F.lit(t).alias("t"), "cur"
+        )
+        out = step if out is None else out.unionByName(step)
+    assert out is not None, "horizon must be >= 1"
+    return out
+
+
+def simrank_fingerprints(
+    spark: SparkSession,
+    edges: DataFrame,
+    pairs: DataFrame,
+    c: float = 0.8,
+    num_fingerprints: int = 64,
+    horizon: int = 8,
+    seed: int = 7,
+    trajectories: DataFrame | None = None,
+) -> DataFrame:
+    """MC SimRank estimates for query ``pairs (a, b)`` → ``(a, b, sim)``.
+
+    ``sim ≈ s_horizon(a,b) = E[c^τ · 1{τ ≤ horizon}]``; standard error
+    ~ ``1/√num_fingerprints``. Pass a precomputed ``trajectories`` table
+    (from :func:`fingerprint_trajectories`) to amortize the walk build
+    across workloads.
+    """
+    traj = (
+        trajectories
+        if trajectories is not None
+        else fingerprint_trajectories(
+            spark, edges, num_fingerprints=num_fingerprints,
+            horizon=horizon, seed=seed,
+        )
+    ).localCheckpoint(eager=True)
+    qa = pairs.select(F.col("a"), F.col("b"))
+    # first-meeting time per (pair, fingerprint): join the two
+    # trajectories on (fp, t) and equal position — O(R·L) rows per pair
+    ta = traj.select(
+        F.col("start").alias("a"), "fp", "t", F.col("cur").alias("pa")
+    )
+    tb = traj.select(
+        F.col("start").alias("b"), "fp", "t", F.col("cur").alias("pb")
+    )
+    meet = (
+        qa.join(ta, "a")
+        .join(tb, ["b", "fp", "t"])
+        .filter(F.col("pa") == F.col("pb"))
+        .groupBy("a", "b", "fp")
+        .agg(F.min("t").alias("tau"))
+    )
+    est = meet.groupBy("a", "b").agg(
+        (
+            F.sum(F.pow(F.lit(float(c)), F.col("tau")))
+            / F.lit(float(num_fingerprints))
+        ).alias("sim")
+    )
+    # pairs that never meet estimate 0
+    return qa.join(est, ["a", "b"], "left").select(
+        "a", "b", F.coalesce(F.col("sim"), F.lit(0.0)).alias("sim")
+    )

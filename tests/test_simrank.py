@@ -1,0 +1,146 @@
+"""SimRank: exact pair iteration vs a dense NumPy reference, and the
+coalescing-fingerprint MC estimator vs the exact truncation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.simrank import (
+    fingerprint_trajectories,
+    simrank_exact,
+    simrank_fingerprints,
+)
+from tests.conftest import TEST_GRAPH_EDGES, TEST_GRAPH_V
+from tests.reference_impls import er_graph
+
+
+def simrank_numpy(
+    edges: list[tuple[int, int]], n: int, c: float, iterations: int
+) -> np.ndarray:
+    """Dense synchronous SimRank truncation (the textbook definition)."""
+    nbrs: dict[int, list[int]] = {v: [] for v in range(n)}
+    for a, b in edges:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    s = np.eye(n)
+    for _ in range(iterations):
+        ns = np.eye(n)
+        for a in range(n):
+            for b in range(a + 1, n):
+                if not nbrs[a] or not nbrs[b]:
+                    continue
+                tot = sum(s[i, j] for i in nbrs[a] for j in nbrs[b])
+                ns[a, b] = ns[b, a] = c * tot / (len(nbrs[a]) * len(nbrs[b]))
+        s = ns
+    return s
+
+
+@pytest.mark.parametrize("iterations", [1, 2, 3])
+def test_exact_matches_numpy_golden(spark, test_graph, iterations):
+    got = {
+        (r["a"], r["b"]): r["sim"]
+        for r in simrank_exact(
+            spark, test_graph, c=0.8, iterations=iterations
+        ).collect()
+    }
+    want = simrank_numpy(TEST_GRAPH_EDGES, TEST_GRAPH_V, 0.8, iterations)
+    for a in range(TEST_GRAPH_V):
+        for b in range(a + 1, TEST_GRAPH_V):
+            assert got.get((a, b), 0.0) == pytest.approx(
+                want[a, b], abs=1e-9
+            ), (a, b)
+
+
+def test_exact_matches_numpy_random(spark):
+    edges = er_graph(30, 4.0, seed=11)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["a"], r["b"]): r["sim"]
+        for r in simrank_exact(spark, df, c=0.6, iterations=3).collect()
+    }
+    want = simrank_numpy(edges, 30, 0.6, 3)
+    for a in range(30):
+        for b in range(a + 1, 30):
+            assert got.get((a, b), 0.0) == pytest.approx(
+                want[a, b], abs=1e-9
+            ), (a, b)
+
+
+def test_exact_range_invariant(spark, test_graph):
+    rows = simrank_exact(spark, test_graph, c=0.8, iterations=3).collect()
+    assert rows, "golden graph has similar pairs"
+    for r in rows:
+        assert 0.0 < r["sim"] <= 0.8 + 1e-12
+
+
+def test_fingerprints_estimate_truncated_simrank(spark, test_graph):
+    horizon, c = 4, 0.8
+    exact = {
+        (r["a"], r["b"]): r["sim"]
+        for r in simrank_exact(
+            spark, test_graph, c=c, iterations=horizon
+        ).collect()
+    }
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(TEST_GRAPH_V) for b in range(a + 1, TEST_GRAPH_V)],
+        "a long, b long",
+    )
+    est = {
+        (r["a"], r["b"]): r["sim"]
+        for r in simrank_fingerprints(
+            spark, test_graph, pairs, c=c,
+            num_fingerprints=256, horizon=horizon, seed=7,
+        ).collect()
+    }
+    assert set(est) == {
+        (a, b) for a in range(TEST_GRAPH_V) for b in range(a + 1, TEST_GRAPH_V)
+    }
+    errs = [abs(est[k] - exact.get(k, 0.0)) for k in est]
+    # 256 deterministic fingerprints: MC noise ~ c/sqrt(R) ≈ 0.05
+    assert max(errs) < 0.15
+    assert float(np.mean(errs)) < 0.05
+
+
+def test_fingerprints_deterministic(spark, test_graph):
+    pairs = spark.createDataFrame([(0, 4), (3, 6)], "a long, b long")
+    kw = dict(c=0.8, num_fingerprints=32, horizon=4, seed=7)
+    r1 = sorted(map(tuple, simrank_fingerprints(spark, test_graph, pairs, **kw).collect()))
+    r2 = sorted(map(tuple, simrank_fingerprints(spark, test_graph, pairs, **kw).collect()))
+    assert r1 == r2
+
+
+def test_trajectories_shape_and_validity(spark, test_graph):
+    traj = fingerprint_trajectories(
+        spark, test_graph, num_fingerprints=4, horizon=3, seed=7
+    )
+    # R fingerprints × V vertices × L steps rows, every hop a real edge
+    assert traj.count() == 4 * TEST_GRAPH_V * 3
+    sym = {(a, b) for a, b in TEST_GRAPH_EDGES} | {
+        (b, a) for a, b in TEST_GRAPH_EDGES
+    }
+    prev = {
+        (r["fp"], r["start"]): r["start"]
+        for r in traj.filter("t = 1").collect()
+    }
+    rows = sorted(traj.collect(), key=lambda r: (r["fp"], r["start"], r["t"]))
+    cur: dict[tuple[int, int], int] = {}
+    for r in rows:
+        key = (r["fp"], r["start"])
+        frm = cur.get(key, r["start"])
+        assert (frm, r["cur"]) in sym, (frm, r["cur"])
+        cur[key] = r["cur"]
+    # coalescence: same fingerprint, same position at time t ⇒ same
+    # position at every later time
+    by_ft: dict[tuple[int, int], dict[int, int]] = {}
+    for r in rows:
+        by_ft.setdefault((r["fp"], r["t"]), {})[r["start"]] = r["cur"]
+    for fp in range(4):
+        for t in range(1, 3):
+            now, nxt = by_ft[(fp, t)], by_ft[(fp, t + 1)]
+            for u in now:
+                for v in now:
+                    if now[u] == now[v]:
+                        assert nxt[u] == nxt[v]
+    _ = prev
