@@ -99,6 +99,7 @@ SR_NV = 120            # simrank gate subgraph: induced on the SR_NV
                        # by SR_NV² regardless of data scale
 SR_ITERS = 2           # simrank exact truncation depth in the gate
 SR_C = 0.8             # simrank decay constant
+FPROP_ITERS = 3        # feature-propagation rounds in the gate (rw norm)
 TOPO_THIN = 4          # toposort DAG keeps src<dst edges with
                        # (3*src + dst) % TOPO_THIN == 0 (id-orientation
                        # makes acyclicity structural; thinning bounds the
@@ -1482,6 +1483,33 @@ def q_graph_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     rows.append(("simrank", int(r["n"]), int(r["bad"] or 0), float(r["fp"] or 0.0)))
 
+    # Feature propagation (SGC), FPROP_ITERS rw rounds over the feature
+    # x0(v) = v % FP_MOD + 1: value-exact vs the oracle's unrolled
+    # neighbor-mean CTEs. n1 = vertices, n2 = max-principle violations
+    # (rw mean keeps the initial range — structurally 0), x = rounded
+    # weighted fingerprint. The vector path (explode-once, per-dimension
+    # flat rounds) equals stacked scalar runs by pytest.
+    from arabesque_spark.graph.propagate import propagate_features
+
+    f0 = verts.select(
+        "vid", (F.col("vid") % FP_MOD + 1).cast("double").alias("x")
+    )
+    fpr = propagate_features(
+        spark, edges, f0, iterations=FPROP_ITERS, norm="rw"
+    ).localCheckpoint(eager=True)
+    r = fpr.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (
+                (F.col("x") < 1.0 - 1e-9) | (F.col("x") > FP_MOD + 1e-9)
+            ).cast("long")
+        ).alias("bad"),
+        F.round(
+            F.sum(F.round("x", 6) * (F.col("vid") % FP_MOD + 1)), 4
+        ).alias("fp"),
+    ).collect()[0]
+    rows.append(("featprop", int(r["n"]), int(r["bad"] or 0), float(r["fp"] or 0.0)))
+
     return spark.createDataFrame(rows, CHECK_SCHEMA).orderBy("op")
 
 
@@ -2482,6 +2510,28 @@ def graph_kernels_oracle() -> str:
   JOIN srdeg da ON da.vid = u.a
   JOIN srdeg db ON db.vid = u.b)"""
         )
+    # ---- feature propagation, FPROP_ITERS rw rounds: unrolled
+    # neighbor-mean CTEs; every kernel vertex has degree ≥ 1 so the
+    # degree-0 passthrough never fires on either side ----
+    ctes.append(
+        f"fpr0 AS MATERIALIZED (SELECT vid, CAST(vid % {FP_MOD} + 1 AS DOUBLE) AS x FROM kverts)"
+    )
+    for t in range(1, FPROP_ITERS + 1):
+        ctes.append(
+            f"""fpr{t} AS MATERIALIZED (
+  SELECT e.src AS vid, AVG(q.x) AS x
+  FROM ksym e JOIN fpr{t-1} q ON q.vid = e.dst
+  GROUP BY e.src)"""
+        )
+    ctes.append(
+        f"""fpr_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN x < 1.0 - 1e-9 OR x > {FP_MOD} + 1e-9
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         ROUND(SUM(ROUND(x, 6) * (vid % {FP_MOD} + 1)), 4) AS x
+  FROM fpr{FPROP_ITERS})"""
+    )
+
     ctes.append(
         f"""sr_agg AS (
   SELECT CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
@@ -2513,6 +2563,7 @@ UNION ALL SELECT 'sparsify', n1, n2, x FROM lsp_agg
 UNION ALL SELECT 'bipartite', n1, n2, x FROM bp_agg
 UNION ALL SELECT 'powerlaw', n1, n2, x FROM pl_agg
 UNION ALL SELECT 'simrank', n1, n2, x FROM sr_agg
+UNION ALL SELECT 'featprop', n1, n2, x FROM fpr_agg
 UNION ALL SELECT 'mst', (SELECT v FROM kcnt) - (SELECT c FROM kncomp),
                   (SELECT c FROM kncomp), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'truss', (SELECT e FROM kecnt), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)

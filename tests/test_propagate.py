@@ -1,0 +1,130 @@
+"""Feature propagation (SGC/APPNP): NumPy parity for both norms, the
+vector path, the residual, and the degree-0 passthrough."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.propagate import propagate_features
+from tests.conftest import TEST_GRAPH_EDGES, TEST_GRAPH_V
+
+
+def propagate_numpy(
+    edges: list[tuple[int, int]],
+    x0: np.ndarray,
+    iterations: int,
+    norm: str,
+    add_self_loops: bool,
+    alpha: float,
+) -> np.ndarray:
+    n = x0.shape[0]
+    nbrs: dict[int, list[int]] = {v: [] for v in range(n)}
+    for a, b in edges:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    if add_self_loops:
+        for v in range(n):
+            nbrs[v].append(v)
+    deg = np.array([len(nbrs[v]) for v in range(n)], dtype=float)
+    x = x0.astype(float).copy()
+    for _ in range(iterations):
+        nx = x.copy()
+        for v in range(n):
+            if not nbrs[v]:
+                continue
+            if norm == "rw":
+                agg = np.mean([x[u] for u in nbrs[v]], axis=0)
+            else:
+                agg = sum(x[u] / np.sqrt(deg[u]) for u in nbrs[v]) / np.sqrt(
+                    deg[v]
+                )
+            nx[v] = (1 - alpha) * agg + alpha * x0[v]
+        x = nx
+    return x
+
+
+def _scalar_feats(spark, n):
+    return spark.createDataFrame(
+        [(v, float((v * 7 + 3) % 11)) for v in range(n)], "vid long, x double"
+    )
+
+
+@pytest.mark.parametrize(
+    "norm,self_loops,alpha",
+    [("rw", False, 0.0), ("rw", True, 0.0), ("sym", True, 0.0), ("rw", False, 0.3)],
+)
+def test_scalar_matches_numpy(spark, test_graph, norm, self_loops, alpha):
+    x0 = np.array([float((v * 7 + 3) % 11) for v in range(TEST_GRAPH_V)])
+    want = propagate_numpy(
+        TEST_GRAPH_EDGES, x0, 3, norm, self_loops, alpha
+    )
+    got = {
+        r["vid"]: r["x"]
+        for r in propagate_features(
+            spark,
+            test_graph,
+            _scalar_feats(spark, TEST_GRAPH_V),
+            iterations=3,
+            norm=norm,
+            add_self_loops=self_loops,
+            alpha=alpha,
+        ).collect()
+    }
+    for v in range(TEST_GRAPH_V):
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_vector_equals_stacked_scalars(spark, test_graph):
+    dim = 3
+    feats = spark.createDataFrame(
+        [
+            (v, [float((v * 7 + 3 + d) % 11) for d in range(dim)])
+            for v in range(TEST_GRAPH_V)
+        ],
+        "vid long, x array<double>",
+    )
+    vec = {
+        r["vid"]: list(r["x"])
+        for r in propagate_features(
+            spark, test_graph, feats, iterations=2, norm="rw"
+        ).collect()
+    }
+    for d in range(dim):
+        sc = spark.createDataFrame(
+            [(v, float((v * 7 + 3 + d) % 11)) for v in range(TEST_GRAPH_V)],
+            "vid long, x double",
+        )
+        got = {
+            r["vid"]: r["x"]
+            for r in propagate_features(
+                spark, test_graph, sc, iterations=2, norm="rw"
+            ).collect()
+        }
+        for v in range(TEST_GRAPH_V):
+            assert vec[v][d] == pytest.approx(got[v], abs=1e-9)
+
+
+def test_degree_zero_passthrough(spark, test_graph):
+    feats = spark.createDataFrame(
+        [(v, 1.0) for v in range(TEST_GRAPH_V)] + [(99, 42.0)],
+        "vid long, x double",
+    )
+    got = {
+        r["vid"]: r["x"]
+        for r in propagate_features(
+            spark, test_graph, feats, iterations=3, norm="rw"
+        ).collect()
+    }
+    assert got[99] == 42.0
+    assert len(got) == TEST_GRAPH_V + 1
+
+
+def test_rw_max_principle(spark, test_graph):
+    feats = _scalar_feats(spark, TEST_GRAPH_V)
+    lo, hi = 0.0, 10.0
+    out = propagate_features(
+        spark, test_graph, feats, iterations=4, norm="rw"
+    ).agg(F.min("x"), F.max("x")).collect()[0]
+    assert out[0] >= lo - 1e-12 and out[1] <= hi + 1e-12
