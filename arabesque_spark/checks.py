@@ -83,6 +83,7 @@ SEMDEDUP_MOD = 5           # every SEMDEDUP_MOD-th embedding gets a planted twin
 TREACH_TMOD = 64       # temporal edge ts = (3*src + dst) % TREACH_TMOD
 TREACH_N_SOURCES = 4   # lowest vids of the directed graph
 HH_T = 400             # heavy-hitter threshold in the gate (token counts)
+GEN_MOD = 6            # every GEN_MOD-th doc gets a planted generator stamp
 BP_K = 8               # balanced-partition part count in the gate
 BP_EPS = 0.15          # balanced-partition capacity slack
 BP_ROUNDS = 8          # balanced-partition local-move round budget
@@ -173,6 +174,15 @@ def q_corpus_ops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``code_idents``   n1 = docs, n2 = impossible distinct>total rows
       (0), x = Σ identifier-subtoken-count·w — integer-exact vs the
       oracle's own camelCase/snake_case split
+    - ``code_generated`` n1 = generator-stamped docs (planted on every
+      GEN_MOD-th), n2 = flagged XOR planted (detection recomputed
+      identically on both sides), x = weighted flag fingerprint
+    - ``code_paths``    n1 = vendored, n2 = test, x = minified counts
+      over five deterministic synthetic path shapes — the oracle
+      reapplies the same segment-anchored RE2-safe regexes
+    - ``code_complexity`` n1 = Σ branch keywords (a branch-bearing tail
+      is planted on every 3rd doc), n2 = avg>max line-length violations
+      (0), x = weighted avg-line-length fingerprint
     - ``heavy_hitters`` n1 = tokens with count ≥ HH_T (the CMS+verify
       output is deterministically the exact heavy set), n2 = returned
       keys below threshold (0), x = Σ md5-prefix(key)·count vs a plain
@@ -699,6 +709,117 @@ def q_corpus_ops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).collect()[0]
     rows.append(("code_idents", int(r["n"]), int(r["bad"] or 0), float(r["fp"])))
+
+    # code_generated: a generator stamp is planted on every GEN_MOD-th
+    # doc; detection (lower + head-window contains) is recomputed
+    # IDENTICALLY by the oracle, so n2 (flagged XOR planted) is equal on
+    # both sides even if the corpus text happens to contain a marker.
+    # n1 = flagged docs, x = weighted flag fingerprint.
+    from arabesque_spark.operators.code import (
+        complexity_stats,
+        detect_generated,
+        path_flags,
+    )
+
+    gen = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % GEN_MOD == 0,
+            F.concat(
+                F.lit("// Code generated by graftgen. DO NOT EDIT.\n"),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("content"),
+    )
+    gd = detect_generated(gen, id_cols=["doc_id"])
+    r = gd.agg(
+        F.sum(F.col("generated").cast("long")).alias("n"),
+        F.sum(
+            (F.col("generated") != (F.col("doc_id") % GEN_MOD == 0)).cast("long")
+        ).alias("bad"),
+        F.round(
+            F.sum(
+                F.col("generated").cast("double") * (F.col("doc_id") % FP_MOD + 1)
+            ),
+            4,
+        ).alias("fp"),
+    ).collect()[0]
+    rows.append(
+        ("code_generated", int(r["n"] or 0), int(r["bad"] or 0), float(r["fp"] or 0.0))
+    )
+
+    # code_paths: five deterministic synthetic path shapes (vendored /
+    # minified / test-dir / _test-suffix / plain); the oracle reapplies
+    # the SAME segment-anchored regexes. n1 = vendored, n2 = test,
+    # x = minified.
+    cpath = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("vendor/pkg"), F.col("doc_id").cast("string"), F.lit("/mod.go")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("src/app"), F.col("doc_id").cast("string"), F.lit(".min.js")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit("tests/test_"), F.col("doc_id").cast("string"), F.lit(".py")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("lib/util"), F.col("doc_id").cast("string"), F.lit("_test.go")),
+        )
+        .otherwise(
+            F.concat(F.lit("src/main"), F.col("doc_id").cast("string"), F.lit(".py"))
+        )
+        .alias("path"),
+    )
+    pf = path_flags(cpath, id_cols=["doc_id"])
+    r = pf.agg(
+        F.sum(F.col("vendored").cast("long")).alias("v"),
+        F.sum(F.col("test").cast("long")).alias("t"),
+        F.sum(F.col("minified").cast("long")).alias("m"),
+    ).collect()[0]
+    rows.append(("code_paths", int(r["v"] or 0), int(r["t"] or 0), float(r["m"] or 0)))
+
+    # code_complexity over the planted code table plus a branch-bearing
+    # tail on every 3rd doc (the corpus text contains no branch
+    # keywords, so without the plant n1 would pin a weak 0): n1 = Σ
+    # branch keywords (recomputed), n2 = avg_line_len > max_line_len
+    # violations (structurally 0), x = weighted avg-line-length
+    # fingerprint — value-exact (integer Σlen ÷ integer n_lines is one
+    # IEEE division on both engines).
+    cxsrc = code.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("content"),
+                F.lit("\nif (x) { while (y) { z(); } } else if (w) { }"),
+            ),
+        )
+        .otherwise(F.col("content"))
+        .alias("content"),
+    )
+    cx = complexity_stats(cxsrc, id_cols=["doc_id"])
+    r = cx.agg(
+        F.sum("n_branches").alias("nb"),
+        F.sum(
+            (F.col("avg_line_len") > F.col("max_line_len") + 1e-9).cast("long")
+        ).alias("bad"),
+        F.round(
+            F.sum(
+                F.round("avg_line_len", 6) * (F.col("doc_id") % FP_MOD + 1)
+            ),
+            4,
+        ).alias("fp"),
+    ).collect()[0]
+    rows.append(
+        ("code_complexity", int(r["nb"] or 0), int(r["bad"] or 0), float(r["fp"] or 0.0))
+    )
 
     # heavy hitters (count-min sketch + exact verification): the output
     # is DETERMINISTICALLY the exact ≥-threshold key set (the sketch
@@ -1720,10 +1841,16 @@ def corpus_ops_oracle() -> str:
     hash-seeded operators (split/pack/dsir/mixture/bpe) get their
     structural invariants pinned with the corpus size recomputed."""
     from arabesque_spark.operators.code import (
+        BRANCH_RE,
         DEFAULT_HEADER_CHARS,
+        GENERATED_HEAD_CHARS,
+        GENERATED_MARKERS,
         LICENSE_PHRASES,
+        MINIFIED_PATH_RE,
         SECRET_PATTERNS,
         SPDX_RE,
+        TEST_PATH_RE,
+        VENDORED_PATH_RE,
     )
     from arabesque_spark.operators.text import BOS, PII_PATTERNS
     from arabesque_spark.operators.winnow import (
@@ -1733,6 +1860,9 @@ def corpus_ops_oracle() -> str:
         POLY_MOD as W_POLY_MOD,
     )
 
+    gen_or = " OR ".join(
+        f"contains(h, '{m}')" for m in GENERATED_MARKERS
+    )
     terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_TERMS)))
     k1, b = BM25_K1, BM25_B
     email, ip = PII_PATTERNS["EMAIL"], PII_PATTERNS["IP"]
@@ -2021,6 +2151,53 @@ cid_agg AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n1,
          CAST(SUM(n_subtokens * (doc_id % {FP_MOD} + 1)) AS DOUBLE) AS x
   FROM cid),
+cgen AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % {GEN_MOD} = 0
+      THEN '// Code generated by graftgen. DO NOT EDIT.' || chr(10) || text
+      ELSE text END AS content
+  FROM documents),
+cgen_agg AS (
+  SELECT CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN g <> (doc_id % {GEN_MOD} = 0) THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         ROUND(SUM((CASE WHEN g THEN 1.0 ELSE 0.0 END) * (doc_id % {FP_MOD} + 1)), 4) AS x
+  FROM (SELECT doc_id, ({gen_or}) AS g FROM
+        (SELECT doc_id, lower(substr(content, 1, {GENERATED_HEAD_CHARS})) AS h
+         FROM cgen))),
+cpth AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN 'vendor/pkg' || CAST(doc_id AS VARCHAR) || '/mod.go'
+      WHEN 1 THEN 'src/app' || CAST(doc_id AS VARCHAR) || '.min.js'
+      WHEN 2 THEN 'tests/test_' || CAST(doc_id AS VARCHAR) || '.py'
+      WHEN 3 THEN 'lib/util' || CAST(doc_id AS VARCHAR) || '_test.go'
+      ELSE 'src/main' || CAST(doc_id AS VARCHAR) || '.py' END AS path
+  FROM documents),
+cpth_agg AS (
+  SELECT CAST(SUM(CASE WHEN regexp_matches(path, '{VENDORED_PATH_RE}') THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN regexp_matches(path, '{TEST_PATH_RE}') THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN regexp_matches(path, '{MINIFIED_PATH_RE}') THEN 1 ELSE 0 END) AS DOUBLE) AS x
+  FROM cpth),
+ccx AS (
+  SELECT doc_id,
+         len(ll) AS n_lines,
+         list_aggregate(list_transform(ll, s -> length(s)), 'sum') AS sum_len,
+         list_aggregate(list_transform(ll, s -> length(s)), 'max') AS max_len,
+         len(regexp_extract_all(content, '{BRANCH_RE}', 0)) AS n_branches
+  FROM (SELECT doc_id, content, string_split(content, chr(10)) AS ll FROM
+        (SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0
+                  THEN content || chr(10) ||
+                       'if (x) {{ while (y) {{ z(); }} }} else if (w) {{ }}'
+                  ELSE content END AS content
+         FROM code))),
+ccx_agg AS (
+  SELECT CAST(SUM(n_branches) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN CAST(sum_len AS DOUBLE) / n_lines > max_len + 1e-9
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         ROUND(SUM(ROUND(CAST(sum_len AS DOUBLE) / n_lines, 6)
+                   * (doc_id % {FP_MOD} + 1)), 4) AS x
+  FROM ccx),
 hh AS (
   SELECT t AS key, COUNT(*) AS cnt FROM (
     SELECT unnest(list_filter({_DOC_TOKS}, x -> x <> '')) AS t
@@ -2145,6 +2322,9 @@ SELECT 'asof' AS op, n1, n2, x FROM aj_agg
 UNION ALL SELECT 'winnow', n1, CAST(0 AS BIGINT), x FROM wfp_agg
 UNION ALL SELECT 'clones', n1, n2, x FROM wcp_agg
 UNION ALL SELECT 'code_idents', n1, CAST(0 AS BIGINT), x FROM cid_agg
+UNION ALL SELECT 'code_generated', n1, n2, x FROM cgen_agg
+UNION ALL SELECT 'code_paths', n1, n2, x FROM cpth_agg
+UNION ALL SELECT 'code_complexity', n1, n2, x FROM ccx_agg
 UNION ALL SELECT 'code_imports', n1, CAST(0 AS BIGINT), x FROM cimp_agg
 UNION ALL SELECT 'code_strip', n1, n2, x FROM cstrip_agg
 UNION ALL SELECT 'bigram_lm', n1, CAST(0 AS BIGINT), x FROM lm_agg

@@ -322,3 +322,119 @@ def identifier_stats(
         F.size(subs).alias("n_subtokens"),
         F.size(F.array_distinct(subs)).alias("n_distinct_subtokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus hygiene: generated-code detection, path flags, complexity metrics
+# ---------------------------------------------------------------------------
+
+# generator stamps, checked (lowercased) in the file HEAD only — every
+# mainstream generator (protoc, stringer, thrift, yacc, swagger, ...)
+# writes its marker in the first lines; scanning the head keeps the
+# expression O(head) per file instead of O(file)
+GENERATED_MARKERS = [
+    "code generated by",
+    "do not edit",
+    "auto-generated",
+    "autogenerated",
+    "@generated",
+    "generated automatically",
+]
+GENERATED_HEAD_CHARS = 1024
+
+# path-segment regexes (RE2-safe: no lookarounds) — anchored to full
+# segments so `avendor/` or `vendors/` never false-positive
+VENDORED_PATH_RE = (
+    r"(^|/)(vendor|vendors|third_party|thirdparty|node_modules|"
+    r"external|extern|deps|Pods)(/|$)"
+)
+TEST_PATH_RE = r"(^|/)(test|tests|testing|spec|specs|__tests__)(/|$)|(^|/)test_[^/]*$|_test\.[A-Za-z0-9]+$|\.spec\.[A-Za-z0-9]+$"
+MINIFIED_PATH_RE = r"\.min\.(js|css)$"
+
+# branch-introducing keywords across the corpus's majority languages —
+# count + 1 is the classic cyclomatic-complexity proxy (McCabe over
+# tokens, not a parse tree: the scalable approximation)
+BRANCH_RE = r"\b(if|elif|else if|for|while|case|when|catch|except|switch)\b"
+
+
+def detect_generated_col(text: Column) -> Column:
+    """Column: the first matching generator marker in the lowercased
+    file head, NULL when none matches."""
+    head = F.lower(F.substring(text, 1, GENERATED_HEAD_CHARS))
+    return F.coalesce(
+        *[F.when(head.contains(m), F.lit(m)) for m in GENERATED_MARKERS]
+    )
+
+
+def detect_generated(
+    df: DataFrame,
+    id_cols: list[str] | None = None,
+    text_col: str = "content",
+) -> DataFrame:
+    """(id_cols..., generated, marker) — machine-generated-file
+    detection by generator stamp. Generated files are near-worthless
+    (and hugely duplicated) training data; this is the standard first
+    cut a code-corpus pipeline takes before dedup. One projection, no
+    shuffle, SQL-twin-exact (lower + contains)."""
+    ids = id_cols or ["repo", "path"]
+    marker = detect_generated_col(F.col(text_col))
+    return df.select(
+        *ids, marker.isNotNull().alias("generated"), marker.alias("marker")
+    )
+
+
+def path_flags(
+    df: DataFrame,
+    id_cols: list[str] | None = None,
+    path_col: str = "path",
+) -> DataFrame:
+    """(id_cols..., vendored, test, minified) — path-derived corpus
+    flags: vendored/third-party trees (license risk + duplication),
+    test files (often excluded or down-weighted), and minified assets
+    (tokenizer poison). Segment-anchored RE2-safe regexes, identical in
+    Spark and DuckDB."""
+    ids = id_cols or ["repo", "path"]
+    p = F.col(path_col)
+    return df.select(
+        *ids,
+        p.rlike(VENDORED_PATH_RE).alias("vendored"),
+        p.rlike(TEST_PATH_RE).alias("test"),
+        p.rlike(MINIFIED_PATH_RE).alias("minified"),
+    )
+
+
+def complexity_stats(
+    df: DataFrame,
+    id_cols: list[str] | None = None,
+    text_col: str = "content",
+) -> DataFrame:
+    """(id_cols..., n_lines, avg_line_len, max_line_len, max_indent,
+    n_branches, cyclomatic) per file — the token-level complexity
+    profile (McCabe proxy = branch keywords + 1). Feeds quality
+    filtering (minified/compressed blobs shout via max_line_len;
+    machine-generated code via branch density ~0) without parsing.
+    Pure column expressions over one line split — fuses into the scan."""
+    ids = id_cols or ["repo", "path"]
+    lines = F.split(F.col(text_col), "\n")
+    lens = F.transform(lines, F.length)
+    n_lines = F.size(lines)
+    n_branches = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(BRANCH_RE), 0)
+    )
+    return df.select(
+        *ids,
+        n_lines.alias("n_lines"),
+        (
+            F.aggregate(lens, F.lit(0).cast("long"), lambda a, x: a + x)
+            / n_lines.cast("double")
+        ).alias("avg_line_len"),
+        F.array_max(lens).alias("max_line_len"),
+        F.array_max(
+            F.transform(
+                lines,
+                lambda ln: F.length(F.regexp_extract(ln, r"^[ \t]*", 0)),
+            )
+        ).alias("max_indent"),
+        n_branches.alias("n_branches"),
+        (n_branches + F.lit(1)).alias("cyclomatic"),
+    )

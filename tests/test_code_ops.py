@@ -209,3 +209,94 @@ def test_redact_secrets_residual_free_and_idempotent(spark):
         "repo", "path", F.col("content2").alias("content")
     )
     assert red2.collect()[0]["content"] == txt
+
+
+# ---------------------------------------------------------------------------
+# hygiene: generated detection, path flags, complexity
+# ---------------------------------------------------------------------------
+
+
+def test_detect_generated_markers_and_head_window(spark):
+    from arabesque_spark.operators.code import (
+        GENERATED_HEAD_CHARS,
+        detect_generated,
+    )
+
+    rows = [
+        ("r", "a.go", "// Code generated by protoc-gen-go. DO NOT EDIT.\npackage x"),
+        ("r", "b.py", "# @generated by thrift\nx = 1"),
+        ("r", "c.py", "x = 1  # a normal file\n"),
+        # marker BEYOND the head window must not fire
+        ("r", "d.py", ("y = 2\n" * (GENERATED_HEAD_CHARS // 6 + 10)) + "# DO NOT EDIT\n"),
+        ("r", "e.cs", "// <auto-generated/>\nnamespace N {}"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, content string")
+    got = {r["path"]: (r["generated"], r["marker"]) for r in detect_generated(df).collect()}
+    assert got["a.go"] == (True, "code generated by")  # first marker wins
+    assert got["b.py"] == (True, "@generated")
+    assert got["c.py"] == (False, None)
+    assert got["d.py"] == (False, None)
+    assert got["e.cs"] == (True, "auto-generated")
+
+
+def test_path_flags(spark):
+    from arabesque_spark.operators.code import path_flags
+
+    rows = [
+        ("r", "vendor/pkg/mod.go"),
+        ("r", "src/avendor/mod.go"),          # not a vendored segment
+        ("r", "deep/node_modules/x/y.js"),
+        ("r", "tests/test_core.py"),
+        ("r", "src/util_test.go"),
+        ("r", "src/app.spec.ts"),
+        ("r", "src/contest.py"),              # 'test' substring only
+        ("r", "assets/app.min.js"),
+        ("r", "assets/app.minified.js"),      # not .min.js
+        ("r", "third_party/lib/a.c"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string")
+    got = {
+        r["path"]: (r["vendored"], r["test"], r["minified"])
+        for r in path_flags(df).collect()
+    }
+    assert got["vendor/pkg/mod.go"] == (True, False, False)
+    assert got["src/avendor/mod.go"] == (False, False, False)
+    assert got["deep/node_modules/x/y.js"] == (True, False, False)
+    assert got["tests/test_core.py"] == (False, True, False)
+    assert got["src/util_test.go"] == (False, True, False)
+    assert got["src/app.spec.ts"] == (False, True, False)
+    assert got["src/contest.py"] == (False, False, False)
+    assert got["assets/app.min.js"] == (False, False, True)
+    assert got["assets/app.minified.js"] == (False, False, False)
+    assert got["third_party/lib/a.c"] == (True, False, False)
+
+
+def test_complexity_stats(spark):
+    from arabesque_spark.operators.code import complexity_stats
+
+    src = "if a:\n    for b in c:\n        while d:\n            pass\nxx = 1"
+    df = spark.createDataFrame(
+        [("r", "f.py", src), ("r", "empty.py", "")],
+        "repo string, path string, content string",
+    )
+    got = {r["path"]: r for r in complexity_stats(df).collect()}
+    r = got["f.py"]
+    assert r["n_lines"] == 5
+    assert r["n_branches"] == 3 and r["cyclomatic"] == 4
+    assert r["max_line_len"] == len("        while d:")
+    assert r["max_indent"] == 12
+    lens = [len(x) for x in src.split("\n")]
+    assert r["avg_line_len"] == sum(lens) / len(lens)
+    e = got["empty.py"]
+    assert e["n_lines"] == 1 and e["max_line_len"] == 0 and e["n_branches"] == 0
+
+
+def test_complexity_no_branch_words_inside_identifiers(spark):
+    from arabesque_spark.operators.code import complexity_stats
+
+    # 'modifier', 'systemcase', 'fortress' must not count
+    src = "modifier = systemcase(fortress)\n"
+    df = spark.createDataFrame(
+        [("r", "f.py", src)], "repo string, path string, content string"
+    )
+    assert complexity_stats(df).collect()[0]["n_branches"] == 0
