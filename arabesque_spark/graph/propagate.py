@@ -98,7 +98,7 @@ def propagate_features(
     )
 
     state = x0
-    for _ in range(iterations):
+    for it in range(iterations):
         gathered = sym.select(
             F.col("src").alias("vid"), F.col("dst").alias("nbr")
         ).join(
@@ -142,8 +142,11 @@ def propagate_features(
                     + F.lit(float(alpha)) * F.col("v0")
                 ).alias("val"),
             )
-            .localCheckpoint(eager=True)
         )
+        # cut lineage between rounds; the FINAL round stays lazy (no
+        # wasted materialization — the caller's action runs one join)
+        if it < iterations - 1:
+            state = state.localCheckpoint(eager=True)
 
     if is_vec:
         return state.groupBy("vid").agg(

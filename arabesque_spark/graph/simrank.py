@@ -181,8 +181,12 @@ def fingerprint_trajectories(
             frontier.join(idx, frontier["cur"] == idx["src"])
             .filter(idx["pos"] == nxt)
             .select("fp", "start", F.col("nbr").alias("cur"))
-            .localCheckpoint(eager=True)
         )
+        # each non-final frontier is read twice (its own step rows and
+        # the next step's base) AND must not share idx lineage with the
+        # next join — checkpoint; the last step stays lazy
+        if t < horizon:
+            frontier = frontier.localCheckpoint(eager=True)
         step = frontier.select(
             "fp", "start", F.lit(t).alias("t"), "cur"
         )
