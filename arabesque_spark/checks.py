@@ -69,6 +69,7 @@ SSSP_N_SOURCES = 4     # lowest vids of the kernel graph
 SSSP_WMOD = 7          # edge weight = (src + dst) % SSSP_WMOD + 1
 DPR_ITERS = 6
 HITS_ITERS = 4
+SALSA_ITERS = 4        # SALSA fixed iterations in the directed gate
 KATZ_ITERS = 4
 KATZ_ALPHA = 0.01
 EC_ITERS = 4
@@ -1645,6 +1646,9 @@ def q_directed_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       Σ round(rank,9)·w fingerprint vs a 6-iteration unrolled SQL twin
     - ``hits``       n1 = vertices, n2 = scores outside [0,1] (0), x =
       Σ round(auth+2·hub,9)·w fingerprint vs a 4-iteration unrolled twin
+    - ``salsa``      n1 = vertices, n2 = scores outside [0,1] (0), x =
+      Σ round(auth+2·hub,9)·w fingerprint vs an unrolled degree-split
+      L1 twin (per-edge 1/deg weights multiplied exactly as the engine)
     - ``sssp``       n1 = reached (source, vid) pairs, n2 = negative
       distances (0), x = Σ round(dist,6)·w fingerprint vs an unrolled
       Bellman-Ford SQL twin (weights (src+dst) % 7 + 1 on both sides)
@@ -1703,6 +1707,29 @@ def q_directed_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fp"),
     ).collect()[0]
     rows.append(("hits", int(r["n"]), int(r["bad"]), float(r["fp"])))
+
+    # SALSA, fixed iterations — value fingerprint vs the oracle's
+    # unrolled degree-split CTEs (the HITS pattern with L1 norms and
+    # per-edge 1/deg weights mirrored term by term). L1-normalized
+    # non-negative scores stay in [0, 1], so n2 pins the range.
+    from arabesque_spark.graph.salsa import salsa_fixed
+
+    sl = salsa_fixed(spark, de, iterations=SALSA_ITERS)
+    r = sl.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (
+                (F.col("auth") < -1e-12)
+                | (F.col("auth") > 1 + 1e-12)
+                | (F.col("hub") < -1e-12)
+                | (F.col("hub") > 1 + 1e-12)
+            ).cast("long")
+        ).alias("bad"),
+        F.round(
+            F.sum(F.round(F.col("auth") + 2 * F.col("hub"), 9) * _fpw()), 4
+        ).alias("fp"),
+    ).collect()[0]
+    rows.append(("salsa", int(r["n"]), int(r["bad"]), float(r["fp"])))
 
     # weighted landmark shortest paths — value fingerprint on the
     # UNDIRECTED kernel graph (weighted_distances symmetrizes)
@@ -2861,6 +2888,58 @@ def directed_kernels_oracle() -> str:
   FROM a{k} a JOIN h{k} h USING (vid))"""
     )
 
+    # ---- SALSA, SALSA_ITERS fixed iterations: hub mass splits over
+    # out-links, auth mass splits back over in-links, L1 norms — the
+    # per-edge 1/deg weights are multiplied exactly as the engine does
+    # (hub * (1.0/odeg)), never re-associated ----
+    ctes.append(
+        "didg AS MATERIALIZED (SELECT dst AS vid, COUNT(*) AS ideg FROM de GROUP BY dst)"
+    )
+    ctes.append(
+        "sh0 AS MATERIALIZED (SELECT vid, 1.0 / (SELECT n FROM dcnt) AS hub FROM dverts)"
+    )
+    for t in range(1, SALSA_ITERS + 1):
+        ctes.append(
+            f"""sar{t} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(c.s, 0.0) AS a_raw FROM dverts v LEFT JOIN (
+    SELECT e.dst AS vid, SUM(h.hub * (1.0 / o.odeg)) AS s
+    FROM sh{t-1} h JOIN de e ON h.vid = e.src JOIN dodeg o ON o.vid = e.src
+    GROUP BY e.dst) c ON v.vid = c.vid)"""
+        )
+        ctes.append(
+            f"san{t} AS MATERIALIZED (SELECT SUM(ABS(a_raw)) AS nm FROM sar{t})"
+        )
+        ctes.append(
+            f"""sa{t} AS MATERIALIZED (
+  SELECT vid, CASE WHEN (SELECT nm FROM san{t}) > 0
+    THEN a_raw / (SELECT nm FROM san{t}) ELSE 0.0 END AS auth FROM sar{t})"""
+        )
+        ctes.append(
+            f"""shr{t} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(c.s, 0.0) AS h_raw FROM dverts v LEFT JOIN (
+    SELECT e.src AS vid, SUM(a.auth * (1.0 / i.ideg)) AS s
+    FROM sa{t} a JOIN de e ON a.vid = e.dst JOIN didg i ON i.vid = e.dst
+    GROUP BY e.src) c ON v.vid = c.vid)"""
+        )
+        ctes.append(
+            f"shn{t} AS MATERIALIZED (SELECT SUM(ABS(h_raw)) AS nm FROM shr{t})"
+        )
+        ctes.append(
+            f"""sh{t} AS MATERIALIZED (
+  SELECT vid, CASE WHEN (SELECT nm FROM shn{t}) > 0
+    THEN h_raw / (SELECT nm FROM shn{t}) ELSE 0.0 END AS hub FROM shr{t})"""
+        )
+    sk = SALSA_ITERS
+    ctes.append(
+        f"""salsa_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN a.auth < -1e-12 OR a.auth > 1 + 1e-12
+                        OR h.hub < -1e-12 OR h.hub > 1 + 1e-12
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         ROUND(SUM(ROUND(a.auth + 2 * h.hub, 9) * (a.vid % {FP_MOD} + 1)), 4) AS x
+  FROM sa{sk} a JOIN sh{sk} h USING (vid))"""
+    )
+
     # ---- Bellman-Ford landmarks on the undirected kernel graph ----
     ctes.append(
         f"""wsym AS MATERIALIZED (
@@ -3001,6 +3080,7 @@ def directed_kernels_oracle() -> str:
         + """
 SELECT 'dpagerank' AS op, n1, n2, x FROM pr_agg
 UNION ALL SELECT 'hits', n1, n2, x FROM hits_agg
+UNION ALL SELECT 'salsa', n1, n2, x FROM salsa_agg
 UNION ALL SELECT 'reciprocity', n1, n2, x FROM rc_agg
 UNION ALL SELECT 'scc', n1, n2, x FROM scc_agg
 UNION ALL SELECT 'sssp', n1, n2, x FROM sssp_agg

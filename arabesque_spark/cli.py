@@ -51,7 +51,7 @@ def main(argv: list[str] | None = None) -> int:
     for name in ("pagerank", "cc", "lpa", "triangles", "motifs", "fsm", "walks",
                  "kcore", "ktruss", "truss", "bfs", "census", "louvain", "mis",
                  "coloring", "mst", "katz", "eigenvector", "wl", "maxclique",
-                 "topo", "partition"):
+                 "topo", "partition", "simrank", "featprop", "salsa"):
         p = sub.add_parser(name)
         p.add_argument("--edges", required=True, help="parquet dir with (src,dst)")
         p.add_argument("--out", default=None, help="result parquet dir")
@@ -116,6 +116,28 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--eps", type=float, default=0.10,
                            help="balance slack over perfect degree-mass split")
             p.add_argument("--max-rounds", type=int, default=30)
+        if name == "salsa":
+            p.add_argument("--tol", type=float, default=1e-8)
+            p.add_argument("--max-iterations", type=int, default=100)
+        if name == "simrank":
+            p.add_argument("--pairs", default=None,
+                           help="parquet dir with (a,b) query pairs: MC "
+                           "fingerprint mode (the scale path); omit for "
+                           "the exact pair iteration (validation scale)")
+            p.add_argument("--c", type=float, default=0.8)
+            p.add_argument("--iterations", type=int, default=3,
+                           help="exact-mode truncation depth")
+            p.add_argument("--fingerprints", type=int, default=64)
+            p.add_argument("--horizon", type=int, default=8)
+            p.add_argument("--seed", type=int, default=7)
+        if name == "featprop":
+            p.add_argument("--feats", required=True,
+                           help="parquet dir with (vid, <feature-col>)")
+            p.add_argument("--feature-col", default="x")
+            p.add_argument("--iterations", type=int, default=2)
+            p.add_argument("--norm", choices=("rw", "sym"), default="rw")
+            p.add_argument("--self-loops", action="store_true")
+            p.add_argument("--alpha", type=float, default=0.0)
         if name == "wl":
             p.add_argument("--rounds", type=int, default=3)
             p.add_argument("--labels", default=None,
@@ -131,7 +153,8 @@ def main(argv: list[str] | None = None) -> int:
     # fast (before the JVM spins up) instead of silently dropping the
     # flag: a user "resuming" a long run would otherwise restart from
     # scratch with no warning.
-    no_ckpt = {"triangles", "motifs", "walks", "census", "mst", "maxclique"}
+    no_ckpt = {"triangles", "motifs", "walks", "census", "mst", "maxclique",
+               "simrank", "featprop"}
     if args.cmd in no_ckpt and args.checkpoint:
         parser.error(
             f"{args.cmd} does not support --checkpoint: it runs as a "
@@ -434,6 +457,60 @@ def main(argv: list[str] | None = None) -> int:
             "converged": res.converged,
             "in_set": out_df.filter(F.col("status") == IN_SET).count(),
         }
+    elif args.cmd == "salsa":
+        from arabesque_spark.graph.salsa import salsa as _salsa
+
+        res = _salsa(
+            spark,
+            edges,
+            tol=args.tol,
+            max_iterations=args.max_iterations,
+            checkpoint_dir=args.checkpoint,
+            resume=args.resume,
+        )
+        out_df = res.state
+        info = {"iterations": res.num_iterations, "converged": res.converged}
+    elif args.cmd == "simrank":
+        if args.pairs:
+            from arabesque_spark.graph.simrank import simrank_fingerprints
+
+            pairs = spark.read.parquet(args.pairs)
+            out_df = simrank_fingerprints(
+                spark,
+                edges,
+                pairs,
+                c=args.c,
+                num_fingerprints=args.fingerprints,
+                horizon=args.horizon,
+                seed=args.seed,
+            )
+            info = {
+                "mode": "fingerprints",
+                "fingerprints": args.fingerprints,
+                "horizon": args.horizon,
+            }
+        else:
+            from arabesque_spark.graph.simrank import simrank_exact
+
+            out_df = simrank_exact(
+                spark, edges, c=args.c, iterations=args.iterations
+            )
+            info = {"mode": "exact", "iterations": args.iterations}
+    elif args.cmd == "featprop":
+        from arabesque_spark.graph.propagate import propagate_features
+
+        feats = spark.read.parquet(args.feats)
+        out_df = propagate_features(
+            spark,
+            edges,
+            feats,
+            feature_col=args.feature_col,
+            iterations=args.iterations,
+            norm=args.norm,
+            add_self_loops=args.self_loops,
+            alpha=args.alpha,
+        )
+        info = {"iterations": args.iterations, "norm": args.norm}
     elif args.cmd == "mst":
         from arabesque_spark.graph.mst import boruvka_mst
 

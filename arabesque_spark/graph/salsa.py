@@ -1,0 +1,177 @@
+"""SALSA (Stochastic Approach for Link-Structure Analysis) over a
+directed edge table.
+
+Lempel & Moran's stochastic sibling of HITS: the same mutual
+hub/authority reinforcement, but each vertex splits its mass over its
+links instead of copying it — the authority chain is a random walk
+"back over a random in-link, forward over a random out-link", so hub
+spam can't inflate scores the way it does in HITS. Updates per
+iteration (coupled power form):
+
+    auth'(v) = Σ_{u→v} hub(u)  / outdeg(u)
+    hub'(u)  = Σ_{u→v} auth'(v) / indeg(v)
+
+each L1-normalized. Lempel & Moran's theorem: within one connected
+component of the authority (co-citation) graph the stationary authority
+score is proportional to in-degree — pinned as a known-answer test on
+the golden graph (tests/test_salsa.py).
+
+Same superstep dataflow as HITS (graph/hits.py — expand join → groupBy
+sum → observed halt), same cached directed-adjacency discipline: both
+E-scale join sides are chunked, column-pruned, repartitioned+sorted
+BEFORE persist, so each superstep moves only the V-scale state. The
+degree divisions are baked into per-edge weights at build time (one
+extra column on the cached side, zero per-iteration cost).
+
+Reference parity framing: the reference's aggregation machinery
+(AggregationStorage.java:102-153 reduce, MasterExecutionEngine.java:
+210-216 halt) instantiated on the directed link graph, like HITS/DPR.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arabesque_spark.engine.superstep import RunResult, SuperstepRunner
+
+
+def salsa(
+    spark: SparkSession,
+    edges: DataFrame,
+    tol: float = 1e-8,
+    max_iterations: int = 100,
+    checkpoint_dir: str | Path | None = None,
+    resume: bool = False,
+    num_partitions: int | None = None,
+) -> RunResult:
+    """Run SALSA to convergence; result state is (vid, auth, hub, delta).
+
+    ``edges`` is a directed edge table (src, dst); duplicates are
+    dropped. Vertices with no in-edges have auth = 0, with no out-edges
+    hub = 0 (they still relay mass through the opposite role).
+    """
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    de = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    odeg = de.groupBy("src").agg(F.count("*").alias("odeg"))
+    ideg = de.groupBy("dst").agg(F.count("*").alias("ideg"))
+    # weighted flat edge tables with the degree splits precomputed:
+    # fwd (src → dst, 1/odeg(src)) gathers auth; bwd (dst → src,
+    # 1/ideg(dst)) gathers hub. Repartitioned+sorted on the probe key
+    # before persist — zero E-scale movement per superstep.
+    fwd = (
+        de.join(odeg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("odeg")).alias("w"))
+        .repartition(n_parts, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    bwd = (
+        de.join(ideg, "dst")
+        .select("src", "dst", (F.lit(1.0) / F.col("ideg")).alias("w"))
+        .repartition(n_parts, "dst")
+        .sortWithinPartitions("dst")
+        .persist()
+    )
+    fwd.count()
+    bwd.count()
+
+    verts = (
+        de.select(F.explode(F.array("src", "dst")).alias("vid"))
+        .dropDuplicates(["vid"])
+        .localCheckpoint(eager=True)
+    )
+    n_v = verts.count()
+    init = 1.0 / n_v if n_v else 0.0
+    state0 = verts.select(
+        "vid",
+        F.lit(init).cast("double").alias("auth"),
+        F.lit(init).cast("double").alias("hub"),
+        F.lit(float("inf")).alias("delta"),
+    )
+
+    def _l1(df: DataFrame, raw: str, out: str) -> DataFrame:
+        norm = df.agg(F.sum(F.abs(F.col(raw))).alias("_n"))
+        return df.crossJoin(F.broadcast(norm)).withColumn(
+            out,
+            F.when(F.col("_n") > 0, F.col(raw) / F.col("_n")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+
+    def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
+        # auth update: hubs split over out-links
+        a_contrib = (
+            state.join(fwd, state["vid"] == fwd["src"])
+            .select(F.col("dst").alias("vid"), (F.col("hub") * F.col("w")).alias("c"))
+            .groupBy("vid")
+            .agg(F.sum("c").alias("a_raw"))
+        )
+        astate = (
+            state.select("vid", "auth", "hub")
+            .join(a_contrib, "vid", "left")
+            .withColumn("a_raw", F.coalesce("a_raw", F.lit(0.0)))
+        )
+        astate = _l1(astate, "a_raw", "new_auth").drop("_n")
+        # hub update: NEW auths split back over in-links
+        h_contrib = (
+            astate.join(bwd, astate["vid"] == bwd["dst"])
+            .select(
+                F.col("src").alias("vid"),
+                (F.col("new_auth") * F.col("w")).alias("c"),
+            )
+            .groupBy("vid")
+            .agg(F.sum("c").alias("h_raw"))
+        )
+        hstate = (
+            astate.select("vid", "auth", "hub", "new_auth")
+            .join(h_contrib, "vid", "left")
+            .withColumn("h_raw", F.coalesce("h_raw", F.lit(0.0)))
+        )
+        hstate = _l1(hstate, "h_raw", "new_hub")
+        new_state = hstate.select(
+            "vid",
+            F.col("new_auth").alias("auth"),
+            F.col("new_hub").alias("hub"),
+            F.greatest(
+                F.abs(F.col("new_auth") - F.col("auth")),
+                F.abs(F.col("new_hub") - F.col("hub")),
+            ).alias("delta"),
+        )
+        return new_state, {"superstep": i}
+
+    def halt_decide(m: dict, i: int) -> bool:
+        md = m.get("max_delta")
+        return md is not None and md < tol
+
+    runner = SuperstepRunner(
+        spark,
+        checkpoint_dir=checkpoint_dir,
+        max_iterations=max_iterations,
+        state_partition_keys=["vid"],
+        state_partitions=n_parts,
+    )
+    result = runner.run(
+        state0,
+        step,
+        resume=resume,
+        halt_exprs={"max_delta": F.max("delta")} if tol >= 0 else None,
+        halt_decide=halt_decide if tol >= 0 else None,
+    )
+    fwd.unpersist()
+    bwd.unpersist()
+    return result
+
+
+def salsa_fixed(
+    spark: SparkSession, edges: DataFrame, iterations: int
+) -> DataFrame:
+    """Fixed-iteration SALSA → (vid, auth, hub). Deterministic variant
+    for value-parity checks (unrolled-CTE oracle + numpy twin)."""
+    result = salsa(spark, edges, tol=-1.0, max_iterations=iterations)
+    return result.state.select("vid", "auth", "hub")

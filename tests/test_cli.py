@@ -130,3 +130,44 @@ def test_cli_round5_commands(spark, tmp_path, capsys):
     assert out["converged"] is True
     out = run(["eigenvector", "--edges", edges_dir, "--max-iterations", "300"])
     assert out["iterations"] >= 1
+
+
+def test_cli_simrank_featprop(spark, tmp_path, capsys):
+    """simrank (both modes) and featprop dispatch end-to-end."""
+    import json
+
+    import pytest as _pytest
+
+    from arabesque_spark.cli import main
+    from tests.conftest import TEST_GRAPH_EDGES, TEST_GRAPH_V
+
+    edges_dir = str(tmp_path / "edges_sr")
+    spark.createDataFrame(TEST_GRAPH_EDGES, "src long, dst long").write.parquet(edges_dir)
+
+    def run(argv):
+        assert main(argv) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    out = run(["simrank", "--edges", edges_dir, "--iterations", "2"])
+    assert out["mode"] == "exact" and out["rows"] > 0
+
+    pairs_dir = str(tmp_path / "sr_pairs")
+    spark.createDataFrame([(0, 4), (3, 6)], "a long, b long").write.parquet(pairs_dir)
+    out = run(["simrank", "--edges", edges_dir, "--pairs", pairs_dir,
+               "--fingerprints", "16", "--horizon", "3"])
+    assert out["mode"] == "fingerprints" and out["rows"] == 2
+
+    feats_dir = str(tmp_path / "feats")
+    spark.createDataFrame(
+        [(v, float(v)) for v in range(TEST_GRAPH_V)], "vid long, x double"
+    ).write.parquet(feats_dir)
+    out = run(["featprop", "--edges", edges_dir, "--feats", feats_dir,
+               "--iterations", "2", "--norm", "sym", "--self-loops"])
+    assert out["norm"] == "sym" and out["rows"] == TEST_GRAPH_V
+
+    # single-job operators reject checkpoint flags fast
+    with _pytest.raises(SystemExit):
+        main(["simrank", "--edges", edges_dir, "--resume"])
+    with _pytest.raises(SystemExit):
+        main(["featprop", "--edges", edges_dir, "--feats", feats_dir,
+              "--checkpoint", str(tmp_path / "ck")])

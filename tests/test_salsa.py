@@ -1,0 +1,111 @@
+"""SALSA: NumPy parity, L1 invariants, and the Lempel-Moran
+indegree-proportional stationary theorem."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.salsa import salsa, salsa_fixed
+
+# directed test graph: a 5-cycle with chords — varied in/out degrees,
+# every vertex reachable in both roles
+D_EDGES = [
+    (0, 1), (1, 2), (2, 3), (3, 4), (4, 0),
+    (0, 2), (1, 3), (3, 0), (2, 0),
+]
+D_V = 5
+
+
+def salsa_numpy(
+    edges: list[tuple[int, int]], n: int, iterations: int
+) -> tuple[np.ndarray, np.ndarray]:
+    odeg = np.zeros(n)
+    ideg = np.zeros(n)
+    for u, v in edges:
+        odeg[u] += 1
+        ideg[v] += 1
+    a = np.full(n, 1.0 / n)
+    h = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        na = np.zeros(n)
+        for u, v in edges:
+            na[v] += h[u] / odeg[u]
+        if na.sum() > 0:
+            na /= np.abs(na).sum()
+        nh = np.zeros(n)
+        for u, v in edges:
+            nh[u] += na[v] / ideg[v]
+        if nh.sum() > 0:
+            nh /= np.abs(nh).sum()
+        a, h = na, nh
+    return a, h
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+@pytest.mark.parametrize("iterations", [1, 3])
+def test_fixed_matches_numpy(spark, iterations):
+    got = {
+        r["vid"]: (r["auth"], r["hub"])
+        for r in salsa_fixed(spark, _df(spark, D_EDGES), iterations).collect()
+    }
+    wa, wh = salsa_numpy(D_EDGES, D_V, iterations)
+    for v in range(D_V):
+        assert got[v][0] == pytest.approx(wa[v], abs=1e-12), ("auth", v)
+        assert got[v][1] == pytest.approx(wh[v], abs=1e-12), ("hub", v)
+
+
+def test_l1_normalization(spark):
+    st = salsa_fixed(spark, _df(spark, D_EDGES), 4)
+    sums = st.agg(F.sum("auth"), F.sum("hub")).collect()[0]
+    assert sums[0] == pytest.approx(1.0, abs=1e-12)
+    assert sums[1] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_stationary_auth_proportional_to_indegree(spark):
+    """Lempel & Moran: within a connected component of the co-citation
+    (authority) graph, stationary SALSA authority ∝ in-degree."""
+    res = salsa(spark, _df(spark, D_EDGES), tol=1e-12, max_iterations=500)
+    assert res.converged
+    got = {r["vid"]: r["auth"] for r in res.state.collect()}
+
+    # co-citation components + in-degrees, computed independently
+    ideg: dict[int, int] = {}
+    by_src: dict[int, list[int]] = {}
+    for u, v in D_EDGES:
+        ideg[v] = ideg.get(v, 0) + 1
+        by_src.setdefault(u, []).append(v)
+    parent = {v: v for v in ideg}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for vs in by_src.values():
+        for b in vs[1:]:
+            parent[find(vs[0])] = find(b)
+    comps: dict[int, list[int]] = {}
+    for v in ideg:
+        comps.setdefault(find(v), []).append(v)
+
+    # per component: auth(v) / ideg(v) constant; component mass = the
+    # component's share (uniform-start SALSA weights components by size
+    # of their stationary support — we only pin the WITHIN-component
+    # proportionality, the theorem's engine-independent part)
+    for comp in comps.values():
+        ratios = [got[v] / ideg[v] for v in comp]
+        for r in ratios[1:]:
+            assert r == pytest.approx(ratios[0], rel=1e-6)
+
+
+def test_no_out_edges_zero_hub(spark):
+    # 0→1, 2→1: vertex 1 has no out-edges → hub 0; auth concentrates on 1
+    st = {r["vid"]: r for r in salsa_fixed(spark, _df(spark, [(0, 1), (2, 1)]), 3).collect()}
+    assert st[1]["hub"] == 0.0
+    assert st[1]["auth"] == pytest.approx(1.0, abs=1e-12)
