@@ -102,6 +102,10 @@ SR_NV = 120            # simrank gate subgraph: induced on the SR_NV
 SR_ITERS = 2           # simrank exact truncation depth in the gate
 SR_C = 0.8             # simrank decay constant
 FPROP_ITERS = 3        # feature-propagation rounds in the gate (rw norm)
+DS_ROUNDS = 8          # densest-subgraph peel rounds in the gate
+DS_EPS = 0.125         # densest-subgraph epsilon — an EXACT binary
+                       # fraction so 2(1+eps) = 2.25 and the peel
+                       # threshold is IEEE-identical in both engines
 TOPO_THIN = 4          # toposort DAG keeps src<dst edges with
                        # (3*src + dst) % TOPO_THIN == 0 (id-orientation
                        # makes acyclicity structural; thinning bounds the
@@ -1182,6 +1186,16 @@ def q_graph_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``powerlaw``    n1 = vertices, n2 = tail size (deg ≥ PL_DMIN),
       x = Clauset-Shalizi-Newman α̂ (6 dp) — oracle recomputes the MLE
       from its own degree table
+    - ``simrank``     n1 = similar pairs after SR_ITERS exact rounds on
+      the top-SR_NV-degree induced subgraph, n2 = range violations (0),
+      x = weighted fingerprint — unrolled pair-iteration twin
+    - ``featprop``    n1 = vertices, n2 = rw max-principle violations
+      (0), x = weighted fingerprint after FPROP_ITERS neighbor-mean
+      rounds — unrolled twin
+    - ``densest``     n1 = Σw over the best-density peel prefix
+      (membership-exact), n2 = vertices outside the graph (0), x =
+      round(best density, 6) — the oracle unrolls the same DS_ROUNDS
+      parallel-peel rounds and takes the same earliest argmax
     """
     from arabesque_spark.graph.anf import neighborhood_function
     from arabesque_spark.graph.betweenness import betweenness_centrality
@@ -1631,6 +1645,24 @@ def q_graph_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fp"),
     ).collect()[0]
     rows.append(("featprop", int(r["n"]), int(r["bad"] or 0), float(r["fp"] or 0.0)))
+
+    # Densest subgraph (Charikar greedy, parallel peel, DS_ROUNDS fixed
+    # unrolled rounds, ε = 1/8 exact): the peel rule is a pure function
+    # of the edge set, so the oracle unrolls the SAME rounds and
+    # recomputes the SAME earliest-argmax prefix value-exactly.
+    # n1 = Σ w over the returned vertex set (membership-exact), n2 =
+    # returned vertices outside the kernel graph (0), x = round(best
+    # density, 6). The 2-approximation guarantee and planted-core
+    # recovery are pytest-gated (tests/test_densest.py).
+    from arabesque_spark.graph.densest import densest_subgraph
+
+    ds = densest_subgraph(spark, edges, epsilon=DS_EPS, max_rounds=DS_ROUNDS)
+    ds_v = ds.vertices.localCheckpoint(eager=True)
+    w_sum = ds_v.agg(F.sum(F.col("vid") % FP_MOD + 1)).collect()[0][0]
+    ds_out = ds_v.join(verts, "vid", "left_anti").count()
+    rows.append(
+        ("densest", int(w_sum or 0), int(ds_out), round(ds.density, 6))
+    )
 
     return spark.createDataFrame(rows, CHECK_SCHEMA).orderBy("op")
 
@@ -2739,6 +2771,58 @@ def graph_kernels_oracle() -> str:
   FROM fpr{FPROP_ITERS})"""
     )
 
+    # ---- densest subgraph, DS_ROUNDS unrolled parallel-peel rounds:
+    # each round drops every vertex with deg ≤ 2.25·(E/V); best prefix
+    # by (density DESC, round ASC) mirrors the engine's strict-greater
+    # earliest argmax ----
+    ctes.append("ds0 AS MATERIALIZED (SELECT src, dst FROM fe)")
+    for t in range(DS_ROUNDS + 1):
+        ctes.append(
+            f"""dsv{t} AS MATERIALIZED (
+  SELECT vid, COUNT(*) AS deg FROM (
+    SELECT src AS vid FROM ds{t} UNION ALL SELECT dst FROM ds{t})
+  GROUP BY vid)"""
+        )
+        ctes.append(
+            f"""dss{t} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM ds{t}) AS e,
+         CAST(SUM(vid % {FP_MOD} + 1) AS BIGINT) AS wsum
+  FROM dsv{t})"""
+        )
+        if t < DS_ROUNDS:
+            thr = (
+                f"2.25 * (CAST((SELECT e FROM dss{t}) AS DOUBLE)"
+                f" / (SELECT v FROM dss{t}))"
+            )
+            ctes.append(
+                f"""ds{t+1} AS MATERIALIZED (
+  SELECT e2.src, e2.dst FROM ds{t} e2
+  JOIN dsv{t} a ON a.vid = e2.src
+  JOIN dsv{t} b ON b.vid = e2.dst
+  WHERE a.deg > {thr} AND b.deg > {thr})"""
+            )
+    ctes.append(
+        "dcand AS ("
+        + " UNION ALL ".join(
+            f"SELECT {t} AS t, v, e, wsum FROM dss{t}"
+            for t in range(DS_ROUNDS + 1)
+        )
+        + ")"
+    )
+    ctes.append(
+        """dbest AS (
+  SELECT wsum, CAST(e AS DOUBLE) / v AS dens
+  FROM dcand WHERE v > 0
+  ORDER BY CAST(e AS DOUBLE) / v DESC, t ASC LIMIT 1)"""
+    )
+    ctes.append(
+        """ds_agg AS (
+  SELECT CAST(COALESCE((SELECT wsum FROM dbest), 0) AS BIGINT) AS n1,
+         CAST(0 AS BIGINT) AS n2,
+         ROUND((SELECT dens FROM dbest), 6) AS x)"""
+    )
+
     ctes.append(
         f"""sr_agg AS (
   SELECT CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
@@ -2771,6 +2855,7 @@ UNION ALL SELECT 'bipartite', n1, n2, x FROM bp_agg
 UNION ALL SELECT 'powerlaw', n1, n2, x FROM pl_agg
 UNION ALL SELECT 'simrank', n1, n2, x FROM sr_agg
 UNION ALL SELECT 'featprop', n1, n2, x FROM fpr_agg
+UNION ALL SELECT 'densest', n1, n2, x FROM ds_agg
 UNION ALL SELECT 'mst', (SELECT v FROM kcnt) - (SELECT c FROM kncomp),
                   (SELECT c FROM kncomp), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'truss', (SELECT e FROM kecnt), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)

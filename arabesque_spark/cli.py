@@ -51,7 +51,7 @@ def main(argv: list[str] | None = None) -> int:
     for name in ("pagerank", "cc", "lpa", "triangles", "motifs", "fsm", "walks",
                  "kcore", "ktruss", "truss", "bfs", "census", "louvain", "mis",
                  "coloring", "mst", "katz", "eigenvector", "wl", "maxclique",
-                 "topo", "partition", "simrank", "featprop", "salsa"):
+                 "topo", "partition", "simrank", "featprop", "salsa", "densest"):
         p = sub.add_parser(name)
         p.add_argument("--edges", required=True, help="parquet dir with (src,dst)")
         p.add_argument("--out", default=None, help="result parquet dir")
@@ -116,6 +116,9 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--eps", type=float, default=0.10,
                            help="balance slack over perfect degree-mass split")
             p.add_argument("--max-rounds", type=int, default=30)
+        if name == "densest":
+            p.add_argument("--epsilon", type=float, default=0.125)
+            p.add_argument("--max-rounds", type=int, default=64)
         if name == "salsa":
             p.add_argument("--tol", type=float, default=1e-8)
             p.add_argument("--max-iterations", type=int, default=100)
@@ -154,7 +157,7 @@ def main(argv: list[str] | None = None) -> int:
     # flag: a user "resuming" a long run would otherwise restart from
     # scratch with no warning.
     no_ckpt = {"triangles", "motifs", "walks", "census", "mst", "maxclique",
-               "simrank", "featprop"}
+               "simrank", "featprop", "densest"}
     if args.cmd in no_ckpt and args.checkpoint:
         parser.error(
             f"{args.cmd} does not support --checkpoint: it runs as a "
@@ -456,6 +459,19 @@ def main(argv: list[str] | None = None) -> int:
             "iterations": res.num_iterations,
             "converged": res.converged,
             "in_set": out_df.filter(F.col("status") == IN_SET).count(),
+        }
+    elif args.cmd == "densest":
+        from arabesque_spark.graph.densest import densest_subgraph
+
+        res = densest_subgraph(
+            spark, edges, epsilon=args.epsilon, max_rounds=args.max_rounds
+        )
+        out_df = res.vertices
+        info = {
+            "density": res.density,
+            "n_vertices": res.n_vertices,
+            "n_edges": res.n_edges,
+            "best_round": res.best_round,
         }
     elif args.cmd == "salsa":
         from arabesque_spark.graph.salsa import salsa as _salsa

@@ -1,0 +1,103 @@
+"""Densest subgraph: Charikar's greedy 2-approximation, parallel peel.
+
+The community-core extractor for link graphs — "give me the densest
+cluster of co-changing files" — and the standard preprocessing cut
+before expensive mining (the reference's clique/motif configs all run
+hotter on density cores). Exact densest subgraph needs max-flow;
+Charikar (APPROX'00) showed greedy peeling is a 2-approximation, and
+Bahmani-Kumar-Vassilvitskii (VLDB'12) made it parallel: each round
+removes EVERY vertex of degree ≤ (1+ε)·(2E/V) at once, which costs
+O(log_{1+ε} V) rounds and guarantees
+
+    density(best prefix) ≥ ρ* / (2(1+ε)).
+
+Superstep shape: state = surviving canonical edge table; one round =
+one degree aggregation + two semi-joins (k-core's plan with a
+data-dependent threshold). The scalar density/threshold per round is a
+driver-side master hook (SURVEY C23 — the reference's
+MasterComputation), two counts per round; the best-so-far vertex set is
+the only retained snapshot (localCheckpoint, shrinks geometrically).
+
+Determinism: the rule is a pure function of the edge set; with
+``epsilon`` an exact binary fraction (default 1/8) the threshold
+arithmetic is IEEE-identical in any engine, so the gate's DuckDB twin
+unrolls the SAME rounds and recomputes the SAME best prefix
+value-exactly (`densest` row in graph_kernels_check).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.build import degrees
+
+
+@dataclass
+class DensestResult:
+    vertices: DataFrame          # (vid) of the best-density prefix
+    density: float               # E/V of that prefix
+    n_vertices: int
+    n_edges: int
+    best_round: int              # 0 = the input graph itself
+    rounds: int                  # peel rounds actually executed
+
+
+def densest_subgraph(
+    spark: SparkSession,
+    edges: DataFrame,
+    epsilon: float = 0.125,
+    max_rounds: int = 64,
+) -> DensestResult:
+    """Greedy-peel densest subgraph → best-density vertex prefix.
+
+    ``edges`` is a canonical (src < dst) edge table. Each round removes
+    all vertices with degree ≤ 2(1+ε)·(E/V); the returned prefix is the
+    EARLIEST round attaining the maximum density (deterministic
+    argmax). Empty input → empty result with density 0.
+    """
+    cur = edges.select("src", "dst").localCheckpoint(eager=True)
+    factor = 2.0 * (1.0 + float(epsilon))
+
+    best_verts: DataFrame | None = None
+    best = (-1.0, -1, -1, -1)  # (density, -round) argmax via tuple on first two
+    rounds = 0
+    for t in range(max_rounds + 1):
+        deg = degrees(cur).localCheckpoint(eager=True)
+        n_v = deg.count()
+        if n_v == 0:
+            break
+        n_e = cur.count()
+        dens = n_e / n_v
+        # STRICT greater → deterministic earliest-round argmax; exact
+        # ties (equal rationals) keep the earlier round on both the
+        # engine and the SQL twin
+        if dens > best[0]:
+            best = (dens, t, n_v, n_e)
+            best_verts = deg.select("vid")
+        if t == max_rounds:
+            break
+        rounds = t + 1
+        thr = factor * dens
+        survivors = deg.filter(F.col("deg") > thr).select("vid")
+        cur = (
+            cur.join(survivors.withColumnRenamed("vid", "src"), "src", "left_semi")
+            .join(survivors.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    if best_verts is None:
+        return DensestResult(
+            vertices=spark.createDataFrame([], "vid long"),
+            density=0.0, n_vertices=0, n_edges=0, best_round=0, rounds=rounds,
+        )
+    return DensestResult(
+        vertices=best_verts,
+        density=best[0],
+        n_vertices=best[2],
+        n_edges=best[3],
+        best_round=best[1],
+        rounds=rounds,
+    )

@@ -171,3 +171,17 @@ def test_cli_simrank_featprop(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit):
         main(["featprop", "--edges", edges_dir, "--feats", feats_dir,
               "--checkpoint", str(tmp_path / "ck")])
+
+
+def test_cli_densest(spark, tmp_path, capsys):
+    import json
+
+    from arabesque_spark.cli import main
+    from tests.conftest import TEST_GRAPH_EDGES
+
+    edges_dir = str(tmp_path / "edges_ds")
+    spark.createDataFrame(TEST_GRAPH_EDGES, "src long, dst long").write.parquet(edges_dir)
+    assert main(["densest", "--edges", edges_dir]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["density"] >= len(TEST_GRAPH_EDGES) / 7 - 1e-12
+    assert out["rows"] == out["n_vertices"] > 0

@@ -1,0 +1,74 @@
+"""Densest subgraph: brute-force exactness bound, planted-core
+recovery, the Charikar guarantee, determinism."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+
+from arabesque_spark.graph.densest import densest_subgraph
+from tests.conftest import TEST_GRAPH_EDGES
+from tests.reference_impls import er_graph
+
+
+def brute_densest(edges: list[tuple[int, int]]) -> float:
+    verts = sorted({v for e in edges for v in e})
+    best = 0.0
+    for k in range(1, len(verts) + 1):
+        for sub in combinations(verts, k):
+            s = set(sub)
+            e = sum(1 for a, b in edges if a in s and b in s)
+            best = max(best, e / len(s))
+    return best
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_guarantee_on_golden(spark, test_graph):
+    rho_star = brute_densest(TEST_GRAPH_EDGES)
+    res = densest_subgraph(spark, test_graph, epsilon=0.125)
+    assert res.density >= rho_star / (2 * 1.125) - 1e-12
+    assert res.density <= rho_star + 1e-12
+    # density is E/V of the returned set, recomputed independently
+    s = {r["vid"] for r in res.vertices.collect()}
+    e = sum(1 for a, b in TEST_GRAPH_EDGES if a in s and b in s)
+    assert res.density == pytest.approx(e / len(s))
+    assert res.n_vertices == len(s) and res.n_edges == e
+
+
+def test_recovers_planted_clique(spark):
+    # K6 on 0..5 (density 2.5) + a long path of pendant vertices
+    clique = [(a, b) for a, b in combinations(range(6), 2)]
+    path = [(5 + i, 6 + i) for i in range(1, 12)]
+    res = densest_subgraph(spark, _df(spark, clique + path), epsilon=0.125)
+    s = {r["vid"] for r in res.vertices.collect()}
+    assert set(range(6)) <= s
+    assert res.density >= 2.5 - 1e-12
+
+
+def test_guarantee_on_random(spark):
+    edges = er_graph(14, 3.0, seed=5)
+    rho_star = brute_densest(edges)
+    res = densest_subgraph(spark, _df(spark, edges), epsilon=0.125)
+    assert res.density >= rho_star / (2 * 1.125) - 1e-12
+    assert res.density <= rho_star + 1e-12
+
+
+def test_deterministic_and_monotone_vs_whole(spark, test_graph):
+    r1 = densest_subgraph(spark, test_graph)
+    r2 = densest_subgraph(spark, test_graph)
+    assert r1.density == r2.density and r1.best_round == r2.best_round
+    assert sorted(v["vid"] for v in r1.vertices.collect()) == sorted(
+        v["vid"] for v in r2.vertices.collect()
+    )
+    # round-0 candidate is the whole graph: result can only be denser
+    assert r1.density >= len(TEST_GRAPH_EDGES) / 7 - 1e-12
+
+
+def test_empty_input(spark):
+    res = densest_subgraph(spark, _df(spark, []))
+    assert res.density == 0.0 and res.n_vertices == 0
+    assert res.vertices.count() == 0
