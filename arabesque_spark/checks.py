@@ -188,6 +188,9 @@ def q_corpus_ops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``code_complexity`` n1 = Σ branch keywords (a branch-bearing tail
       is planted on every 3rd doc), n2 = avg>max line-length violations
       (0), x = weighted avg-line-length fingerprint
+    - ``repo_profile``  per-repo rollup over repo = doc_id % 17: n1 =
+      Σ total_lines (recomputed), n2 = fraction/consistency violations
+      (0), x = weighted generated/vendored/test fraction fingerprint
     - ``heavy_hitters`` n1 = tokens with count ≥ HH_T (the CMS+verify
       output is deterministically the exact heavy set), n2 = returned
       keys below threshold (0), x = Σ md5-prefix(key)·count vs a plain
@@ -825,6 +828,44 @@ def q_corpus_ops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.append(
         ("code_complexity", int(r["nb"] or 0), int(r["bad"] or 0), float(r["fp"] or 0.0))
     )
+
+    # repo_profile: the per-repo hygiene rollup over repo = doc_id % 17
+    # with the SAME planted stamps (cgen content) and path shapes (cpth)
+    # — the oracle re-aggregates from its own copies. n1 = Σ total_lines
+    # (recomputed), n2 = fraction/consistency violations (0), x =
+    # weighted fraction fingerprint.
+    from arabesque_spark.operators.code import repo_profile
+
+    rp_src = gen.join(cpath, "doc_id").select(
+        (F.col("doc_id") % 17).alias("repo"), "path", "content"
+    )
+    rp = repo_profile(rp_src).localCheckpoint(eager=True)
+    bad_rp = rp.filter(
+        (F.col("generated_frac") < 0)
+        | (F.col("generated_frac") > 1)
+        | (F.col("vendored_frac") < 0)
+        | (F.col("vendored_frac") > 1)
+        | (F.col("test_frac") < 0)
+        | (F.col("test_frac") > 1)
+        | (F.col("n_generated") > F.col("n_files"))
+        | (F.col("max_file_lines") > F.col("total_lines"))
+    ).count()
+    r = rp.agg(
+        F.sum("total_lines").alias("nl"),
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("generated_frac")
+                    + 2 * F.col("vendored_frac")
+                    + 3 * F.col("test_frac"),
+                    6,
+                )
+                * (F.col("repo") % FP_MOD + 1)
+            ),
+            4,
+        ).alias("fp"),
+    ).collect()[0]
+    rows.append(("repo_profile", int(r["nl"] or 0), int(bad_rp), float(r["fp"] or 0.0)))
 
     # heavy hitters (count-min sketch + exact verification): the output
     # is DETERMINISTICALLY the exact ≥-threshold key set (the sketch
@@ -2257,6 +2298,27 @@ ccx_agg AS (
          ROUND(SUM(ROUND(CAST(sum_len AS DOUBLE) / n_lines, 6)
                    * (doc_id % {FP_MOD} + 1)), 4) AS x
   FROM ccx),
+rp0 AS (
+  SELECT g.doc_id % 17 AS repo,
+         CASE WHEN ({gen_or}) THEN 1 ELSE 0 END AS gg,
+         CASE WHEN regexp_matches(p.path, '{VENDORED_PATH_RE}') THEN 1 ELSE 0 END AS vv,
+         CASE WHEN regexp_matches(p.path, '{TEST_PATH_RE}') THEN 1 ELSE 0 END AS tt,
+         len(string_split(g.content, chr(10))) AS nl
+  FROM (SELECT doc_id, content,
+               lower(substr(content, 1, {GENERATED_HEAD_CHARS})) AS h
+        FROM cgen) g JOIN cpth p USING (doc_id)),
+rp1 AS (
+  SELECT repo, COUNT(*) AS nf, SUM(gg) AS ng, SUM(vv) AS nv, SUM(tt) AS nt,
+         SUM(nl) AS nl
+  FROM rp0 GROUP BY repo),
+rp_agg AS (
+  SELECT CAST(SUM(nl) AS BIGINT) AS n1,
+         CAST(0 AS BIGINT) AS n2,
+         ROUND(SUM(ROUND(CAST(ng AS DOUBLE) / nf
+                         + 2 * (CAST(nv AS DOUBLE) / nf)
+                         + 3 * (CAST(nt AS DOUBLE) / nf), 6)
+                   * (repo % {FP_MOD} + 1)), 4) AS x
+  FROM rp1),
 hh AS (
   SELECT t AS key, COUNT(*) AS cnt FROM (
     SELECT unnest(list_filter({_DOC_TOKS}, x -> x <> '')) AS t
@@ -2384,6 +2446,7 @@ UNION ALL SELECT 'code_idents', n1, CAST(0 AS BIGINT), x FROM cid_agg
 UNION ALL SELECT 'code_generated', n1, n2, x FROM cgen_agg
 UNION ALL SELECT 'code_paths', n1, n2, x FROM cpth_agg
 UNION ALL SELECT 'code_complexity', n1, n2, x FROM ccx_agg
+UNION ALL SELECT 'repo_profile', n1, n2, x FROM rp_agg
 UNION ALL SELECT 'code_imports', n1, CAST(0 AS BIGINT), x FROM cimp_agg
 UNION ALL SELECT 'code_strip', n1, n2, x FROM cstrip_agg
 UNION ALL SELECT 'bigram_lm', n1, CAST(0 AS BIGINT), x FROM lm_agg

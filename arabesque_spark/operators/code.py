@@ -438,3 +438,69 @@ def complexity_stats(
         n_branches.alias("n_branches"),
         (n_branches + F.lit(1)).alias("cyclomatic"),
     )
+
+
+def repo_profile(
+    df: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    text_col: str = "content",
+) -> DataFrame:
+    """Per-repo corpus report → one row per repo with file counts,
+    hygiene fractions, and size/complexity totals.
+
+    The rollup a corpus-curation pipeline ranks repos by: how much of a
+    repo is machine-generated / vendored / tests / minified decides its
+    sampling weight (or exclusion) before any expensive dedup touches
+    it. One projection + one groupBy — fuses into the scan, map-side
+    combinable, repo cardinality is the only shuffle key.
+
+    Columns: n_files, n_generated, n_vendored, n_test, n_minified,
+    generated_frac, vendored_frac, test_frac, total_lines,
+    total_branches, max_file_lines.
+    """
+    text = F.col(text_col)
+    path = F.col(path_col)
+    lines = F.split(text, "\n")
+    gen = detect_generated_col(text).isNotNull().cast("long")
+    vend = path.rlike(VENDORED_PATH_RE).cast("long")
+    tst = path.rlike(TEST_PATH_RE).cast("long")
+    mini = path.rlike(MINIFIED_PATH_RE).cast("long")
+    n_branches = F.size(F.regexp_extract_all(text, F.lit(BRANCH_RE), 0))
+    prof = (
+        df.select(
+            F.col(repo_col).alias("repo"),
+            gen.alias("g"),
+            vend.alias("v"),
+            tst.alias("t"),
+            mini.alias("m"),
+            F.size(lines).alias("nl"),
+            n_branches.alias("nb"),
+        )
+        .groupBy("repo")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("g").alias("n_generated"),
+            F.sum("v").alias("n_vendored"),
+            F.sum("t").alias("n_test"),
+            F.sum("m").alias("n_minified"),
+            F.sum("nl").alias("total_lines"),
+            F.sum("nb").alias("total_branches"),
+            F.max("nl").alias("max_file_lines"),
+        )
+    )
+    nf = F.col("n_files").cast("double")
+    return prof.select(
+        "repo",
+        "n_files",
+        "n_generated",
+        "n_vendored",
+        "n_test",
+        "n_minified",
+        (F.col("n_generated") / nf).alias("generated_frac"),
+        (F.col("n_vendored") / nf).alias("vendored_frac"),
+        (F.col("n_test") / nf).alias("test_frac"),
+        "total_lines",
+        "total_branches",
+        "max_file_lines",
+    )

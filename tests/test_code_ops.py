@@ -300,3 +300,27 @@ def test_complexity_no_branch_words_inside_identifiers(spark):
         [("r", "f.py", src)], "repo string, path string, content string"
     )
     assert complexity_stats(df).collect()[0]["n_branches"] == 0
+
+
+def test_repo_profile(spark):
+    from arabesque_spark.operators.code import repo_profile
+
+    rows = [
+        ("r1", "vendor/a.go", "// Code generated by x. DO NOT EDIT.\nif a { }"),
+        ("r1", "src/m.go", "package m\nfor i := range xs { }"),
+        ("r1", "tests/test_m.py", "assert m()"),
+        ("r1", "assets/app.min.js", "var a=1"),
+        ("r2", "src/solo.py", "x = 1\ny = 2"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, content string")
+    got = {r["repo"]: r for r in repo_profile(df).collect()}
+    r1 = got["r1"]
+    assert r1["n_files"] == 4
+    assert r1["n_generated"] == 1 and r1["generated_frac"] == 0.25
+    assert r1["n_vendored"] == 1 and r1["vendored_frac"] == 0.25
+    assert r1["n_test"] == 1 and r1["test_frac"] == 0.25
+    assert r1["n_minified"] == 1
+    assert r1["total_branches"] == 2  # the planted if + for
+    r2 = got["r2"]
+    assert r2["n_files"] == 1 and r2["total_lines"] == 2
+    assert r2["generated_frac"] == 0.0 and r2["max_file_lines"] == 2
