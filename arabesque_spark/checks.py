@@ -85,6 +85,9 @@ TREACH_TMOD = 64       # temporal edge ts = (3*src + dst) % TREACH_TMOD
 TREACH_N_SOURCES = 4   # lowest vids of the directed graph
 HH_T = 400             # heavy-hitter threshold in the gate (token counts)
 GEN_MOD = 6            # every GEN_MOD-th doc gets a planted generator stamp
+CONT_MOD = 9           # every CONT_MOD-th doc swallows its successor's text
+CONT_N = 3             # containment shingle length
+CONT_T = 0.9           # containment threshold in the gate
 BP_K = 8               # balanced-partition part count in the gate
 BP_EPS = 0.15          # balanced-partition capacity slack
 BP_ROUNDS = 8          # balanced-partition local-move round budget
@@ -191,6 +194,10 @@ def q_corpus_ops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``repo_profile``  per-repo rollup over repo = doc_id % 17: n1 =
       Σ total_lines (recomputed), n2 = fraction/consistency violations
       (0), x = weighted generated/vendored/test fraction fingerprint
+    - ``containment``   every CONT_MOD-th doc swallows its successor's
+      text: n1 = shingle-containment pairs ≥ CONT_T (full SQL twin),
+      n2 = planted (d, d+1) pairs missing (0), x = weighted
+      containment fingerprint
     - ``heavy_hitters`` n1 = tokens with count ≥ HH_T (the CMS+verify
       output is deterministically the exact heavy set), n2 = returned
       keys below threshold (0), x = Σ md5-prefix(key)·count vs a plain
@@ -866,6 +873,46 @@ def q_corpus_ops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fp"),
     ).collect()[0]
     rows.append(("repo_profile", int(r["nl"] or 0), int(bad_rp), float(r["fp"] or 0.0)))
+
+    # containment: every CONT_MOD-th doc swallows its successor's text,
+    # so the planted (d, d+1) pair must surface with cont_b_in_a = 1
+    # (the asymmetric near-dup axis Jaccard misses). Full SQL twin in
+    # exact mode. n1 = pairs ≥ CONT_T, n2 = planted pairs missing from
+    # the output (0), x = weighted containment fingerprint.
+    from arabesque_spark.operators.dedup import ngram_containment_pairs
+
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("nxt_text")
+    )
+    csrc = docs.join(nxt, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % CONT_MOD == 0) & F.col("nxt_text").isNotNull(),
+            F.concat(F.col("text"), F.lit(" "), F.col("nxt_text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    cpairs = ngram_containment_pairs(
+        csrc, n=CONT_N, threshold=CONT_T, max_shingle_freq=None
+    ).localCheckpoint(eager=True)
+    pl = (
+        docs.filter(F.col("doc_id") % CONT_MOD == 0)
+        .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
+        .join(docs.select(F.col("doc_id").alias("b")), "b", "left_semi")
+    )
+    missed = pl.join(cpairs, ["a", "b"], "left_anti").count()
+    r = cpairs.agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(
+                F.round(F.col("cont_a_in_b") + 2 * F.col("cont_b_in_a"), 6)
+                * ((F.col("a") % FP_MOD + 1) * (F.col("b") % FP_MOD + 1))
+            ),
+            4,
+        ).alias("fp"),
+    ).collect()[0]
+    rows.append(("containment", int(r["n"]), int(missed), float(r["fp"] or 0.0)))
 
     # heavy hitters (count-min sketch + exact verification): the output
     # is DETERMINISTICALLY the exact ≥-threshold key set (the sketch
@@ -2319,6 +2366,40 @@ rp_agg AS (
                          + 3 * (CAST(nt AS DOUBLE) / nf), 6)
                    * (repo % {FP_MOD} + 1)), 4) AS x
   FROM rp1),
+cont_src AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % {CONT_MOD} = 0 AND n.text IS NOT NULL
+              THEN d.text || ' ' || n.text ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1),
+cont_g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {CONT_N}
+              THEN list_transform(range(1, len(toks) - {CONT_N} + 2),
+                                  i -> array_to_string(list_slice(toks, i, i + {CONT_N} - 1), ' '))
+              ELSE [array_to_string(toks, ' ')] END AS grams
+  FROM (SELECT doc_id, {_DOC_TOKS} AS toks FROM cont_src)),
+cont_sh AS (SELECT DISTINCT doc_id AS doc, unnest(grams) AS s FROM cont_g),
+cont_sz AS (SELECT doc, COUNT(*) AS sz FROM cont_sh GROUP BY doc),
+cont_i AS (
+  SELECT x.doc AS a, y.doc AS b, COUNT(*) AS i
+  FROM cont_sh x JOIN cont_sh y ON x.s = y.s AND x.doc < y.doc
+  GROUP BY x.doc, y.doc),
+cont_p AS (
+  SELECT a, b, ROUND(i / sa.sz, 6) AS cab, ROUND(i / sb.sz, 6) AS cba
+  FROM cont_i JOIN cont_sz sa ON sa.doc = a JOIN cont_sz sb ON sb.doc = b
+  WHERE GREATEST(ROUND(i / sa.sz, 6), ROUND(i / sb.sz, 6)) >= {CONT_T}),
+cont_miss AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM
+    (SELECT d.doc_id AS a, d.doc_id + 1 AS b FROM documents d
+     JOIN documents n ON n.doc_id = d.doc_id + 1
+     WHERE d.doc_id % {CONT_MOD} = 0) p
+  LEFT JOIN cont_p c ON c.a = p.a AND c.b = p.b WHERE c.a IS NULL),
+cont_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+         (SELECT n FROM cont_miss) AS n2,
+         ROUND(SUM(ROUND(cab + 2 * cba, 6)
+                   * ((a % {FP_MOD} + 1) * (b % {FP_MOD} + 1))), 4) AS x
+  FROM cont_p),
 hh AS (
   SELECT t AS key, COUNT(*) AS cnt FROM (
     SELECT unnest(list_filter({_DOC_TOKS}, x -> x <> '')) AS t
@@ -2447,6 +2528,7 @@ UNION ALL SELECT 'code_generated', n1, n2, x FROM cgen_agg
 UNION ALL SELECT 'code_paths', n1, n2, x FROM cpth_agg
 UNION ALL SELECT 'code_complexity', n1, n2, x FROM ccx_agg
 UNION ALL SELECT 'repo_profile', n1, n2, x FROM rp_agg
+UNION ALL SELECT 'containment', n1, n2, x FROM cont_agg
 UNION ALL SELECT 'code_imports', n1, CAST(0 AS BIGINT), x FROM cimp_agg
 UNION ALL SELECT 'code_strip', n1, n2, x FROM cstrip_agg
 UNION ALL SELECT 'bigram_lm', n1, CAST(0 AS BIGINT), x FROM lm_agg

@@ -116,6 +116,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text: str = "text",
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+) -> DataFrame:
+    """Exact shingle CONTAINMENT → (a, b, cont_a_in_b, cont_b_in_a) with
+    a < b and max(containment) ≥ threshold (rounded to 6 decimals).
+
+    The asymmetric complement of :func:`ngram_jaccard_pairs`:
+    ``cont_a_in_b = |A∩B| / |A|`` is ~1 when A is quoted/embedded inside
+    B even though Jaccard is tiny (a paragraph inside a book) — the
+    standard second axis of near-dup curation (supersets, quote farms,
+    readme concatenations). Same inverted-index plan and the same
+    document-frequency cap rationale as the Jaccard variant; pass
+    ``max_shingle_freq=None`` for the exact oracle mode.
+    """
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    sh = docs.repartition(n_parts).select(
+        F.col(id_col).alias("doc"), F.explode(shingles_col(n, text)).alias("s")
+    )
+    if max_shingle_freq is not None:
+        hot = sh.groupBy("s").agg(F.count("*").alias("df")).filter(
+            F.col("df") > max_shingle_freq
+        )
+        sh = sh.join(hot, "s", "left_anti")
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "da").withColumnRenamed("sz", "sza"), "da")
+        .join(sizes.withColumnRenamed("doc", "db").withColumnRenamed("sz", "szb"), "db")
+        .select(
+            F.col("da").alias("a"),
+            F.col("db").alias("b"),
+            F.round(F.col("inter") / F.col("sza"), 6).alias("cont_a_in_b"),
+            F.round(F.col("inter") / F.col("szb"), 6).alias("cont_b_in_a"),
+        )
+        .filter(
+            F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= threshold
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     k: int = 64,

@@ -568,3 +568,34 @@ def test_pmi_pairs_exact(spark):
     c_b = 4.0
     want = round(math.log(cnt * total / (c_a * c_b)), 6)
     assert got[("a", "b")][1] == want
+
+
+def test_ngram_containment_pairs(spark):
+    from arabesque_spark.operators.dedup import ngram_containment_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                                    # contained in 2
+            (2, base + " lam mu nu xi omicron pi rho sigma tau upsilon"),
+            (3, "one two three four five six seven"),      # unrelated
+            (4, base),                                    # identical to 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["a"], r["b"]): (r["cont_a_in_b"], r["cont_b_in_a"])
+        for r in ngram_containment_pairs(
+            docs, n=3, threshold=0.9, max_shingle_freq=None
+        ).collect()
+    }
+    # 1 fully contained in 2; 2 NOT contained in 1
+    assert got[(1, 2)][0] == 1.0 and got[(1, 2)][1] < 1.0
+    # identical docs: both directions 1.0
+    assert got[(1, 4)] == (1.0, 1.0)
+    assert got[(2, 4)][1] == 1.0
+    # unrelated doc appears in no pair
+    assert not any(3 in k for k in got)
+    # asymmetry invariant: jaccard <= min containment
+    for (a, b), (cab, cba) in got.items():
+        assert 0.0 <= cab <= 1.0 and 0.0 <= cba <= 1.0
