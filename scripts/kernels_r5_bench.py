@@ -1,0 +1,148 @@
+"""Measure the round-5-final kernels at sf0.1 → BENCH/kernels_r5_sf0.1.json.
+
+Same protocol as the round-4 kernel measurements (BENCH/kernels_sf0.1.json):
+the co-occurrence graph from lineitem at $SPARK_GRAFT_SF_DIR (default
+sf0.1 — 20k vertices / 1.196M edges), local[$SPARK_GRAFT_CPUS], one
+timed run per kernel (these are operator-level sanity walls, not the
+min-of-2 headline suite).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    from arabesque_spark.graph.build import canonical_edges
+    from arabesque_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="kernels_r5", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    t0 = time.time()
+    edges = canonical_edges(pairs).localCheckpoint(eager=True)
+    n_e = edges.count()
+    out: dict = {"graph": {"E": n_e, "build_s": round(time.time() - t0, 1)}}
+
+    # SALSA, 4 fixed iterations
+    from arabesque_spark.graph.salsa import salsa_fixed
+
+    de = edges  # canonical src<dst read as directed
+    t0 = time.time()
+    n = salsa_fixed(spark, de, iterations=4).count()
+    out["salsa_4iter"] = {"s": round(time.time() - t0, 1), "rows": n}
+
+    # feature propagation: 2 rw rounds, scalar; and 2 rounds, 16-dim
+    from arabesque_spark.graph.propagate import propagate_features
+
+    verts = (
+        edges.select(F.explode(F.array("src", "dst")).alias("vid"))
+        .dropDuplicates(["vid"])
+        .localCheckpoint(eager=True)
+    )
+    f_scalar = verts.select("vid", (F.col("vid") % 97 + 1).cast("double").alias("x"))
+    t0 = time.time()
+    n = propagate_features(spark, edges, f_scalar, iterations=2).count()
+    out["featprop_scalar_2r"] = {"s": round(time.time() - t0, 1), "rows": n}
+
+    f_vec = verts.select(
+        "vid",
+        F.array(
+            *[((F.col("vid") + i) % 97 + 1).cast("double") for i in range(16)]
+        ).alias("x"),
+    )
+    t0 = time.time()
+    n = propagate_features(spark, edges, f_vec, iterations=2).count()
+    out["featprop_vec16_2r"] = {"s": round(time.time() - t0, 1), "rows": n}
+
+    # SimRank MC: R=32 fingerprints, horizon 6 trajectories + 1k query pairs
+    from arabesque_spark.graph.simrank import (
+        fingerprint_trajectories,
+        simrank_fingerprints,
+    )
+
+    t0 = time.time()
+    traj = fingerprint_trajectories(
+        spark, edges, num_fingerprints=32, horizon=6
+    ).localCheckpoint(eager=True)
+    n_traj = traj.count()
+    t_traj = round(time.time() - t0, 1)
+    qp = (
+        verts.orderBy("vid")
+        .limit(2000)
+        .select((F.col("vid")).alias("a"), (F.col("vid") + 1).alias("b"))
+        .limit(1000)
+    )
+    t0 = time.time()
+    n = simrank_fingerprints(
+        spark, edges, qp, num_fingerprints=32, horizon=6, trajectories=traj
+    ).count()
+    out["simrank_mc"] = {
+        "traj_s": t_traj,
+        "traj_rows": n_traj,
+        "query_1k_pairs_s": round(time.time() - t0, 1),
+        "pairs": n,
+    }
+
+    # densest subgraph peel
+    from arabesque_spark.graph.densest import densest_subgraph
+
+    t0 = time.time()
+    ds = densest_subgraph(spark, edges)
+    out["densest"] = {
+        "s": round(time.time() - t0, 1),
+        "density": round(ds.density, 3),
+        "V": ds.n_vertices,
+        "rounds": ds.rounds,
+    }
+
+    # containment pairs over the 50k-doc table (capped production mode)
+    from arabesque_spark.operators.dedup import ngram_containment_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    t0 = time.time()
+    n = ngram_containment_pairs(docs, threshold=0.8).count()
+    out["containment_capped"] = {
+        "s": round(time.time() - t0, 1),
+        "docs": docs.count(),
+        "pairs": n,
+    }
+
+    # repo_profile over a synthetic 2k-repo corpus view of the docs
+    from arabesque_spark.operators.code import repo_profile
+
+    corpus = docs.select(
+        (F.col("doc_id") % 2000).alias("repo"),
+        F.concat(F.lit("src/f"), F.col("doc_id").cast("string"), F.lit(".py")).alias(
+            "path"
+        ),
+        F.col("text").alias("content"),
+    )
+    t0 = time.time()
+    n = repo_profile(corpus).count()
+    out["repo_profile"] = {"s": round(time.time() - t0, 1), "repos": n}
+
+    print(json.dumps(out, indent=1))
+    with open("/root/repo/BENCH/kernels_r5_sf0.1.json", "w") as fh:
+        fh.write(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
