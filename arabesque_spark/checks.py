@@ -105,6 +105,9 @@ SR_NV = 120            # simrank gate subgraph: induced on the SR_NV
 SR_ITERS = 2           # simrank exact truncation depth in the gate
 SR_C = 0.8             # simrank decay constant
 FPROP_ITERS = 3        # feature-propagation rounds in the gate (rw norm)
+LS_SEEDS = 12          # label-spread gate: the LS_SEEDS lowest vids,
+                       # label = vid % 3, clamped
+LS_ITERS = 3           # label-spread truncation depth in the gate
 DS_ROUNDS = 8          # densest-subgraph peel rounds in the gate
 DS_EPS = 0.125         # densest-subgraph epsilon — an EXACT binary
                        # fraction so 2(1+eps) = 2.25 and the peel
@@ -1280,6 +1283,10 @@ def q_graph_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``featprop``    n1 = vertices, n2 = rw max-principle violations
       (0), x = weighted fingerprint after FPROP_ITERS neighbor-mean
       rounds — unrolled twin
+    - ``labelspread`` n1 = labeled vertices after LS_ITERS clamped
+      harmonic rounds, n2 = scores outside (0,1] (0), x = weighted
+      argmax score·(label+1) fingerprint — unrolled sparse twin with
+      the identical round-9dp argmax tie rule
     - ``densest``     n1 = Σw over the best-density peel prefix
       (membership-exact), n2 = vertices outside the graph (0), x =
       round(best density, 6) — the oracle unrolls the same DS_ROUNDS
@@ -1733,6 +1740,38 @@ def q_graph_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fp"),
     ).collect()[0]
     rows.append(("featprop", int(r["n"]), int(r["bad"] or 0), float(r["fp"] or 0.0)))
+
+    # Label spreading (Zhu-Ghahramani, LS_ITERS truncated rounds, seeds
+    # = the LS_SEEDS lowest vids labeled vid % 3, clamped): value-exact
+    # vs the oracle's unrolled sparse (vid, label, p) CTEs with the
+    # same round-9dp argmax tie rule. n1 = labeled vertices, n2 =
+    # scores outside (0, 1] (0), x = weighted score·(label+1)
+    # fingerprint.
+    from arabesque_spark.graph.propagate import label_spread
+
+    ls_seeds = (
+        verts.orderBy("vid")
+        .limit(LS_SEEDS)
+        .select("vid", (F.col("vid") % 3).alias("label"))
+    )
+    ls = label_spread(
+        spark, edges, ls_seeds, iterations=LS_ITERS
+    ).localCheckpoint(eager=True)
+    r = ls.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            ((F.col("score") <= 0) | (F.col("score") > 1 + 1e-12)).cast("long")
+        ).alias("bad"),
+        F.round(
+            F.sum(
+                F.round("score", 9)
+                * (F.col("vid") % FP_MOD + 1)
+                * (F.col("label") + 1)
+            ),
+            4,
+        ).alias("fp"),
+    ).collect()[0]
+    rows.append(("labelspread", int(r["n"]), int(r["bad"] or 0), float(r["fp"] or 0.0)))
 
     # Densest subgraph (Charikar greedy, parallel peel, DS_ROUNDS fixed
     # unrolled rounds, ε = 1/8 exact): the peel rule is a pure function
@@ -2916,6 +2955,43 @@ def graph_kernels_oracle() -> str:
   FROM fpr{FPROP_ITERS})"""
     )
 
+    # ---- label spreading, LS_ITERS unrolled sparse rounds: clamped
+    # seeds + neighbor-mean over FULL degree (absent rows are zeros),
+    # argmax by (round(p,9) DESC, label ASC) on both engines ----
+    ctes.append(
+        f"lsd AS MATERIALIZED (SELECT vid FROM kverts ORDER BY vid LIMIT {LS_SEEDS})"
+    )
+    ctes.append(
+        "lsp0 AS MATERIALIZED (SELECT vid, vid % 3 AS label, 1.0 AS p FROM lsd)"
+    )
+    for t in range(1, LS_ITERS + 1):
+        ctes.append(
+            f"""lsp{t} AS MATERIALIZED (
+  SELECT g.vid, g.label, g.psum / d.deg AS p
+  FROM (SELECT e.src AS vid, s.label, SUM(s.p) AS psum
+        FROM ksym e JOIN lsp{t-1} s ON s.vid = e.dst
+        GROUP BY e.src, s.label) g
+  JOIN kdeg d ON d.src = g.vid
+  WHERE g.vid NOT IN (SELECT vid FROM lsd)
+  UNION ALL
+  SELECT vid, vid % 3 AS label, 1.0 AS p FROM lsd)"""
+        )
+    ctes.append(
+        f"""ls_arg AS (
+  SELECT vid, label, p FROM (
+    SELECT vid, label, p,
+           ROW_NUMBER() OVER (PARTITION BY vid
+                              ORDER BY ROUND(p, 9) DESC, label ASC) AS rk
+    FROM lsp{LS_ITERS}) WHERE rk = 1)"""
+    )
+    ctes.append(
+        f"""ls_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN p <= 0 OR p > 1 + 1e-12 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         ROUND(SUM(ROUND(p, 9) * (vid % {FP_MOD} + 1) * (label + 1)), 4) AS x
+  FROM ls_arg)"""
+    )
+
     # ---- densest subgraph, DS_ROUNDS unrolled parallel-peel rounds:
     # each round drops every vertex with deg ≤ 2.25·(E/V); best prefix
     # by (density DESC, round ASC) mirrors the engine's strict-greater
@@ -3001,6 +3077,7 @@ UNION ALL SELECT 'powerlaw', n1, n2, x FROM pl_agg
 UNION ALL SELECT 'simrank', n1, n2, x FROM sr_agg
 UNION ALL SELECT 'featprop', n1, n2, x FROM fpr_agg
 UNION ALL SELECT 'densest', n1, n2, x FROM ds_agg
+UNION ALL SELECT 'labelspread', n1, n2, x FROM ls_agg
 UNION ALL SELECT 'mst', (SELECT v FROM kcnt) - (SELECT c FROM kncomp),
                   (SELECT c FROM kncomp), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'truss', (SELECT e FROM kecnt), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from arabesque_spark.graph.build import degrees, symmetric_edges
 
@@ -156,3 +157,81 @@ def propagate_features(
             ).alias("x")
         )
     return state.select("vid", F.col("val").alias("x"))
+
+
+def label_spread(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 10,
+    id_col: str = "vid",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised label spreading (Zhu-Ghahramani harmonic
+    propagation) → ``(vid, label, score)`` with the argmax label and its
+    probability for every vertex reachable from a seed.
+
+    ``seeds`` is (vid, label); labeled vertices are CLAMPED to their
+    one-hot distribution every round, unlabeled vertices take the mean
+    of their neighbors' distributions. The fixpoint is the harmonic
+    solution; ``iterations`` truncates it (the gate unrolls the same
+    truncation in SQL).
+
+    Scale shape: the label distribution lives as flat ``(vid, label,
+    p)`` rows — the per-dimension discipline of
+    :func:`propagate_features` — so one round is one equi-join + one
+    groupBy-avg + one clamp union, all JVM built-ins; labels never
+    materialize as per-vertex arrays. Rows with p = 0 are simply absent
+    (sparse representation): at any round the state holds only
+    (vertex, label) pairs within ``t`` hops of a seed of that label,
+    so early rounds move far less than V·L rows on a sparsely-seeded
+    graph.
+    """
+    sym = symmetric_edges(edges).localCheckpoint(eager=True)
+    seed_rows = (
+        seeds.select(
+            F.col(id_col).alias("vid"),
+            F.col(label_col).alias("label"),
+            F.lit(1.0).alias("p"),
+        )
+        .dropDuplicates(["vid"])
+        .localCheckpoint(eager=True)
+    )
+    seed_vids = seed_rows.select("vid")
+    state = seed_rows
+    for it in range(iterations):
+        gathered = (
+            sym.select(F.col("src").alias("vid"), F.col("dst").alias("nbr"))
+            .join(
+                state.select(
+                    F.col("vid").alias("nbr"), "label", F.col("p").alias("np")
+                ),
+                "nbr",
+            )
+            # mean over ALL neighbors: absent (nbr, label) rows are
+            # zeros, so divide the label sum by the full degree
+            .groupBy("vid", "label")
+            .agg(F.sum("np").alias("psum"))
+        )
+        deg = sym.groupBy(F.col("src").alias("vid")).agg(
+            F.count("*").alias("deg")
+        )
+        unl = (
+            gathered.join(seed_vids, "vid", "left_anti")
+            .join(deg, "vid")
+            .select("vid", "label", (F.col("psum") / F.col("deg")).alias("p"))
+        )
+        state = unl.unionByName(seed_rows)
+        if it < iterations - 1:
+            state = state.localCheckpoint(eager=True)
+    # argmax over p ROUNDED to 9 dp, label ASC as the tie-break: exact
+    # mathematical ties (and sub-ulp summation-order noise) resolve
+    # identically in any engine
+    w = Window.partitionBy("vid").orderBy(
+        F.desc(F.round("p", 9)), F.asc("label")
+    )
+    return (
+        state.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vid", "label", F.col("p").alias("score"))
+    )

@@ -128,3 +128,57 @@ def test_rw_max_principle(spark, test_graph):
         spark, test_graph, feats, iterations=4, norm="rw"
     ).agg(F.min("x"), F.max("x")).collect()[0]
     assert out[0] >= lo - 1e-12 and out[1] <= hi + 1e-12
+
+
+def label_spread_numpy(edges, seeds, n, labels, iterations):
+    nbrs = {v: [] for v in range(n)}
+    for a, b in edges:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    L = len(labels)
+    p = np.zeros((n, L))
+    for v, l in seeds.items():
+        p[v, labels.index(l)] = 1.0
+    for _ in range(iterations):
+        nx = np.zeros((n, L))
+        for v in range(n):
+            if v in seeds:
+                nx[v, labels.index(seeds[v])] = 1.0
+            elif nbrs[v]:
+                nx[v] = np.mean([p[u] for u in nbrs[v]], axis=0)
+        p = nx
+    return p
+
+
+def test_label_spread_matches_numpy(spark, test_graph):
+    from arabesque_spark.graph.propagate import label_spread
+
+    seeds = {0: 10, 6: 20}
+    sdf = spark.createDataFrame(list(seeds.items()), "vid long, label long")
+    got = {
+        r["vid"]: (r["label"], r["score"])
+        for r in label_spread(spark, test_graph, sdf, iterations=4).collect()
+    }
+    want = label_spread_numpy(TEST_GRAPH_EDGES, seeds, TEST_GRAPH_V, [10, 20], 4)
+    for v in range(TEST_GRAPH_V):
+        row = want[v]
+        if row.sum() == 0:
+            assert v not in got
+            continue
+        best = max(range(2), key=lambda i: (row[i], -i))
+        assert got[v][0] == [10, 20][best], v
+        assert got[v][1] == pytest.approx(row[best], abs=1e-12), v
+    # seeds clamped
+    assert got[0] == (10, 1.0) and got[6] == (20, 1.0)
+    # scores are probabilities
+    assert all(0.0 < s <= 1.0 + 1e-12 for _, s in got.values())
+
+
+def test_label_spread_isolated_component_unlabeled(spark):
+    from arabesque_spark.graph.propagate import label_spread
+
+    # component {0,1} seeded; component {5,6} unreachable -> absent
+    edges = spark.createDataFrame([(0, 1), (5, 6)], "src long, dst long")
+    sdf = spark.createDataFrame([(0, 7)], "vid long, label long")
+    got = {r["vid"] for r in label_spread(spark, edges, sdf, iterations=3).collect()}
+    assert got == {0, 1}
