@@ -246,3 +246,83 @@ def simrank_fingerprints(
     return qa.join(est, ["a", "b"], "left").select(
         "a", "b", F.coalesce(F.col("sim"), F.lit(0.0)).alias("sim")
     )
+
+
+def simrank_topk_pairs(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int = 10,
+    c: float = 0.8,
+    num_fingerprints: int = 64,
+    horizon: int = 8,
+    seed: int = 7,
+    max_group: int = 64,
+    trajectories: DataFrame | None = None,
+) -> DataFrame:
+    """DISCOVERY mode: per-vertex top-k SimRank estimates → ``(a, b,
+    sim)`` (a < b), no query pairs needed.
+
+    Pairs surface from trajectory coalescence: all walks of one
+    fingerprint sitting at the same position at time t have met by t,
+    so one groupBy over ``(fp, t, cur)`` finds every meeting — the
+    pair-emission self-join is bounded per group by ``max_group²``
+    (groups above the cap are dropped: a position shared by hundreds
+    of walks is a hub sink whose members coalesced THROUGH the hub —
+    the classic low-signal case, exactly the shingle-frequency-cap
+    rationale in ``operators/dedup.py``). Estimates for surviving
+    pairs are IDENTICAL to :func:`simrank_fingerprints` on the same
+    trajectory table (pytest-pinned); per-vertex top-k is one window
+    over the emitted pairs.
+    """
+    traj = (
+        trajectories
+        if trajectories is not None
+        else fingerprint_trajectories(
+            spark, edges, num_fingerprints=num_fingerprints,
+            horizon=horizon, seed=seed,
+        )
+    ).localCheckpoint(eager=True)
+    sizes = traj.groupBy("fp", "t", "cur").agg(F.count("*").alias("g"))
+    small = traj.join(
+        sizes.filter(F.col("g") <= max_group).select("fp", "t", "cur"),
+        ["fp", "t", "cur"],
+        "left_semi",
+    )
+    x, y = small.alias("x"), small.alias("y")
+    meet = (
+        x.join(
+            y,
+            (F.col("x.fp") == F.col("y.fp"))
+            & (F.col("x.t") == F.col("y.t"))
+            & (F.col("x.cur") == F.col("y.cur"))
+            & (F.col("x.start") < F.col("y.start")),
+        )
+        .groupBy(
+            F.col("x.start").alias("a"),
+            F.col("y.start").alias("b"),
+            F.col("x.fp").alias("fp"),
+        )
+        .agg(F.min(F.col("x.t")).alias("tau"))
+    )
+    est = meet.groupBy("a", "b").agg(
+        (
+            F.sum(F.pow(F.lit(float(c)), F.col("tau")))
+            / F.lit(float(num_fingerprints))
+        ).alias("sim")
+    )
+    # per-vertex top-k on EITHER endpoint: a pair survives if it is in
+    # the top-k list of a or of b (the usual all-pairs-knn contract)
+    both = est.select(F.col("a").alias("v"), "a", "b", "sim").unionByName(
+        est.select(F.col("b").alias("v"), "a", "b", "sim")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("v").orderBy(
+        F.desc("sim"), F.asc("a"), F.asc("b")
+    )
+    return (
+        both.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("a", "b", "sim")
+        .dropDuplicates(["a", "b"])
+    )

@@ -144,3 +144,51 @@ def test_trajectories_shape_and_validity(spark, test_graph):
                     if now[u] == now[v]:
                         assert nxt[u] == nxt[v]
     _ = prev
+
+
+def test_topk_pairs_consistent_with_query_mode(spark, test_graph):
+    from arabesque_spark.graph.simrank import (
+        simrank_fingerprints,
+        simrank_topk_pairs,
+    )
+
+    kw = dict(c=0.8, num_fingerprints=64, horizon=4, seed=7)
+    traj = fingerprint_trajectories(
+        spark, test_graph, num_fingerprints=64, horizon=4, seed=7
+    ).localCheckpoint(eager=True)
+    top = simrank_topk_pairs(
+        spark, test_graph, k=3, max_group=1000, trajectories=traj, **kw
+    ).collect()
+    assert top, "golden graph has coalescing pairs"
+    pairs = spark.createDataFrame(
+        [(r["a"], r["b"]) for r in top], "a long, b long"
+    )
+    query = {
+        (r["a"], r["b"]): r["sim"]
+        for r in simrank_fingerprints(
+            spark, test_graph, pairs, trajectories=traj, **kw
+        ).collect()
+    }
+    # with no group over the cap, discovery estimates == query estimates
+    for r in top:
+        assert r["sim"] == pytest.approx(query[(r["a"], r["b"])], abs=1e-12)
+    # a < b and per-vertex k bound
+    from collections import Counter
+
+    cnt = Counter()
+    for r in top:
+        assert r["a"] < r["b"]
+        cnt[r["a"]] += 1
+        cnt[r["b"]] += 1
+    # a pair may survive via either endpoint; each endpoint contributed
+    # at most k pairs from its own window
+    assert max(cnt.values()) <= 2 * 3
+
+
+def test_topk_pairs_deterministic(spark, test_graph):
+    from arabesque_spark.graph.simrank import simrank_topk_pairs
+
+    kw = dict(k=2, c=0.8, num_fingerprints=16, horizon=3, seed=7)
+    r1 = sorted(map(tuple, simrank_topk_pairs(spark, test_graph, **kw).collect()))
+    r2 = sorted(map(tuple, simrank_topk_pairs(spark, test_graph, **kw).collect()))
+    assert r1 == r2
