@@ -57,13 +57,18 @@ def propagate_features(
     norm: str = "rw",
     add_self_loops: bool = False,
     alpha: float = 0.0,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """K rounds of neighborhood feature aggregation → ``(vid, x)``.
 
     ``x`` keeps the input column's shape (scalar double or
     array<double>). ``norm='rw'``: mean over (optionally self-looped)
     neighbors. ``norm='sym'``: Σ x(u)/√(deg(u)·deg(v)) with degrees
-    counted over the same (optionally self-looped) graph.
+    counted over the same (optionally self-looped) graph. With
+    ``weight_col`` (an edge column), the mean/degrees become
+    w-weighted (Σw·x / Σw; √ of weighted degrees) and self-loops
+    weigh 1 — the weighted-GCN form. Zero-total-weight vertices keep
+    their feature (same passthrough as degree-0).
     """
     if norm not in ("rw", "sym"):
         raise ValueError(f"norm must be 'rw' or 'sym', got {norm!r}")
@@ -85,42 +90,76 @@ def propagate_features(
         )
     x0 = flat.localCheckpoint(eager=True)
 
-    sym = symmetric_edges(edges)
+    if weight_col is None:
+        sym = symmetric_edges(edges).withColumn("w", F.lit(1.0))
+    else:
+        base = edges.select(
+            "src", "dst", F.col(weight_col).cast("double").alias("w")
+        )
+        sym = base.unionByName(
+            base.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
     if add_self_loops:
         verts = degrees(edges).select("vid")
         sym = sym.unionByName(
-            verts.select(F.col("vid").alias("src"), F.col("vid").alias("dst"))
+            verts.select(
+                F.col("vid").alias("src"),
+                F.col("vid").alias("dst"),
+                F.lit(1.0).alias("w"),
+            )
         )
     sym = sym.localCheckpoint(eager=True)
     deg = (
         sym.groupBy(F.col("src").alias("vid"))
-        .agg(F.count("*").alias("deg"))
+        .agg(
+            F.count("*").alias("deg"),
+            F.sum("w").alias("wdeg"),
+        )
         .localCheckpoint(eager=True)
     )
 
     state = x0
     for it in range(iterations):
         gathered = sym.select(
-            F.col("src").alias("vid"), F.col("dst").alias("nbr")
+            F.col("src").alias("vid"), F.col("dst").alias("nbr"), "w"
         ).join(
             state.select(
                 F.col("vid").alias("nbr"), "pos", F.col("val").alias("nval")
             ),
             "nbr",
         )
-        if norm == "rw":
+        if norm == "rw" and weight_col is None:
             agg = gathered.groupBy("vid", "pos").agg(
                 F.avg("nval").alias("aval")
             )
+        elif norm == "rw":
+            agg = (
+                gathered.groupBy("vid", "pos")
+                .agg(F.sum(F.col("w") * F.col("nval")).alias("s"))
+                .join(deg, "vid")
+                .filter(F.col("wdeg") != 0)
+                .select("vid", "pos", (F.col("s") / F.col("wdeg")).alias("aval"))
+            )
         else:
-            nd = deg.select(F.col("vid").alias("nbr"), F.col("deg").alias("ndeg"))
+            dkey = "deg" if weight_col is None else "wdeg"
+            nd = deg.select(
+                F.col("vid").alias("nbr"), F.col(dkey).alias("ndeg")
+            )
             agg = (
                 gathered.join(nd, "nbr")
                 .groupBy("vid", "pos")
-                .agg(F.sum(F.col("nval") / F.sqrt(F.col("ndeg"))).alias("s"))
+                .agg(
+                    F.sum(
+                        F.col("w") * F.col("nval") / F.sqrt(F.col("ndeg"))
+                    ).alias("s")
+                )
                 .join(deg, "vid")
                 .select(
-                    "vid", "pos", (F.col("s") / F.sqrt(F.col("deg"))).alias("aval")
+                    "vid",
+                    "pos",
+                    (F.col("s") / F.sqrt(F.col(dkey))).alias("aval"),
                 )
             )
         # residual + degree-0 passthrough: every input row survives;

@@ -182,3 +182,65 @@ def test_label_spread_isolated_component_unlabeled(spark):
     sdf = spark.createDataFrame([(0, 7)], "vid long, label long")
     got = {r["vid"] for r in label_spread(spark, edges, sdf, iterations=3).collect()}
     assert got == {0, 1}
+
+
+def propagate_weighted_numpy(wedges, x0, iterations, norm):
+    n = x0.shape[0]
+    nbrs = {v: [] for v in range(n)}
+    for a, b, w in wedges:
+        nbrs[a].append((b, w))
+        nbrs[b].append((a, w))
+    wdeg = np.array([sum(w for _, w in nbrs[v]) for v in range(n)])
+    x = x0.astype(float).copy()
+    for _ in range(iterations):
+        nx = x.copy()
+        for v in range(n):
+            if not nbrs[v] or wdeg[v] == 0:
+                continue
+            if norm == "rw":
+                nx[v] = sum(w * x[u] for u, w in nbrs[v]) / wdeg[v]
+            else:
+                nx[v] = sum(
+                    w * x[u] / np.sqrt(wdeg[u]) for u, w in nbrs[v]
+                ) / np.sqrt(wdeg[v])
+        x = nx
+    return x
+
+
+@pytest.mark.parametrize("norm", ["rw", "sym"])
+def test_weighted_matches_numpy(spark, norm):
+    wedges = [(0, 1, 2.0), (0, 2, 0.5), (1, 2, 1.0), (2, 3, 4.0), (3, 4, 1.5)]
+    n = 5
+    x0 = np.array([float((v * 7 + 3) % 11) for v in range(n)])
+    df = spark.createDataFrame(wedges, "src long, dst long, wt double")
+    feats = spark.createDataFrame(
+        [(v, float(x0[v])) for v in range(n)], "vid long, x double"
+    )
+    got = {
+        r["vid"]: r["x"]
+        for r in propagate_features(
+            spark, df, feats, iterations=3, norm=norm, weight_col="wt"
+        ).collect()
+    }
+    want = propagate_weighted_numpy(wedges, x0, 3, norm)
+    for v in range(n):
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_weight_one_equals_unweighted(spark, test_graph):
+    feats = _scalar_feats(spark, TEST_GRAPH_V)
+    wdf = test_graph.withColumn("wt", F.lit(1.0))
+    a = {
+        r["vid"]: r["x"]
+        for r in propagate_features(
+            spark, test_graph, feats, iterations=2, norm="sym"
+        ).collect()
+    }
+    b = {
+        r["vid"]: r["x"]
+        for r in propagate_features(
+            spark, wdf, feats, iterations=2, norm="sym", weight_col="wt"
+        ).collect()
+    }
+    for v in a:
+        assert a[v] == pytest.approx(b[v], abs=1e-12)
