@@ -237,6 +237,11 @@ def label_spread(
         .localCheckpoint(eager=True)
     )
     seed_vids = seed_rows.select("vid")
+    deg = (
+        sym.groupBy(F.col("src").alias("vid"))
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     state = seed_rows
     for it in range(iterations):
         gathered = (
@@ -251,9 +256,6 @@ def label_spread(
             # zeros, so divide the label sum by the full degree
             .groupBy("vid", "label")
             .agg(F.sum("np").alias("psum"))
-        )
-        deg = sym.groupBy(F.col("src").alias("vid")).agg(
-            F.count("*").alias("deg")
         )
         unl = (
             gathered.join(seed_vids, "vid", "left_anti")
