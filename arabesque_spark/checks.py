@@ -1283,6 +1283,10 @@ def q_graph_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``featprop``    n1 = vertices, n2 = rw max-principle violations
       (0), x = weighted fingerprint after FPROP_ITERS neighbor-mean
       rounds — unrolled twin
+    - ``structfeat``  n1 = Σ per-vertex triangles (= 3·total), n2 =
+      clustering outside [0,1] (0), x = weighted clustering +
+      mean-neighbor-degree fingerprint — recomputed from the oracle's
+      own degree and oriented-triangle tables
     - ``labelspread`` n1 = labeled vertices after LS_ITERS clamped
       harmonic rounds, n2 = scores outside (0,1] (0), x = weighted
       argmax score·(label+1) fingerprint — unrolled sparse twin with
@@ -1740,6 +1744,32 @@ def q_graph_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fp"),
     ).collect()[0]
     rows.append(("featprop", int(r["n"]), int(r["bad"] or 0), float(r["fp"] or 0.0)))
+
+    # Structural node features (ReFeX-style): deg / per-vertex
+    # triangles / clustering / mean neighbor degree — value-exact vs
+    # the oracle's own degree + oriented-triangle tables. n1 = Σ
+    # triangles (= 3·total), n2 = clustering ∉ [0,1] (0), x = weighted
+    # clustering+mean-neighbor-degree fingerprint.
+    from arabesque_spark.graph.stats import structural_features
+
+    sfeat = structural_features(spark, edges).localCheckpoint(eager=True)
+    r = sfeat.agg(
+        F.sum("triangles").alias("t"),
+        F.sum(
+            (
+                (F.col("clustering") < 0)
+                | (F.col("clustering") > 1 + 1e-12)
+            ).cast("long")
+        ).alias("bad"),
+        F.round(
+            F.sum(
+                (F.round("clustering", 9) + F.round("mean_nbr_deg", 9))
+                * (F.col("vid") % FP_MOD + 1)
+            ),
+            4,
+        ).alias("fp"),
+    ).collect()[0]
+    rows.append(("structfeat", int(r["t"] or 0), int(r["bad"] or 0), float(r["fp"] or 0.0)))
 
     # Label spreading (Zhu-Ghahramani, LS_ITERS truncated rounds, seeds
     # = the LS_SEEDS lowest vids labeled vid % 3, clamped): value-exact
@@ -2955,6 +2985,32 @@ def graph_kernels_oracle() -> str:
   FROM fpr{FPROP_ITERS})"""
     )
 
+    # ---- structural node features: per-vertex triangle counts from
+    # the oriented ktri table, clustering + mean neighbor degree ----
+    ctes.append(
+        """sfv AS MATERIALIZED (
+  SELECT d.vid, d.deg, COALESCE(t.tri, 0) AS tri, m.mnd
+  FROM (SELECT src AS vid, COUNT(*) AS deg FROM ksym GROUP BY src) d
+  LEFT JOIN (SELECT v AS vid, CAST(COUNT(*) AS BIGINT) AS tri FROM
+             (SELECT a AS v FROM ktri
+              UNION ALL SELECT b FROM ktri
+              UNION ALL SELECT c FROM ktri) GROUP BY v) t
+    ON t.vid = d.vid
+  JOIN (SELECT e.src AS vid, AVG(k.deg) AS mnd
+        FROM ksym e JOIN kdeg k ON k.src = e.dst GROUP BY e.src) m
+    ON m.vid = d.vid)"""
+    )
+    ctes.append(
+        f"""sf_agg AS (
+  SELECT CAST(SUM(tri) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN cl < 0 OR cl > 1 + 1e-12 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         ROUND(SUM((ROUND(cl, 9) + ROUND(mnd, 9)) * (vid % {FP_MOD} + 1)), 4) AS x
+  FROM (SELECT vid, mnd, tri,
+               CASE WHEN deg >= 2 THEN 2.0 * tri / (deg * (deg - 1))
+                    ELSE 0.0 END AS cl
+        FROM sfv))"""
+    )
+
     # ---- label spreading, LS_ITERS unrolled sparse rounds: clamped
     # seeds + neighbor-mean over FULL degree (absent rows are zeros),
     # argmax by (round(p,9) DESC, label ASC) on both engines ----
@@ -3078,6 +3134,7 @@ UNION ALL SELECT 'simrank', n1, n2, x FROM sr_agg
 UNION ALL SELECT 'featprop', n1, n2, x FROM fpr_agg
 UNION ALL SELECT 'densest', n1, n2, x FROM ds_agg
 UNION ALL SELECT 'labelspread', n1, n2, x FROM ls_agg
+UNION ALL SELECT 'structfeat', n1, n2, x FROM sf_agg
 UNION ALL SELECT 'mst', (SELECT v FROM kcnt) - (SELECT c FROM kncomp),
                   (SELECT c FROM kncomp), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'truss', (SELECT e FROM kecnt), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)

@@ -110,3 +110,67 @@ def reciprocity(edges: DataFrame) -> tuple[int, int, float]:
     n_edges = e.count()
     n_recip = e.join(rev, ["src", "dst"], "left_semi").count()
     return n_edges, n_recip, (n_recip / n_edges if n_edges else 0.0)
+
+
+def structural_features(spark, edges: DataFrame) -> DataFrame:
+    """ReFeX-style per-vertex structural feature table → ``(vid, deg,
+    triangles, clustering, mean_nbr_deg, egonet_edges)``.
+
+    The node-feature precompute for downstream ML (role discovery,
+    anomaly scoring, GNN input when no content features exist):
+
+    * ``deg``           — degree
+    * ``triangles``     — triangles through the vertex (edges among its
+      neighbors)
+    * ``clustering``    — local clustering coefficient
+      ``2·tri / (deg·(deg−1))`` (0 when deg < 2)
+    * ``mean_nbr_deg``  — average neighbor degree
+    * ``egonet_edges``  — edges inside the radius-1 egonet
+      ``deg + triangles`` (each neighbor-neighbor edge closes a
+      triangle with the center — an identity, not a second pass)
+
+    Cost: the one O(E^1.5)-bounded triangle enumeration the engine
+    already owns (``graph/triangles.py`` — degree-oriented
+    compact-forward) plus two E-scale degree aggregations; everything
+    else is arithmetic on the joined row. Feed the result to
+    :func:`arabesque_spark.graph.propagate.propagate_features` to smooth
+    it over the graph.
+    """
+    from arabesque_spark.graph.triangles import triangle_counts_per_vertex
+
+    sym = symmetric_edges(edges).localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").alias("deg")
+    )
+    mnd = (
+        sym.join(
+            deg.select(F.col("vid").alias("dst"), F.col("deg").alias("ndeg")),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("vid"))
+        .agg(F.avg("ndeg").alias("mean_nbr_deg"))
+    )
+    tri = triangle_counts_per_vertex(spark, edges).select(
+        "vid", F.col("triangles").alias("tri")
+    )
+    return (
+        deg.join(mnd, "vid")
+        .join(tri, "vid", "left")
+        .select(
+            "vid",
+            "deg",
+            F.coalesce(F.col("tri"), F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                2.0
+                * F.coalesce(F.col("tri"), F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+            "mean_nbr_deg",
+            (F.col("deg") + F.coalesce(F.col("tri"), F.lit(0))).cast("long").alias(
+                "egonet_edges"
+            ),
+        )
+    )

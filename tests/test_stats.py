@@ -6,6 +6,7 @@ import collections
 import itertools
 
 import numpy as np
+import pytest
 
 from arabesque_spark.graph.stats import degree_assortativity
 from tests.reference_impls import er_graph
@@ -66,3 +67,32 @@ def test_reciprocity_counts(spark):
     df2 = spark.createDataFrame(redges, "src long, dst long")
     n2, r2, _ = reciprocity(df2)
     assert (n2, r2) == (len(clean), want)
+
+
+def test_structural_features_golden(spark, test_graph):
+    from arabesque_spark.graph.stats import structural_features
+    from tests.conftest import TEST_GRAPH_EDGES, TEST_GRAPH_V
+
+    nbrs = {v: set() for v in range(TEST_GRAPH_V)}
+    for a, b in TEST_GRAPH_EDGES:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    got = {r["vid"]: r for r in structural_features(spark, test_graph).collect()}
+    assert set(got) == set(range(TEST_GRAPH_V))
+    for v in range(TEST_GRAPH_V):
+        deg = len(nbrs[v])
+        tri = sum(
+            1
+            for a in nbrs[v]
+            for b in nbrs[v]
+            if a < b and b in nbrs[a]
+        )
+        r = got[v]
+        assert r["deg"] == deg, v
+        assert r["triangles"] == tri, v
+        want_cl = 2.0 * tri / (deg * (deg - 1)) if deg >= 2 else 0.0
+        assert r["clustering"] == pytest.approx(want_cl, abs=1e-12), v
+        assert r["mean_nbr_deg"] == pytest.approx(
+            sum(len(nbrs[u]) for u in nbrs[v]) / deg, abs=1e-12
+        ), v
+        assert r["egonet_edges"] == deg + tri, v
