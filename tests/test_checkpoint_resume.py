@@ -111,3 +111,28 @@ def test_bfs_resume_mid_levels(spark, tmp_path):
     got = {(r["source"], r["vid"]): r["dist"] for r in full.state.collect()}
     want = {(r["source"], r["vid"]): r["dist"] for r in straight.state.collect()}
     assert got == want
+
+
+def test_salsa_resume_mid_convergence(spark, tmp_path):
+    """SALSA killed after 2 iterations resumes from the manifest and
+    reaches the same scores as an uninterrupted converged run."""
+    from arabesque_spark.graph.salsa import salsa
+
+    edges_df = spark.createDataFrame(
+        er_graph(40, avg_degree=4.0, seed=13), "src long, dst long"
+    )
+    ckpt = tmp_path / "salsa_ckpt"
+    partial = salsa(spark, edges_df, tol=1e-12, checkpoint_dir=ckpt, max_iterations=2)
+    assert not partial.converged
+    full = salsa(
+        spark, edges_df, tol=1e-12, checkpoint_dir=ckpt, resume=True,
+        max_iterations=500,
+    )
+    assert full.converged and full.resumed_from == 1
+    straight = salsa(spark, edges_df, tol=1e-12, max_iterations=500)
+    a = {r["vid"]: (r["auth"], r["hub"]) for r in full.state.collect()}
+    b = {r["vid"]: (r["auth"], r["hub"]) for r in straight.state.collect()}
+    assert set(a) == set(b)
+    for v in a:
+        assert a[v][0] == pytest.approx(b[v][0], abs=1e-9)
+        assert a[v][1] == pytest.approx(b[v][1], abs=1e-9)
