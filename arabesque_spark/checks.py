@@ -3229,10 +3229,14 @@ def directed_kernels_oracle() -> str:
   SELECT vid, CASE WHEN (SELECT nm FROM an{t}) > 0
     THEN a_raw / (SELECT nm FROM an{t}) ELSE 0.0 END AS auth FROM ar{t})"""
         )
+        # hub gather consumes the RAW auths (deferred normalization,
+        # mirroring graph/hits.py: the 1/‖a_raw‖₂ factor cancels in the
+        # hub normalization, so summing a_raw and normalizing once is the
+        # engine's exact association)
         ctes.append(
             f"""hr{t} AS MATERIALIZED (
   SELECT v.vid, COALESCE(c.s, 0.0) AS h_raw FROM dverts v LEFT JOIN (
-    SELECT e.src AS vid, SUM(a.auth) AS s FROM a{t} a JOIN de e ON a.vid = e.dst
+    SELECT e.src AS vid, SUM(a.a_raw) AS s FROM ar{t} a JOIN de e ON a.vid = e.dst
     GROUP BY e.src) c ON v.vid = c.vid)"""
         )
         ctes.append(f"hn{t} AS MATERIALIZED (SELECT sqrt(SUM(h_raw * h_raw)) AS nm FROM hr{t})")
@@ -3278,11 +3282,15 @@ def directed_kernels_oracle() -> str:
   SELECT vid, CASE WHEN (SELECT nm FROM san{t}) > 0
     THEN a_raw / (SELECT nm FROM san{t}) ELSE 0.0 END AS auth FROM sar{t})"""
         )
+        # hub gather consumes the RAW auths (deferred normalization,
+        # mirroring graph/salsa.py: the 1/‖a_raw‖₁ factor cancels in the
+        # hub L1 normalization, so summing a_raw·w and normalizing once
+        # is the engine's exact association)
         ctes.append(
             f"""shr{t} AS MATERIALIZED (
   SELECT v.vid, COALESCE(c.s, 0.0) AS h_raw FROM dverts v LEFT JOIN (
-    SELECT e.src AS vid, SUM(a.auth * (1.0 / i.ideg)) AS s
-    FROM sa{t} a JOIN de e ON a.vid = e.dst JOIN didg i ON i.vid = e.dst
+    SELECT e.src AS vid, SUM(a.a_raw * (1.0 / i.ideg)) AS s
+    FROM sar{t} a JOIN de e ON a.vid = e.dst JOIN didg i ON i.vid = e.dst
     GROUP BY e.src) c ON v.vid = c.vid)"""
         )
         ctes.append(

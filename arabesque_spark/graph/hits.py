@@ -17,9 +17,18 @@ Scale notes
   column-pruned, repartitioned+sorted on the join key BEFORE persist —
   both E-scale join sides move zero bytes per superstep, exactly the
   PageRank plan shape (pagerank.py:86-96).
-* The two L2 norms per superstep are 1-row aggregates broadcast back
-  into the plan (``crossJoin(broadcast(...))``) — no driver round-trip
-  inside the loop.
+* Normalization is DEFERRED (round 5): the hub gather is linear in the
+  auth scores, so gathering RAW auths and L2-normalizing both vectors
+  at the end of the iteration is algebraically identical to Kleinberg's
+  normalize-between-phases ordering (the 1/‖a_raw‖₂ factor cancels when
+  the hub vector is normalized). The in-plan ``crossJoin(broadcast)``
+  norm form embedded each phase's E-scale gather under both the norm
+  aggregate and the main row stream, and nested the first phase inside
+  the second — the measured single-step plan scanned the cached
+  adjacency 8×. The deferred form materializes one V-row raw table per
+  iteration and computes both norms in a single tiny aggregate, so each
+  E-scale gather runs exactly once: two small driver-latency jobs per
+  superstep in exchange for a ~4× cut in E-scale work.
 * Normalized scores are scale-free, so the halt criterion
   ``max(|Δauth|, |Δhub|) < tol`` is well-posed; it rides the state
   write's ``observe`` (zero extra jobs per superstep).
@@ -98,47 +107,59 @@ def hits(
         F.lit(float("inf")).alias("delta"),
     )
 
-    def _normalized(df: DataFrame, raw: str, out: str) -> DataFrame:
-        norm = df.agg(F.sqrt(F.sum(F.col(raw) * F.col(raw))).alias("_n"))
-        return df.crossJoin(F.broadcast(norm)).withColumn(
-            out,
-            F.when(F.col("_n") > 0, F.col(raw) / F.col("_n")).otherwise(F.lit(0.0)),
-        )
+    # previous iteration's raw table, unpersisted once the runner has
+    # materialized the state built from it (start of the next step call)
+    held: list[DataFrame | None] = [None]
 
     def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
-        # auth update from current hubs
+        # auth gather from current hubs (RAW — see module doc)
         a_contrib = (
             state.join(oadj, state["vid"] == oadj["src"])
             .select(F.explode("neighbors").alias("vid"), F.col("hub").alias("c"))
             .groupBy("vid")
             .agg(F.sum("c").alias("a_raw"))
         )
-        astate = (
-            state.select("vid", "auth", "hub")
-            .join(a_contrib, "vid", "left")
-            .withColumn("a_raw", F.coalesce("a_raw", F.lit(0.0)))
-        )
-        astate = _normalized(astate, "a_raw", "new_auth")
-        # hub update from the NEW auths (Kleinberg's ordering)
+        # hub gather from the RAW new auths (Kleinberg's ordering holds:
+        # the 1/‖a_raw‖₂ the textbook applies here cancels in the hub
+        # normalization below). Vertices absent from a_contrib have
+        # a_raw = 0 and scatter nothing, so the gather consumes the
+        # contrib table directly.
         h_contrib = (
-            astate.join(iadj, astate["vid"] == iadj["src"])
-            .select(F.explode("neighbors").alias("vid"), F.col("new_auth").alias("c"))
+            a_contrib.join(iadj, a_contrib["vid"] == iadj["src"])
+            .select(F.explode("neighbors").alias("vid"), F.col("a_raw").alias("c"))
             .groupBy("vid")
             .agg(F.sum("c").alias("h_raw"))
         )
-        hstate = (
-            astate.select("vid", "auth", "hub", "new_auth")
+        raw = (
+            state.select("vid", "auth", "hub")
+            .join(a_contrib, "vid", "left")
             .join(h_contrib, "vid", "left")
-            .withColumn("h_raw", F.coalesce("h_raw", F.lit(0.0)))
-        )
-        hstate = _normalized(hstate, "h_raw", "new_hub")
-        new_state = hstate.select(
+            .select(
+                "vid",
+                "auth",
+                "hub",
+                F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"),
+                F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"),
+            )
+        ).localCheckpoint(eager=True)  # both E-scale gathers run ONCE here
+        if held[0] is not None:
+            held[0].unpersist()
+        held[0] = raw
+        n = raw.agg(
+            F.sqrt(F.sum(F.col("a_raw") * F.col("a_raw"))).alias("na"),
+            F.sqrt(F.sum(F.col("h_raw") * F.col("h_raw"))).alias("nh"),
+        ).collect()[0]
+        na = float(n["na"] or 0.0)
+        nh = float(n["nh"] or 0.0)
+        new_auth = (F.col("a_raw") / F.lit(na)) if na > 0 else F.lit(0.0)
+        new_hub = (F.col("h_raw") / F.lit(nh)) if nh > 0 else F.lit(0.0)
+        new_state = raw.select(
             "vid",
-            F.col("new_auth").alias("auth"),
-            F.col("new_hub").alias("hub"),
+            new_auth.alias("auth"),
+            new_hub.alias("hub"),
             F.greatest(
-                F.abs(F.col("new_auth") - F.col("auth")),
-                F.abs(F.col("new_hub") - F.col("hub")),
+                F.abs(new_auth - F.col("auth")),
+                F.abs(new_hub - F.col("hub")),
             ).alias("delta"),
         )
         return new_state, {"superstep": i}
@@ -168,6 +189,8 @@ def hits(
     )
     oadj.unpersist()
     iadj.unpersist()
+    if held[0] is not None:
+        held[0].unpersist()
     return result
 
 

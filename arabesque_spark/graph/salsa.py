@@ -23,6 +23,21 @@ BEFORE persist, so each superstep moves only the V-scale state. The
 degree divisions are baked into per-edge weights at build time (one
 extra column on the cached side, zero per-iteration cost).
 
+Normalization is DEFERRED (round 5): the hub gather is linear in the
+auth scores, so gathering RAW auths and L1-normalizing both vectors at
+the end of the iteration is algebraically identical to the textbook
+normalize-between-phases form (the 1/‖a‖ factor cancels when hub is
+normalized). This matters for the plan: the in-plan
+``crossJoin(broadcast(norm))`` form embeds each phase's E-scale gather
+under BOTH the norm aggregate and the main row stream, and the second
+phase then nests the first — the measured single-step plan scanned the
+cached edge tables 8× (76 exchanges). The deferred form materializes
+one V-row raw table per iteration (``localCheckpoint``) and computes
+both norms in one tiny V-row aggregate, so each E-scale gather runs
+exactly once. Two small driver-latency jobs per superstep buy a 4×
+reduction in E-scale work — the opposite trade from the observe-fused
+halt (which removed jobs that bought nothing).
+
 Reference parity framing: the reference's aggregation machinery
 (AggregationStorage.java:102-153 reduce, MasterExecutionEngine.java:
 210-216 halt) instantiated on the directed link graph, like HITS/DPR.
@@ -95,52 +110,63 @@ def salsa(
         F.lit(float("inf")).alias("delta"),
     )
 
-    def _l1(df: DataFrame, raw: str, out: str) -> DataFrame:
-        norm = df.agg(F.sum(F.abs(F.col(raw))).alias("_n"))
-        return df.crossJoin(F.broadcast(norm)).withColumn(
-            out,
-            F.when(F.col("_n") > 0, F.col(raw) / F.col("_n")).otherwise(
-                F.lit(0.0)
-            ),
-        )
+    # previous iteration's raw table, unpersisted once the runner has
+    # materialized the state built from it (start of the next step call)
+    held: list[DataFrame | None] = [None]
 
     def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
-        # auth update: hubs split over out-links
+        # auth gather: hubs split over out-links (RAW — see module doc)
         a_contrib = (
             state.join(fwd, state["vid"] == fwd["src"])
             .select(F.col("dst").alias("vid"), (F.col("hub") * F.col("w")).alias("c"))
             .groupBy("vid")
             .agg(F.sum("c").alias("a_raw"))
         )
-        astate = (
-            state.select("vid", "auth", "hub")
-            .join(a_contrib, "vid", "left")
-            .withColumn("a_raw", F.coalesce("a_raw", F.lit(0.0)))
-        )
-        astate = _l1(astate, "a_raw", "new_auth").drop("_n")
-        # hub update: NEW auths split back over in-links
+        # hub gather: RAW auths split back over in-links. Vertices absent
+        # from a_contrib have a_raw = 0 and contribute nothing, so the
+        # gather consumes the contrib table directly (no vertex join).
+        # The 1/‖a_raw‖ factor the textbook form applies here cancels in
+        # the hub normalization below.
         h_contrib = (
-            astate.join(bwd, astate["vid"] == bwd["dst"])
+            a_contrib.join(bwd, a_contrib["vid"] == bwd["dst"])
             .select(
                 F.col("src").alias("vid"),
-                (F.col("new_auth") * F.col("w")).alias("c"),
+                (F.col("a_raw") * F.col("w")).alias("c"),
             )
             .groupBy("vid")
             .agg(F.sum("c").alias("h_raw"))
         )
-        hstate = (
-            astate.select("vid", "auth", "hub", "new_auth")
+        raw = (
+            state.select("vid", "auth", "hub")
+            .join(a_contrib, "vid", "left")
             .join(h_contrib, "vid", "left")
-            .withColumn("h_raw", F.coalesce("h_raw", F.lit(0.0)))
-        )
-        hstate = _l1(hstate, "h_raw", "new_hub")
-        new_state = hstate.select(
+            .select(
+                "vid",
+                "auth",
+                "hub",
+                F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"),
+                F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"),
+            )
+        ).localCheckpoint(eager=True)  # both E-scale gathers run ONCE here
+        if held[0] is not None:
+            held[0].unpersist()
+        held[0] = raw
+        # both norms in one V-row aggregate over the checkpointed blocks
+        n = raw.agg(
+            F.sum(F.abs(F.col("a_raw"))).alias("na"),
+            F.sum(F.abs(F.col("h_raw"))).alias("nh"),
+        ).collect()[0]
+        na = float(n["na"] or 0.0)
+        nh = float(n["nh"] or 0.0)
+        new_auth = (F.col("a_raw") / F.lit(na)) if na > 0 else F.lit(0.0)
+        new_hub = (F.col("h_raw") / F.lit(nh)) if nh > 0 else F.lit(0.0)
+        new_state = raw.select(
             "vid",
-            F.col("new_auth").alias("auth"),
-            F.col("new_hub").alias("hub"),
+            new_auth.alias("auth"),
+            new_hub.alias("hub"),
             F.greatest(
-                F.abs(F.col("new_auth") - F.col("auth")),
-                F.abs(F.col("new_hub") - F.col("hub")),
+                F.abs(new_auth - F.col("auth")),
+                F.abs(new_hub - F.col("hub")),
             ).alias("delta"),
         )
         return new_state, {"superstep": i}
@@ -165,6 +191,8 @@ def salsa(
     )
     fwd.unpersist()
     bwd.unpersist()
+    if held[0] is not None:
+        held[0].unpersist()
     return result
 
 
