@@ -1852,6 +1852,10 @@ def q_directed_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``reciprocity``  n1 = directed edges, n2 = reciprocated edges
       (both exact counts), x = their raw IEEE quotient — the classic
       directed-graph statistic, one self-semi-join
+    - ``bowtie``     n1 = vertices, n2 = Σ class_code·(vid % 97 + 1) —
+      per-vertex-exact Broder bow-tie class fingerprint (CORE=1, IN=2,
+      OUT=3, TUBE=4, TENDRIL=5, DISC=6) vs a recursive-reach SQL twin
+      reusing the SCC closure; x = number of non-empty classes
     """
     from arabesque_spark.graph.bfs import weighted_distances
     from arabesque_spark.graph.hits import hits_fixed
@@ -2030,6 +2034,20 @@ def q_directed_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Python's half-even round vs SQL's half-away ROUND could disagree)
     n_edges, n_recip, ratio = reciprocity(de)
     rows.append(("reciprocity", n_edges, n_recip, ratio))
+
+    # bow-tie decomposition (Broder WWW 2000): per-vertex-exact class
+    # fingerprint vs the oracle's recursive-reach twin (reusing the SCC
+    # closure). n2 = Σ class_code·w is exact per vertex; x = number of
+    # non-empty classes.
+    from arabesque_spark.graph.bowtie import bowtie
+
+    bt = bowtie(spark, de)
+    r = bt.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("code") * _fpw()).alias("fp"),
+        F.countDistinct("cls").alias("c"),
+    ).collect()[0]
+    rows.append(("bowtie", int(r["n"]), int(r["fp"]), float(r["c"])))
 
     return spark.createDataFrame(rows, CHECK_SCHEMA).orderBy("op")
 
@@ -3428,6 +3446,67 @@ def directed_kernels_oracle() -> str:
   FROM tp{TOPO_SQL_ROUNDS})"""
     )
 
+    # ---- bow-tie decomposition (reuses the dreach closure + scc) ----
+    ctes.append(
+        """btcore AS MATERIALIZED (
+  SELECT vid FROM scc WHERE scc = (
+    SELECT scc FROM scc GROUP BY scc ORDER BY COUNT(*) DESC, scc DESC LIMIT 1))"""
+    )
+    ctes.append(
+        """btfwd AS MATERIALIZED (
+  SELECT vid FROM btcore UNION
+  SELECT r.w AS vid FROM dreach r JOIN btcore c ON r.v = c.vid)"""
+    )
+    ctes.append(
+        """btbwd AS MATERIALIZED (
+  SELECT vid FROM btcore UNION
+  SELECT r.v AS vid FROM dreach r JOIN btcore c ON r.w = c.vid)"""
+    )
+    # EXCEPT is rejected as a CTE set-op inside WITH RECURSIVE blocks —
+    # anti-join spelling instead
+    ctes.append(
+        """btin AS MATERIALIZED (
+  SELECT b.vid FROM btbwd b LEFT JOIN btcore c ON b.vid = c.vid
+  WHERE c.vid IS NULL)"""
+    )
+    ctes.append(
+        """btout AS MATERIALIZED (
+  SELECT f.vid FROM btfwd f LEFT JOIN btcore c ON f.vid = c.vid
+  WHERE c.vid IS NULL)"""
+    )
+    ctes.append(
+        """btfin AS MATERIALIZED (
+  SELECT vid FROM btin UNION
+  SELECT r.w AS vid FROM dreach r JOIN btin i ON r.v = i.vid)"""
+    )
+    ctes.append(
+        """bttout AS MATERIALIZED (
+  SELECT vid FROM btout UNION
+  SELECT r.v AS vid FROM dreach r JOIN btout o ON r.w = o.vid)"""
+    )
+    ctes.append(
+        """btcls AS MATERIALIZED (
+  SELECT dv.vid,
+    CASE WHEN cc.vid IS NOT NULL THEN 1
+         WHEN ii.vid IS NOT NULL THEN 2
+         WHEN oo.vid IS NOT NULL THEN 3
+         WHEN fi.vid IS NOT NULL AND tt.vid IS NOT NULL THEN 4
+         WHEN fi.vid IS NOT NULL OR tt.vid IS NOT NULL THEN 5
+         ELSE 6 END AS code
+  FROM dverts dv
+  LEFT JOIN btcore cc ON dv.vid = cc.vid
+  LEFT JOIN btin ii ON dv.vid = ii.vid
+  LEFT JOIN btout oo ON dv.vid = oo.vid
+  LEFT JOIN btfin fi ON dv.vid = fi.vid
+  LEFT JOIN bttout tt ON dv.vid = tt.vid)"""
+    )
+    ctes.append(
+        f"""bt_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(code * (vid % {FP_MOD} + 1)) AS BIGINT) AS n2,
+         CAST(COUNT(DISTINCT code) AS DOUBLE) AS x FROM btcls)"""
+    )
+
     # ---- reciprocity of the directed graph ----
     ctes.append(
         """rc_agg AS (
@@ -3450,7 +3529,8 @@ def directed_kernels_oracle() -> str:
         + ",\n"
         + ",\n".join(ctes)
         + """
-SELECT 'dpagerank' AS op, n1, n2, x FROM pr_agg
+SELECT 'bowtie' AS op, n1, n2, x FROM bt_agg
+UNION ALL SELECT 'dpagerank', n1, n2, x FROM pr_agg
 UNION ALL SELECT 'hits', n1, n2, x FROM hits_agg
 UNION ALL SELECT 'salsa', n1, n2, x FROM salsa_agg
 UNION ALL SELECT 'reciprocity', n1, n2, x FROM rc_agg

@@ -1,0 +1,125 @@
+"""Bow-tie decomposition vs a hand-built Broder graph and a brute-force
+closure reference on random digraphs."""
+
+from __future__ import annotations
+
+import random
+
+from arabesque_spark.graph.bowtie import bowtie, bowtie_summary
+
+# CORE = {1,2,3} (3-cycle); IN = {10,11}; OUT = {20,21};
+# TUBE = {30} (10 -> 30 -> 20 avoids CORE); TENDRIL = {40} (off IN),
+# {41} (into OUT); DISC = {50,51}.
+BRODER_EDGES = [
+    (1, 2), (2, 3), (3, 1),          # core cycle
+    (10, 1), (11, 10),               # in-chain
+    (3, 20), (20, 21),               # out-chain
+    (10, 30), (30, 20),              # tube
+    (11, 40),                        # tendril hanging off IN
+    (41, 21),                        # tendril feeding OUT
+    (50, 51),                        # disconnected pair
+]
+
+EXPECTED = {
+    1: "CORE", 2: "CORE", 3: "CORE",
+    10: "IN", 11: "IN",
+    20: "OUT", 21: "OUT",
+    30: "TUBE",
+    40: "TENDRIL", 41: "TENDRIL",
+    50: "DISC", 51: "DISC",
+}
+
+
+def _brute_bowtie(edges):
+    """Reference classification via per-vertex forward/backward closure."""
+    verts = sorted({v for e in edges for v in e})
+    adj: dict[int, set[int]] = {v: set() for v in verts}
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+
+    def reach(seeds, graph):
+        seen = set(seeds)
+        stack = list(seeds)
+        while stack:
+            u = stack.pop()
+            for w in graph.get(u, ()):
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        return seen
+
+    radj: dict[int, set[int]] = {v: set() for v in verts}
+    for s, d in edges:
+        if s != d:
+            radj[d].add(s)
+
+    fwd_of = {v: reach([v], adj) for v in verts}
+    # SCC via mutual reach; label = max member (engine convention)
+    sccs: dict[int, int] = {}
+    for v in verts:
+        members = [w for w in fwd_of[v] if v in fwd_of[w]]
+        sccs[v] = max(members) if members else v
+    sizes: dict[int, int] = {}
+    for v in verts:
+        sizes[sccs[v]] = sizes.get(sccs[v], 0) + 1
+    core_label = max(sizes, key=lambda c: (sizes[c], c))
+    core = {v for v in verts if sccs[v] == core_label}
+
+    fwd = reach(core, adj)
+    bwd = reach(core, radj)
+    out_ = fwd - core
+    in_ = bwd - core
+    from_in = reach(in_, adj)
+    to_out = reach(out_, radj)
+    cls = {}
+    for v in verts:
+        if v in core:
+            cls[v] = "CORE"
+        elif v in in_:
+            cls[v] = "IN"
+        elif v in out_:
+            cls[v] = "OUT"
+        elif v in from_in and v in to_out:
+            cls[v] = "TUBE"
+        elif v in from_in or v in to_out:
+            cls[v] = "TENDRIL"
+        else:
+            cls[v] = "DISC"
+    return cls
+
+
+def test_broder_graph_exact(spark):
+    de = spark.createDataFrame(BRODER_EDGES, "src long, dst long")
+    got = {r["vid"]: r["cls"] for r in bowtie(spark, de).collect()}
+    assert got == EXPECTED
+    assert _brute_bowtie(BRODER_EDGES) == EXPECTED  # reference sanity
+
+
+def test_summary_counts(spark):
+    de = spark.createDataFrame(BRODER_EDGES, "src long, dst long")
+    summ = {r["cls"]: r["n"] for r in bowtie_summary(bowtie(spark, de)).collect()}
+    assert summ == {"CORE": 3, "IN": 2, "OUT": 2, "TUBE": 1, "TENDRIL": 2, "DISC": 2}
+
+
+def test_random_digraphs_match_brute(spark):
+    rng = random.Random(7)
+    for trial in range(4):
+        n = 18
+        edges = sorted(
+            {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(30 + 6 * trial)
+            }
+        )
+        edges = [(s, d) for s, d in edges if s != d]
+        de = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["vid"]: r["cls"] for r in bowtie(spark, de).collect()}
+        assert got == _brute_bowtie(edges), f"trial {trial}"
+
+
+def test_all_core_cycle(spark):
+    edges = [(i, (i + 1) % 5) for i in range(5)]
+    de = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["vid"]: r["cls"] for r in bowtie(spark, de).collect()}
+    assert got == {i: "CORE" for i in range(5)}
