@@ -109,6 +109,7 @@ LS_SEEDS = 12          # label-spread gate: the LS_SEEDS lowest vids,
                        # label = vid % 3, clamped
 LS_ITERS = 3           # label-spread truncation depth in the gate
 DS_ROUNDS = 8          # densest-subgraph peel rounds in the gate
+RC_KS = [2, 4, 8, 16, 32]  # rich-club degree ladder in the gate
 DS_EPS = 0.125         # densest-subgraph epsilon — an EXACT binary
                        # fraction so 2(1+eps) = 2.25 and the peel
                        # threshold is IEEE-identical in both engines
@@ -1295,6 +1296,10 @@ def q_graph_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       (membership-exact), n2 = vertices outside the graph (0), x =
       round(best density, 6) — the oracle unrolls the same DS_ROUNDS
       parallel-peel rounds and takes the same earliest argmax
+    - ``richclub``    n1 = Σ_k N_k, n2 = Σ_k E_k over the RC_KS degree
+      ladder (exact club sizes / club edges), x = Σ round(φ(k),9)·(k+1)
+      — the oracle recomputes degrees, club membership, and club edges
+      from its own tables
     """
     from arabesque_spark.graph.anf import neighborhood_function
     from arabesque_spark.graph.betweenness import betweenness_centrality
@@ -1820,6 +1825,20 @@ def q_graph_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.append(
         ("densest", int(w_sum or 0), int(ds_out), round(ds.density, 6))
     )
+
+    # Rich-club coefficients φ(k) for the RC_KS ladder: n1 = Σ N_k,
+    # n2 = Σ E_k (both exact), x = Σ round(φ,9)·(k+1) — the oracle
+    # recomputes degree, club membership, and club edges from its own
+    # tables.
+    from arabesque_spark.graph.stats import rich_club
+
+    rc = rich_club(edges, RC_KS)
+    r = rc.agg(
+        F.sum("n_k").alias("ns"),
+        F.sum("e_k").alias("es"),
+        F.round(F.sum(F.round("phi", 9) * (F.col("k") + 1)), 4).alias("fp"),
+    ).collect()[0]
+    rows.append(("richclub", int(r["ns"] or 0), int(r["es"] or 0), float(r["fp"] or 0.0)))
 
     return spark.createDataFrame(rows, CHECK_SCHEMA).orderBy("op")
 
@@ -3126,6 +3145,38 @@ def graph_kernels_oracle() -> str:
   FROM sr{SR_ITERS})"""
     )
 
+    # ---- rich-club φ(k) ladder ----
+    rc_ks = ", ".join(str(k) for k in RC_KS)
+    ctes.append(
+        f"rcks AS (SELECT UNNEST([{rc_ks}]) AS k)"
+    )
+    ctes.append(
+        """rcdeg AS MATERIALIZED (
+  SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS deg FROM ksym GROUP BY src)"""
+    )
+    ctes.append(
+        """rcn AS (SELECT r.k, CAST(COUNT(*) AS BIGINT) AS n_k
+  FROM rcdeg d CROSS JOIN rcks r WHERE d.deg > r.k GROUP BY r.k)"""
+    )
+    ctes.append(
+        """rce AS (SELECT r.k, CAST(COUNT(*) AS BIGINT) AS e_k
+  FROM fe e JOIN rcdeg a ON e.src = a.vid JOIN rcdeg b ON e.dst = b.vid
+  CROSS JOIN rcks r WHERE a.deg > r.k AND b.deg > r.k GROUP BY r.k)"""
+    )
+    ctes.append(
+        """rctab AS (
+  SELECT r.k, COALESCE(n.n_k, 0) AS n_k, COALESCE(e.e_k, 0) AS e_k,
+         CASE WHEN COALESCE(n.n_k, 0) >= 2
+              THEN 2.0 * COALESCE(e.e_k, 0) / (n.n_k * (n.n_k - 1.0))
+              ELSE NULL END AS phi
+  FROM rcks r LEFT JOIN rcn n ON r.k = n.k LEFT JOIN rce e ON r.k = e.k)"""
+    )
+    ctes.append(
+        """rc_agg AS (
+  SELECT CAST(SUM(n_k) AS BIGINT) AS n1, CAST(SUM(e_k) AS BIGINT) AS n2,
+         ROUND(SUM(ROUND(phi, 9) * (k + 1)), 4) AS x FROM rctab)"""
+    )
+
     return (
         _KERNEL_PRELUDE
         + ",\n"
@@ -3157,6 +3208,7 @@ UNION ALL SELECT 'mst', (SELECT v FROM kcnt) - (SELECT c FROM kncomp),
                   (SELECT c FROM kncomp), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'truss', (SELECT e FROM kecnt), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'wl', n1, n2, x FROM wl_agg
+UNION ALL SELECT 'richclub', n1, n2, x FROM rc_agg
 ORDER BY op"""
     )
 

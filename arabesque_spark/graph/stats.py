@@ -174,3 +174,60 @@ def structural_features(spark, edges: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def rich_club(edges: DataFrame, ks: list[int]) -> DataFrame:
+    """Rich-club coefficients → (k, n_k, e_k, phi), one row per k.
+
+    φ(k) = 2·E_k / (N_k·(N_k − 1)) where N_k is the number of vertices
+    of degree > k and E_k the number of undirected edges between them
+    (Zhou & Mondragón 2004). φ(k) → 1 means the top-degree "club" is
+    near-fully connected — hubs preferentially wire to hubs, the classic
+    question about a web/link core. ``phi`` is NULL when N_k < 2.
+
+    ``edges`` is the canonical undirected edge table (src < dst). One
+    degree aggregation, one edge scan with two broadcast-size degree
+    joins, then an explode over the (tiny, literal) k list — every stage
+    map-side combinable, no driver loop over k.
+    """
+    ks = sorted(set(int(k) for k in ks))
+    ks_col = F.array(*[F.lit(k) for k in ks])
+    sym = symmetric_edges(edges)
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    nk = (
+        deg.select(F.explode(ks_col).alias("k"), "deg")
+        .filter(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_k"))
+    )
+    ek = (
+        edges.select("src", "dst")
+        .join(
+            deg.select(F.col("src").alias("a"), F.col("deg").alias("dsrc")),
+            F.col("src") == F.col("a"),
+        )
+        .join(
+            deg.select(F.col("src").alias("b"), F.col("deg").alias("ddst")),
+            F.col("dst") == F.col("b"),
+        )
+        .select(F.explode(ks_col).alias("k"), "dsrc", "ddst")
+        .filter((F.col("dsrc") > F.col("k")) & (F.col("ddst") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count("*").alias("e_k"))
+    )
+    base = edges.sparkSession.createDataFrame([(k,) for k in ks], "k int")
+    return (
+        base.join(nk, "k", "left")
+        .join(ek, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_k", F.lit(0)).alias("n_k"),
+            F.coalesce("e_k", F.lit(0)).alias("e_k"),
+            F.try_divide(
+                2.0 * F.coalesce("e_k", F.lit(0)),
+                F.coalesce("n_k", F.lit(0)).cast("double")
+                * (F.coalesce("n_k", F.lit(0)) - F.lit(1)),
+            ).alias("phi"),
+        )
+        .orderBy("k")
+    )

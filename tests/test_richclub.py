@@ -1,0 +1,61 @@
+"""Rich-club coefficient vs a brute-force reference."""
+
+from __future__ import annotations
+
+import random
+
+from arabesque_spark.graph.stats import rich_club
+
+
+def _brute(edges, ks):
+    deg: dict[int, int] = {}
+    for s, d in edges:
+        deg[s] = deg.get(s, 0) + 1
+        deg[d] = deg.get(d, 0) + 1
+    out = {}
+    for k in ks:
+        club = {v for v, dd in deg.items() if dd > k}
+        e_k = sum(1 for s, d in edges if s in club and d in club)
+        n_k = len(club)
+        phi = 2.0 * e_k / (n_k * (n_k - 1)) if n_k >= 2 else None
+        out[k] = (n_k, e_k, phi)
+    return out
+
+
+def test_star_plus_clique(spark):
+    # 4-clique (vids 0-3, degree >= 3) with leaves hanging off vertex 0
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges += [(0, 10), (0, 11), (0, 12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["k"]: (r["n_k"], r["e_k"], r["phi"]) for r in rich_club(df, [0, 2, 3]).collect()}
+    # k=2: club = {0,1,2,3} (deg 3+), fully connected -> phi = 1.0
+    assert got[2] == (4, 6, 1.0)
+    # k=3: only vertex 0 (deg 6) -> phi undefined
+    assert got[3] == (1, 0, None)
+    # k=0: everyone
+    assert got[0][0] == 7 and got[0][1] == 9
+
+
+def test_random_graphs_match_brute(spark):
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 25
+        edges = sorted(
+            {
+                tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                for _ in range(70)
+            }
+        )
+        edges = [(s, d) for s, d in edges if s != d]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        ks = [1, 2, 4, 8]
+        want = _brute(edges, ks)
+        got = {r["k"]: (r["n_k"], r["e_k"], r["phi"]) for r in rich_club(df, ks).collect()}
+        for k in ks:
+            wn, we, wp = want[k]
+            gn, ge, gp = got[k]
+            assert (gn, ge) == (wn, we), f"trial {trial} k={k}"
+            if wp is None:
+                assert gp is None
+            else:
+                assert abs(gp - wp) < 1e-12, f"trial {trial} k={k}"
