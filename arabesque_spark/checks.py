@@ -55,6 +55,7 @@ WINNOW_W = 4           # winnowing window (guarantee length = k + w - 1)
 WINNOW_TEXT_CAP = 400  # chars of (ASCII-stripped) doc text winnowed
 WINNOW_CLONE_MOD = 31  # every WINNOW_CLONE_MOD-th doc gets the clone block
 WINNOW_MIN_SHARED = 3  # clone pair = >= this many shared fingerprints
+CC_MINSUP = 2          # co-change rule support threshold in the gate
 WINNOW_FREQ_CAP = 30   # fingerprint doc-frequency cap before the pair join
 # planted clone block: ASCII, apostrophe-free, vocabulary disjoint from the
 # corpus text so its gram doc-frequency is exactly the planted-doc count
@@ -202,6 +203,12 @@ def q_corpus_ops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       text: n1 = shingle-containment pairs ≥ CONT_T (full SQL twin),
       n2 = planted (d, d+1) pairs missing (0), x = weighted
       containment fingerprint
+    - ``cochange``      logical-coupling rules over the arithmetic
+      VCS log (repo = id%5, commit = (id div 5)%20, path = f(id·7%23)):
+      n1 = rules at support ≥ CC_MINSUP, n2 = confidence/lift range
+      violations (0), x = Σ (round(conf_ab+2·conf_ba+3·lift,6) +
+      7·support)·md5-bucket-weight — the oracle rebuilds the log and
+      the full rule table
     - ``heavy_hitters`` n1 = tokens with count ≥ HH_T (the CMS+verify
       output is deterministically the exact heavy set), n2 = returned
       keys below threshold (0), x = Σ md5-prefix(key)·count vs a plain
@@ -1199,6 +1206,68 @@ def q_corpus_ops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             float(r["fp"] or 0.0),
         )
     )
+
+    # cochange: logical-coupling rules over a synthetic VCS log derived
+    # arithmetically from doc_id (repo = id%5, commit = (id div 5)%20,
+    # path = 'f'||(id·7 % 23)) — the oracle rebuilds the same log and
+    # the full rule table. n1 = rules at support ≥ CC_MINSUP, n2 =
+    # range violations (conf ∉ (0,1] or lift ≤ 0 — structurally 0,
+    # recomputed on both sides), x = Σ (round(conf_ab + 2·conf_ba +
+    # 3·lift, 6) + 7·support)·md5-bucket-weight — value-exact per rule.
+    from arabesque_spark.operators.code import cochange_rules
+
+    cc_src = docs.select(
+        (d % 5).alias("repo"),
+        F.concat(F.lit("f"), ((d * 7) % 23).cast("string")).alias("path"),
+        F.expr("(doc_id div 5) % 20").cast("string").alias("commit"),
+    )
+    cc = cochange_rules(cc_src, min_support=CC_MINSUP).localCheckpoint(
+        eager=True
+    )
+    cc_bad = cc.filter(
+        (F.col("conf_ab") <= 0)
+        | (F.col("conf_ab") > 1 + 1e-12)
+        | (F.col("conf_ba") <= 0)
+        | (F.col("conf_ba") > 1 + 1e-12)
+        | (F.col("lift") <= 0)
+    ).count()
+    cc_w = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("repo").cast("string"),
+                        F.col("path_a"),
+                        F.col("path_b"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 9973
+        + 1
+    )
+    r = cc.agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(
+                (
+                    F.round(
+                        F.col("conf_ab") + 2 * F.col("conf_ba") + 3 * F.col("lift"),
+                        6,
+                    )
+                    + 7 * F.col("support")
+                )
+                * cc_w
+            ),
+            4,
+        ).alias("fp"),
+    ).collect()[0]
+    rows.append(("cochange", int(r["n"]), cc_bad, float(r["fp"] or 0.0)))
 
     return spark.createDataFrame(rows, CHECK_SCHEMA).orderBy("op")
 
@@ -2625,8 +2694,35 @@ wcp_agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1,
            || CAST(db AS VARCHAR)), 1, 12)) AS BIGINT) AS HUGEINT)
            * shared), 0) % {FP_PRIME} AS DOUBLE) AS x
   FROM wcp),
+ccs AS MATERIALIZED (
+  SELECT DISTINCT doc_id % 5 AS repo,
+         'f' || CAST((doc_id * 7) % 23 AS VARCHAR) AS path,
+         (doc_id // 5) % 20 AS cmt FROM documents),
+ccp AS MATERIALIZED (
+  SELECT a.repo, a.path AS pa, b.path AS pb, CAST(COUNT(*) AS BIGINT) AS sup
+  FROM ccs a JOIN ccs b ON a.repo = b.repo AND a.cmt = b.cmt AND a.path < b.path
+  GROUP BY a.repo, a.path, b.path HAVING COUNT(*) >= {CC_MINSUP}),
+ccfs AS (SELECT repo, path, CAST(COUNT(*) AS BIGINT) AS fs FROM ccs GROUP BY repo, path),
+ccnc AS (SELECT repo, CAST(COUNT(DISTINCT cmt) AS BIGINT) AS nc FROM ccs GROUP BY repo),
+cctab AS MATERIALIZED (
+  SELECT p.repo, p.pa, p.pb, p.sup,
+         p.sup * 1.0 / fa.fs AS cab, p.sup * 1.0 / fb.fs AS cba,
+         CAST(p.sup * n.nc AS DOUBLE) / (fa.fs * fb.fs) AS lift
+  FROM ccp p JOIN ccfs fa ON p.repo = fa.repo AND p.pa = fa.path
+             JOIN ccfs fb ON p.repo = fb.repo AND p.pb = fb.path
+             JOIN ccnc n ON p.repo = n.repo),
+cc_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(COALESCE(SUM(CASE WHEN cab <= 0 OR cab > 1 + 1e-12
+                                  OR cba <= 0 OR cba > 1 + 1e-12
+                                  OR lift <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n2,
+         ROUND(SUM((ROUND(cab + 2 * cba + 3 * lift, 6) + 7 * sup)
+           * (CAST(('0x' || substr(md5(CAST(repo AS VARCHAR) || ':' || pa || ':' || pb),
+                    1, 12)) AS BIGINT) % 9973 + 1)), 4) AS x
+  FROM cctab),
 dc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
 SELECT 'asof' AS op, n1, n2, x FROM aj_agg
+UNION ALL SELECT 'cochange', n1, n2, x FROM cc_agg
 UNION ALL SELECT 'winnow', n1, CAST(0 AS BIGINT), x FROM wfp_agg
 UNION ALL SELECT 'clones', n1, n2, x FROM wcp_agg
 UNION ALL SELECT 'code_idents', n1, CAST(0 AS BIGINT), x FROM cid_agg

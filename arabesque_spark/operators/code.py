@@ -504,3 +504,91 @@ def repo_profile(
         "total_branches",
         "max_file_lines",
     )
+
+
+def cochange_rules(
+    corpus: DataFrame,
+    min_support: int = 2,
+    max_commit_files: int | None = 64,
+) -> DataFrame:
+    """Logical-coupling association rules over a VCS log-shaped table
+    (repo, path, commit) → one row per co-changed file pair:
+
+        (repo, path_a, path_b, support, conf_ab, conf_ba, lift)
+
+    with ``support`` = commits touching both files, ``conf_ab`` =
+    support / commits(path_a) (how often a change to a drags b along),
+    and ``lift`` = support·n_commits / (commits(a)·commits(b)) — the
+    classic mining-software-repositories coupling signal (Zimmermann's
+    "ROSE" rules), here as the association-rule view of the same
+    shared-commit co-occurrence the link-graph edge builder uses
+    (sources/corpus.py).
+
+    Scale notes: the pair join is a self-equi-join WITHIN (repo,
+    commit) groups — quadratic only in commit size, which
+    ``max_commit_files`` caps (default 64: oversized commits are bulk
+    imports/renames, noise for coupling — the same default-on
+    frequency-cap discipline as dedup.py's n-gram pairs). Everything
+    else is groupBy counts joined back broadcast-size; no driver data
+    path.
+    """
+    cf = corpus.select("repo", "path", "commit").dropDuplicates(
+        ["repo", "path", "commit"]
+    )
+    if max_commit_files is not None:
+        sizes = cf.groupBy("repo", "commit").agg(F.count("*").alias("csz"))
+        cf = cf.join(
+            sizes.filter(F.col("csz") <= max_commit_files),
+            ["repo", "commit"],
+            "left_semi",
+        )
+    a, b = cf.alias("a"), cf.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.repo") == F.col("b.repo"))
+            & (F.col("a.commit") == F.col("b.commit"))
+            & (F.col("a.path") < F.col("b.path")),
+        )
+        .groupBy(
+            F.col("a.repo").alias("repo"),
+            F.col("a.path").alias("path_a"),
+            F.col("b.path").alias("path_b"),
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    fsupp = cf.groupBy("repo", "path").agg(F.count("*").alias("fs"))
+    ncommits = (
+        cf.select("repo", "commit")
+        .dropDuplicates(["repo", "commit"])
+        .groupBy("repo")
+        .agg(F.count("*").alias("nc"))
+    )
+    return (
+        pairs.join(
+            fsupp.select(
+                "repo", F.col("path").alias("path_a"), F.col("fs").alias("fa")
+            ),
+            ["repo", "path_a"],
+        )
+        .join(
+            fsupp.select(
+                "repo", F.col("path").alias("path_b"), F.col("fs").alias("fb")
+            ),
+            ["repo", "path_b"],
+        )
+        .join(ncommits, "repo")
+        .select(
+            "repo",
+            "path_a",
+            "path_b",
+            "support",
+            (F.col("support") / F.col("fa")).alias("conf_ab"),
+            (F.col("support") / F.col("fb")).alias("conf_ba"),
+            (
+                (F.col("support") * F.col("nc")).cast("double")
+                / (F.col("fa") * F.col("fb"))
+            ).alias("lift"),
+        )
+    )

@@ -1,0 +1,95 @@
+"""Co-change (logical coupling) rules vs a brute-force reference."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from arabesque_spark.operators.code import cochange_rules
+
+SCHEMA = "repo string, path string, commit string"
+
+
+def _brute(rows, min_support):
+    commits: dict[tuple, set] = {}
+    for repo, path, cmt in set(rows):
+        commits.setdefault((repo, cmt), set()).add(path)
+    fsupp: dict[tuple, int] = {}
+    nc: dict[str, int] = {}
+    for (repo, _), files in commits.items():
+        nc[repo] = nc.get(repo, 0) + 1
+        for p in files:
+            fsupp[(repo, p)] = fsupp.get((repo, p), 0) + 1
+    sup: dict[tuple, int] = {}
+    for (repo, _), files in commits.items():
+        for pa, pb in itertools.combinations(sorted(files), 2):
+            sup[(repo, pa, pb)] = sup.get((repo, pa, pb), 0) + 1
+    out = {}
+    for (repo, pa, pb), s in sup.items():
+        if s < min_support:
+            continue
+        fa, fb = fsupp[(repo, pa)], fsupp[(repo, pb)]
+        out[(repo, pa, pb)] = (
+            s,
+            s / fa,
+            s / fb,
+            s * nc[repo] / (fa * fb),
+        )
+    return out
+
+
+def test_planted_coupling(spark):
+    # a.py and b.py always change together (4 commits); c.py joins twice
+    rows = []
+    for i in range(4):
+        rows += [("r1", "a.py", f"c{i}"), ("r1", "b.py", f"c{i}")]
+    rows += [("r1", "c.py", "c0"), ("r1", "c.py", "c1")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        (r["repo"], r["path_a"], r["path_b"]): (
+            r["support"], r["conf_ab"], r["conf_ba"], r["lift"]
+        )
+        for r in cochange_rules(df, min_support=2).collect()
+    }
+    assert got[("r1", "a.py", "b.py")] == (4, 1.0, 1.0, 1.0)
+    # c co-changed with a twice out of a's 4 / c's 2 commits; nc = 4
+    assert got[("r1", "a.py", "c.py")] == (2, 0.5, 1.0, 1.0)
+    assert len(got) == 3
+
+
+def test_random_logs_match_brute(spark):
+    rng = random.Random(5)
+    rows = []
+    for repo in ("ra", "rb"):
+        for c in range(12):
+            files = rng.sample([f"f{j}.py" for j in range(8)], rng.randint(1, 4))
+            rows += [(repo, f, f"c{c}") for f in files]
+    df = spark.createDataFrame(rows, SCHEMA)
+    want = _brute(rows, 2)
+    got = {
+        (r["repo"], r["path_a"], r["path_b"]): (
+            r["support"], r["conf_ab"], r["conf_ba"], r["lift"]
+        )
+        for r in cochange_rules(df, min_support=2).collect()
+    }
+    assert set(got) == set(want)
+    for k, (s, cab, cba, lift) in want.items():
+        gs, gcab, gcba, glift = got[k]
+        assert gs == s
+        assert abs(gcab - cab) < 1e-12 and abs(gcba - cba) < 1e-12
+        assert abs(glift - lift) < 1e-12
+
+
+def test_commit_cap_drops_bulk_imports(spark):
+    # one bulk commit touching 10 files, plus a real coupled pair
+    rows = [("r1", f"bulk{j}.py", "c_big") for j in range(10)]
+    rows += [("r1", "x.py", f"c{i}") for i in range(2)]
+    rows += [("r1", "y.py", f"c{i}") for i in range(2)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = cochange_rules(df, min_support=2, max_commit_files=5).collect()
+    keys = {(r["path_a"], r["path_b"]) for r in got}
+    assert keys == {("x.py", "y.py")}
+    # without the cap the bulk pairs appear (support 1 < 2 though) — at
+    # min_support=1 the capped run still excludes them
+    got1 = cochange_rules(df, min_support=1, max_commit_files=5).collect()
+    assert all("bulk" not in r["path_a"] for r in got1)
