@@ -195,6 +195,36 @@ def fingerprint_trajectories(
     return out
 
 
+def _mc_estimate(meet: DataFrame, c: float, num_fingerprints: int) -> DataFrame:
+    """(a, b, fp, tau) meetings → (a, b, sim), bitwise-deterministic.
+
+    ``Σ_fp c^τ`` as a float sum across shuffle partitions picks up
+    last-ulp drift from the nondeterministic combine order. The meeting
+    times are small integers, so count them exactly (long aggregation —
+    order-free), then fold ``Σ_τ n_τ·c^τ`` over a SORTED ≤(horizon+1)-
+    element array: a fixed association order, identical doubles on every
+    run and partitioning.
+    """
+    per = meet.groupBy("a", "b", "tau").agg(F.count("*").alias("n"))
+    return (
+        per.groupBy("a", "b")
+        .agg(F.sort_array(F.collect_list(F.struct("tau", "n"))).alias("ts"))
+        .select(
+            "a",
+            "b",
+            (
+                F.aggregate(
+                    "ts",
+                    F.lit(0.0),
+                    lambda acc, s: acc
+                    + s["n"] * F.pow(F.lit(float(c)), s["tau"]),
+                )
+                / F.lit(float(num_fingerprints))
+            ).alias("sim"),
+        )
+    )
+
+
 def simrank_fingerprints(
     spark: SparkSession,
     edges: DataFrame,
@@ -236,12 +266,7 @@ def simrank_fingerprints(
         .groupBy("a", "b", "fp")
         .agg(F.min("t").alias("tau"))
     )
-    est = meet.groupBy("a", "b").agg(
-        (
-            F.sum(F.pow(F.lit(float(c)), F.col("tau")))
-            / F.lit(float(num_fingerprints))
-        ).alias("sim")
-    )
+    est = _mc_estimate(meet, c, num_fingerprints)
     # pairs that never meet estimate 0
     return qa.join(est, ["a", "b"], "left").select(
         "a", "b", F.coalesce(F.col("sim"), F.lit(0.0)).alias("sim")
@@ -304,12 +329,7 @@ def simrank_topk_pairs(
         )
         .agg(F.min(F.col("x.t")).alias("tau"))
     )
-    est = meet.groupBy("a", "b").agg(
-        (
-            F.sum(F.pow(F.lit(float(c)), F.col("tau")))
-            / F.lit(float(num_fingerprints))
-        ).alias("sim")
-    )
+    est = _mc_estimate(meet, c, num_fingerprints)
     # per-vertex top-k on EITHER endpoint: a pair survives if it is in
     # the top-k list of a or of b (the usual all-pairs-knn contract)
     both = est.select(F.col("a").alias("v"), "a", "b", "sim").unionByName(
