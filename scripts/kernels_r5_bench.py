@@ -139,6 +139,69 @@ def main() -> None:
     n = repo_profile(corpus).count()
     out["repo_profile"] = {"s": round(time.time() - t0, 1), "repos": n}
 
+    # HITS, 4 fixed iterations on the same directed view as SALSA
+    from arabesque_spark.graph.hits import hits_fixed
+
+    t0 = time.time()
+    n = hits_fixed(spark, de, iterations=4).count()
+    out["hits_4iter"] = {"s": round(time.time() - t0, 1), "rows": n}
+
+    # bow-tie decomposition on the cyclic per-order chain graph (the
+    # directed-gate shape: SCC + 4 reach sweeps)
+    from pyspark.sql import Window
+
+    from arabesque_spark.graph.bowtie import bowtie, bowtie_summary
+
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    chain = (
+        li.select(
+            F.col("l_partkey").alias("src"),
+            F.coalesce(
+                F.lead("l_partkey").over(w), F.first("l_partkey").over(wf)
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    n_chain = chain.count()
+    t0 = time.time()
+    cls = bowtie(spark, chain)
+    summ = {r["cls"]: r["n"] for r in bowtie_summary(cls).collect()}
+    out["bowtie"] = {
+        "s": round(time.time() - t0, 1),
+        "E": n_chain,
+        "classes": summ,
+    }
+
+    # rich-club ladder on the co-occurrence graph
+    from arabesque_spark.graph.stats import rich_club
+
+    t0 = time.time()
+    rc = rich_club(edges, [2, 4, 8, 16, 32, 64, 128]).collect()
+    out["rich_club"] = {
+        "s": round(time.time() - t0, 1),
+        "ks": len(rc),
+        "phi_max_k": round(rc[-1]["phi"] or 0.0, 4),
+    }
+
+    # co-change rules over a 96k-row synthetic VCS log
+    from arabesque_spark.operators.code import cochange_rules
+    from arabesque_spark.sources.corpus import synth_corpus
+
+    corpus2 = synth_corpus(
+        spark, num_repos=2000, commits_per_repo=8, files_per_commit=6
+    ).localCheckpoint(eager=True)
+    n_rows = corpus2.count()
+    t0 = time.time()
+    n = cochange_rules(corpus2, min_support=2).count()
+    out["cochange"] = {
+        "s": round(time.time() - t0, 1),
+        "log_rows": n_rows,
+        "rules": n,
+    }
+
     print(json.dumps(out, indent=1))
     with open("/root/repo/BENCH/kernels_r5_sf0.1.json", "w") as fh:
         fh.write(json.dumps(out, indent=1))
