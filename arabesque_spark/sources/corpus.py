@@ -172,11 +172,13 @@ def ingest_corpus(
     the per-row invariant the target contract demands of every ingest hop.
     """
     out = str(out_dir)
-    writer = corpus.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(partition_by)
-    writer.parquet(out)
-    back = spark.read.parquet(out)
+    # parquet path or Iceberg catalog table — the table-format dispatch
+    # (sources/tables.py) keeps this call site identical on a cluster
+    # where the ingest target is a snapshot-committed Iceberg table
+    from arabesque_spark.sources.tables import read_table, write_table
+
+    write_table(corpus, out, mode="overwrite", partition_by=partition_by)
+    back = read_table(spark, out)
     bad = verify_sha256(back)
     if bad:
         raise ValueError(f"ingest_corpus: {bad} rows violate the sha256 invariant")

@@ -1,0 +1,130 @@
+"""Table-format dispatch: Iceberg catalog tables when the runtime has
+them, parquet directories otherwise.
+
+The target deployment reads its source-code corpus from, and
+checkpoints per-iteration vertex state to, Iceberg tables. Iceberg on
+Spark is pure configuration — `iceberg-spark-runtime` on the
+classpath plus a `spark.sql.catalog.<name>` entry — and the DataFrame
+code is IDENTICAL either way: `spark.table(ref)` scans and
+`df.writeTo(ref)` commits go through the catalog, giving
+snapshot-isolated commits, hidden-partition pruning, and metadata
+tables (`<ref>.snapshots`, `<ref>.files`) for per-partition lineage.
+
+This container does not ship the Iceberg runtime jar (and installing
+one is out of scope), so every entry point here dispatches on the
+reference shape and the runtime capability:
+
+* ``ref`` containing a path separator (or ending in ``.parquet``) →
+  plain parquet directory — what every test and bench in this repo
+  exercises.
+* dotted ``catalog.db.table`` ref → catalog table; requires
+  :func:`iceberg_available`. The dispatch (not the jar) is what the
+  tests pin, so on a real cluster the same call sites light up with
+  zero code change.
+
+Lineage equivalence: the superstep checkpoint's per-partition row
+counts come from parquet footers (engine/superstep.py — a driver-side
+metadata read). On Iceberg the same numbers come from the ``.files``
+metadata table (`record_count` per data file), exposed here as
+:func:`table_lineage`. Both are O(#files) driver reads, no data scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: catalog plugin class the Iceberg runtime jar provides
+_ICEBERG_CATALOG_CLASS = "org.apache.iceberg.spark.SparkCatalog"
+
+
+def is_table_ref(ref: str) -> bool:
+    """True for a ``catalog.db.table`` identifier, False for a filesystem
+    path (contains a separator or a parquet suffix)."""
+    r = str(ref)
+    return "/" not in r and "\\" not in r and not r.endswith(".parquet")
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """Whether the Iceberg Spark runtime is on this session's classpath."""
+    try:
+        jvm = spark._jvm  # noqa: SLF001 — capability probe needs the JVM
+        jvm.java.lang.Class.forName(_ICEBERG_CATALOG_CLASS)
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, ref: str) -> DataFrame:
+    """Read ``ref`` — a parquet path or an Iceberg catalog table."""
+    if not is_table_ref(ref):
+        return spark.read.parquet(str(ref))
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            f"'{ref}' is a catalog table reference but the Iceberg runtime "
+            "is not on the classpath; add iceberg-spark-runtime and a "
+            "spark.sql.catalog entry, or pass a parquet path"
+        )
+    return spark.table(ref)
+
+
+def write_table(
+    df: DataFrame,
+    ref: str,
+    mode: str = "overwrite",
+    partition_by: str | None = None,
+) -> None:
+    """Write ``df`` to a parquet path or an Iceberg catalog table.
+
+    ``mode``: ``overwrite`` (parquet overwrite / Iceberg
+    createOrReplace — a new snapshot, old ones stay time-travelable) or
+    ``append`` (parquet append / Iceberg fast-append commit).
+    """
+    if not is_table_ref(ref):
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(str(ref))
+        return
+    if not iceberg_available(df.sparkSession):
+        raise RuntimeError(
+            f"'{ref}' is a catalog table reference but the Iceberg runtime "
+            "is not on the classpath"
+        )
+    w = df.writeTo(ref)
+    if partition_by:
+        from pyspark.sql import functions as F
+
+        w = w.partitionedBy(F.col(partition_by))
+    if mode == "append":
+        w.append()
+    else:
+        w.createOrReplace()
+
+
+def table_lineage(spark: SparkSession, ref: str) -> list[int]:
+    """Per-data-file row counts of ``ref`` — the checkpoint lineage
+    numbers, from metadata only (no data scan).
+
+    Parquet: footer ``num_rows`` per part file (the same driver-side
+    read engine/superstep.py does for checkpoint manifests). Iceberg:
+    ``record_count`` per file from the ``<ref>.files`` metadata table.
+    """
+    if not is_table_ref(ref):
+        import pathlib
+
+        import pyarrow.parquet as pq
+
+        files = sorted(pathlib.Path(str(ref)).glob("part-*.parquet"))
+        return [pq.ParquetFile(f).metadata.num_rows for f in files]
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            f"'{ref}' is a catalog table reference but the Iceberg runtime "
+            "is not on the classpath"
+        )
+    rows = (
+        spark.table(f"{ref}.files")
+        .select("file_path", "record_count")
+        .orderBy("file_path")
+        .collect()
+    )
+    return [int(r["record_count"]) for r in rows]

@@ -1,0 +1,58 @@
+"""Table-format dispatch (parquet path vs Iceberg catalog ref)."""
+
+from __future__ import annotations
+
+import pytest
+
+from arabesque_spark.sources.tables import (
+    iceberg_available,
+    is_table_ref,
+    read_table,
+    table_lineage,
+    write_table,
+)
+
+
+def test_ref_shapes():
+    assert is_table_ref("analytics.graph.vertex_state")
+    assert is_table_ref("db.tbl")
+    assert not is_table_ref("/tmp/out")
+    assert not is_table_ref("data/part.parquet")
+    assert not is_table_ref("state.parquet")
+
+
+def test_iceberg_probe_false_here(spark):
+    # this container ships no Iceberg runtime jar — the probe must say so
+    assert iceberg_available(spark) is False
+
+
+def test_parquet_roundtrip_and_lineage(spark, tmp_path):
+    df = spark.range(0, 1000).selectExpr("id", "id % 3 AS lang")
+    out = str(tmp_path / "t")
+    write_table(df, out, mode="overwrite")
+    back = read_table(spark, out)
+    assert back.count() == 1000
+    lineage = table_lineage(spark, out)
+    assert sum(lineage) == 1000 and all(n > 0 for n in lineage)
+
+
+def test_parquet_partitioned_write(spark, tmp_path):
+    df = spark.range(0, 90).selectExpr("id", "CAST(id % 3 AS STRING) AS lang")
+    out = str(tmp_path / "p")
+    write_table(df, out, mode="overwrite", partition_by="lang")
+    back = read_table(spark, out)
+    assert back.count() == 90
+    # partition-column type inference may read the values back as ints
+    assert sorted(
+        int(r["lang"]) for r in back.select("lang").distinct().collect()
+    ) == [0, 1, 2]
+
+
+def test_table_ref_without_runtime_raises(spark, tmp_path):
+    with pytest.raises(RuntimeError, match="classpath"):
+        read_table(spark, "catalog.db.tbl")
+    df = spark.range(3)
+    with pytest.raises(RuntimeError, match="classpath"):
+        write_table(df, "catalog.db.tbl")
+    with pytest.raises(RuntimeError, match="classpath"):
+        table_lineage(spark, "catalog.db.tbl")
