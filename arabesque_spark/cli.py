@@ -48,10 +48,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--pairwise-limit", type=int, default=16)
 
+    p = sub.add_parser("cochange", help="logical-coupling rules from a VCS-log table")
+    p.add_argument("--corpus", required=True,
+                   help="parquet dir or catalog table with (repo,path,commit)")
+    p.add_argument("--min-support", type=int, default=2)
+    p.add_argument("--max-commit-files", type=int, default=64)
+    p.add_argument("--out", default=None)
+
     for name in ("pagerank", "cc", "lpa", "triangles", "motifs", "fsm", "walks",
                  "kcore", "ktruss", "truss", "bfs", "census", "louvain", "mis",
                  "coloring", "mst", "katz", "eigenvector", "wl", "maxclique",
-                 "topo", "partition", "simrank", "featprop", "salsa", "densest"):
+                 "topo", "partition", "simrank", "featprop", "salsa", "densest",
+                 "bowtie", "richclub"):
         p = sub.add_parser(name)
         p.add_argument("--edges", required=True, help="parquet dir with (src,dst)")
         p.add_argument("--out", default=None, help="result parquet dir")
@@ -141,6 +149,9 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--norm", choices=("rw", "sym"), default="rw")
             p.add_argument("--self-loops", action="store_true")
             p.add_argument("--alpha", type=float, default=0.0)
+        if name == "richclub":
+            p.add_argument("--ks", default="2,4,8,16,32",
+                           help="comma-separated degree thresholds")
         if name == "wl":
             p.add_argument("--rounds", type=int, default=3)
             p.add_argument("--labels", default=None,
@@ -157,7 +168,7 @@ def main(argv: list[str] | None = None) -> int:
     # flag: a user "resuming" a long run would otherwise restart from
     # scratch with no warning.
     no_ckpt = {"triangles", "motifs", "walks", "census", "mst", "maxclique",
-               "simrank", "featprop", "densest"}
+               "simrank", "featprop", "densest", "bowtie", "richclub"}
     if args.cmd in no_ckpt and args.checkpoint:
         parser.error(
             f"{args.cmd} does not support --checkpoint: it runs as a "
@@ -198,6 +209,26 @@ def main(argv: list[str] | None = None) -> int:
             info["out"] = args.out
         else:
             info["rows"] = out_df.count()
+        print(json.dumps(info))
+        return 0
+
+    if args.cmd == "cochange":
+        from arabesque_spark.operators.code import cochange_rules
+        from arabesque_spark.sources.tables import read_table
+
+        corpus = read_table(spark, args.corpus)
+        rules = cochange_rules(
+            corpus,
+            min_support=args.min_support,
+            max_commit_files=args.max_commit_files,
+        )
+        info = {"min_support": args.min_support,
+                "max_commit_files": args.max_commit_files}
+        if args.out:
+            rules.write.mode("overwrite").parquet(args.out)
+            info["out"] = args.out
+        else:
+            info["rules"] = rules.count()
         print(json.dumps(info))
         return 0
 
@@ -576,6 +607,22 @@ def main(argv: list[str] | None = None) -> int:
         labels_df = spark.read.parquet(args.labels) if args.labels else None
         out_df = motif_census_k(spark, edges, args.size, vertex_labels=labels_df)
         info = {"size": args.size}
+    elif args.cmd == "bowtie":
+        from arabesque_spark.graph.bowtie import bowtie, bowtie_summary
+
+        out_df = bowtie(spark, edges)
+        info = {
+            "classes": {
+                r["cls"]: r["n"] for r in bowtie_summary(out_df).collect()
+            }
+        }
+    elif args.cmd == "richclub":
+        from arabesque_spark.graph.build import canonical_edges
+        from arabesque_spark.graph.stats import rich_club
+
+        ks = [int(k) for k in args.ks.split(",") if k.strip()]
+        out_df = rich_club(canonical_edges(edges), ks)
+        info = {"ks": ks}
     else:  # triangles
         from arabesque_spark.graph.triangles import triangle_counts_per_vertex
 

@@ -185,3 +185,35 @@ def test_cli_densest(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["density"] >= len(TEST_GRAPH_EDGES) / 7 - 1e-12
     assert out["rows"] == out["n_vertices"] > 0
+
+
+def test_cli_bowtie_richclub_cochange(spark, tmp_path, capsys):
+    import json
+
+    from arabesque_spark.cli import main
+    from tests.test_bowtie import BRODER_EDGES
+
+    def run(argv):
+        assert main(argv) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    edges_dir = str(tmp_path / "bt_edges")
+    spark.createDataFrame(BRODER_EDGES, "src long, dst long").write.parquet(edges_dir)
+    out = run(["bowtie", "--edges", edges_dir])
+    assert out["classes"]["CORE"] == 3 and out["classes"]["DISC"] == 2
+
+    out = run(["richclub", "--edges", edges_dir, "--ks", "1,2"])
+    assert out["ks"] == [1, 2] and out["rows"] == 2
+
+    log_dir = str(tmp_path / "vcs_log")
+    rows = [("r1", "a.py", f"c{i}") for i in range(3)]
+    rows += [("r1", "b.py", f"c{i}") for i in range(3)]
+    spark.createDataFrame(rows, "repo string, path string, commit string").write.parquet(log_dir)
+    out = run(["cochange", "--corpus", log_dir, "--min-support", "2"])
+    assert out["rules"] == 1
+
+    # single-job ops refuse checkpoint flags
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["bowtie", "--edges", edges_dir, "--resume"])
