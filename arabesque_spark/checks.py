@@ -1221,9 +1221,12 @@ def q_corpus_ops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("f"), ((d * 7) % 23).cast("string")).alias("path"),
         F.expr("(doc_id div 5) % 20").cast("string").alias("commit"),
     )
-    cc = cochange_rules(cc_src, min_support=CC_MINSUP).localCheckpoint(
-        eager=True
-    )
+    # cap OFF explicitly: the oracle twin applies no commit-size cap, so
+    # the equivalence must be structural, not an accident of the path
+    # modulus (23) sitting under the default cap (64)
+    cc = cochange_rules(
+        cc_src, min_support=CC_MINSUP, max_commit_files=None
+    ).localCheckpoint(eager=True)
     cc_bad = cc.filter(
         (F.col("conf_ab") <= 0)
         | (F.col("conf_ab") > 1 + 1e-12)

@@ -157,18 +157,15 @@ def bowtie(
         .when(F.col("f_in") | F.col("t_out"), F.lit("TENDRIL"))
         .otherwise(F.lit("DISC"))
     )
+    # code column derives from CLASS_CODES — one definition drives the
+    # python constant, the emitted ints, and (manually mirrored) the
+    # DuckDB twin in checks.py
+    code_map = F.create_map(
+        *[x for k, v in CLASS_CODES.items() for x in (F.lit(k), F.lit(v))]
+    )
     result = (
         j.select("vid", cls.alias("cls"))
-        .withColumn(
-            "code",
-            F.when(F.col("cls") == "CORE", 1)
-            .when(F.col("cls") == "IN", 2)
-            .when(F.col("cls") == "OUT", 3)
-            .when(F.col("cls") == "TUBE", 4)
-            .when(F.col("cls") == "TENDRIL", 5)
-            .otherwise(6)
-            .cast("int"),
-        )
+        .withColumn("code", F.element_at(code_map, F.col("cls")).cast("int"))
         .localCheckpoint(eager=True)
     )
     e.unpersist()

@@ -190,10 +190,11 @@ def rich_club(edges: DataFrame, ks: list[int]) -> DataFrame:
     joins, then an explode over the (tiny, literal) k list — every stage
     map-side combinable, no driver loop over k.
     """
+    from arabesque_spark.graph.build import degrees
+
     ks = sorted(set(int(k) for k in ks))
     ks_col = F.array(*[F.lit(k) for k in ks])
-    sym = symmetric_edges(edges)
-    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    deg = degrees(edges)
     nk = (
         deg.select(F.explode(ks_col).alias("k"), "deg")
         .filter(F.col("deg") > F.col("k"))
@@ -203,11 +204,11 @@ def rich_club(edges: DataFrame, ks: list[int]) -> DataFrame:
     ek = (
         edges.select("src", "dst")
         .join(
-            deg.select(F.col("src").alias("a"), F.col("deg").alias("dsrc")),
+            deg.select(F.col("vid").alias("a"), F.col("deg").alias("dsrc")),
             F.col("src") == F.col("a"),
         )
         .join(
-            deg.select(F.col("src").alias("b"), F.col("deg").alias("ddst")),
+            deg.select(F.col("vid").alias("b"), F.col("deg").alias("ddst")),
             F.col("dst") == F.col("b"),
         )
         .select(F.explode(ks_col).alias("k"), "dsrc", "ddst")

@@ -31,6 +31,8 @@ metadata table (`record_count` per data file), exposed here as
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 #: catalog plugin class the Iceberg runtime jar provides
@@ -38,17 +40,29 @@ _ICEBERG_CATALOG_CLASS = "org.apache.iceberg.spark.SparkCatalog"
 
 
 def is_table_ref(ref: str) -> bool:
-    """True for a ``catalog.db.table`` identifier, False for a filesystem
-    path (contains a separator or a parquet suffix)."""
+    """True for a dotted ``catalog.db.table`` / ``db.table`` identifier,
+    False for a filesystem path. Bare names without a dot ("corpus_out")
+    and anything with a path separator or a ``.parquet`` suffix are
+    paths — relative output dirs keep working unchanged."""
     r = str(ref)
-    return "/" not in r and "\\" not in r and not r.endswith(".parquet")
+    if "/" in r or "\\" in r or r.endswith(".parquet"):
+        return False
+    return bool(re.fullmatch(r"\w+(\.\w+)+", r))
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    """Whether the Iceberg Spark runtime is on this session's classpath."""
+    """Whether the Iceberg Spark runtime is on this session's classpath.
+
+    Probes through Spark's own class loader (``Utils.classForName``) —
+    jars added via ``--packages``/``spark.jars`` live in Spark's mutable
+    URL loader, which the plain py4j ``java.lang.Class.forName`` (system
+    loader) cannot see, so that probe would be a false negative on the
+    standard deployment path."""
     try:
         jvm = spark._jvm  # noqa: SLF001 — capability probe needs the JVM
-        jvm.java.lang.Class.forName(_ICEBERG_CATALOG_CLASS)
+        jvm.org.apache.spark.util.Utils.classForName(
+            _ICEBERG_CATALOG_CLASS, False, False
+        )
         return True
     except Exception:
         return False
@@ -77,7 +91,11 @@ def write_table(
 
     ``mode``: ``overwrite`` (parquet overwrite / Iceberg
     createOrReplace — a new snapshot, old ones stay time-travelable) or
-    ``append`` (parquet append / Iceberg fast-append commit).
+    ``append`` (parquet append / Iceberg fast-append commit). Other
+    Spark save modes (error/ignore) pass through on the parquet branch
+    but are REJECTED for catalog refs — mapping them onto
+    createOrReplace would silently replace an existing table, violating
+    their never-overwrite contract.
     """
     if not is_table_ref(ref):
         writer = df.write.mode(mode)
@@ -85,6 +103,12 @@ def write_table(
             writer = writer.partitionBy(partition_by)
         writer.parquet(str(ref))
         return
+    if mode not in ("overwrite", "append"):
+        raise ValueError(
+            f"write_table mode '{mode}' is not supported for catalog "
+            "tables; use 'overwrite' (createOrReplace snapshot) or "
+            "'append' (fast-append commit)"
+        )
     if not iceberg_available(df.sparkSession):
         raise RuntimeError(
             f"'{ref}' is a catalog table reference but the Iceberg runtime "
@@ -114,7 +138,9 @@ def table_lineage(spark: SparkSession, ref: str) -> list[int]:
 
         import pyarrow.parquet as pq
 
-        files = sorted(pathlib.Path(str(ref)).glob("part-*.parquet"))
+        # recursive: partitioned layouts nest part files under
+        # <col>=<val>/ dirs (ingest_corpus partitions by lang by default)
+        files = sorted(pathlib.Path(str(ref)).rglob("part-*.parquet"))
         return [pq.ParquetFile(f).metadata.num_rows for f in files]
     if not iceberg_available(spark):
         raise RuntimeError(

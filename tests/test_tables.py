@@ -19,6 +19,9 @@ def test_ref_shapes():
     assert not is_table_ref("/tmp/out")
     assert not is_table_ref("data/part.parquet")
     assert not is_table_ref("state.parquet")
+    # bare relative dirs (no dot) are paths — ingest --corpus-out out_dir
+    assert not is_table_ref("corpus_out")
+    assert not is_table_ref("vcslog")
 
 
 def test_iceberg_probe_false_here(spark):
@@ -46,6 +49,9 @@ def test_parquet_partitioned_write(spark, tmp_path):
     assert sorted(
         int(r["lang"]) for r in back.select("lang").distinct().collect()
     ) == [0, 1, 2]
+    # lineage must see part files nested under the partition dirs
+    lineage = table_lineage(spark, out)
+    assert sum(lineage) == 90 and len(lineage) >= 3
 
 
 def test_table_ref_without_runtime_raises(spark, tmp_path):
@@ -56,3 +62,7 @@ def test_table_ref_without_runtime_raises(spark, tmp_path):
         write_table(df, "catalog.db.tbl")
     with pytest.raises(RuntimeError, match="classpath"):
         table_lineage(spark, "catalog.db.tbl")
+    # never-overwrite save modes are rejected for catalog refs (mapping
+    # them onto createOrReplace would silently replace the table)
+    with pytest.raises(ValueError, match="mode"):
+        write_table(df, "catalog.db.tbl", mode="error")
