@@ -1,0 +1,92 @@
+"""The north-rule deployment shape, exercised for real: package the
+library as a --py-files zip, then launch an actual ``spark-submit``
+subprocess (fresh JVM, fresh Python, the repo itself NOT on sys.path —
+only the zip) running checkpointed PageRank end-to-end."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SPARK_SUBMIT = shutil.which("spark-submit") or os.path.join(
+    os.path.dirname(os.path.dirname(os.__file__)),
+    "site-packages", "pyspark", "bin", "spark-submit",
+)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not found"
+)
+def test_spark_submit_pyfiles_pagerank(spark, tmp_path):
+    # build the zip + driver
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        import make_submit_zip
+
+        make_submit_zip.build()
+    finally:
+        sys.path.pop(0)
+    zpath = os.path.join(REPO, "dist", "arabesque_spark.zip")
+    driver = os.path.join(REPO, "dist", "submit_main.py")
+    assert os.path.exists(zpath) and os.path.exists(driver)
+
+    # edges parquet from the session fixture's golden graph
+    from tests.conftest import TEST_GRAPH_EDGES
+
+    edges_dir = str(tmp_path / "edges")
+    spark.createDataFrame(TEST_GRAPH_EDGES, "src long, dst long").write.parquet(
+        edges_dir
+    )
+    out_dir = str(tmp_path / "ranks")
+    ckpt = str(tmp_path / "ckpt")
+
+    # cwd OUTSIDE the repo so the import can only come from the zip
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["SPARK_GRAFT_CPUS"] = "2"
+    res = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[2]",
+            "--py-files", zpath,
+            driver,
+            "pagerank", "--edges", edges_dir,
+            "--checkpoint", ckpt, "--out", out_dir,
+            "--tol", "1e-6", "--max-iterations", "50",
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    info = json.loads(res.stdout.strip().splitlines()[-1])
+    assert info["converged"] is True
+    assert info["out"] == out_dir
+
+    # the submitted run's output matches the in-process engine
+    from arabesque_spark.graph.pagerank import pagerank
+
+    want = {
+        r["vid"]: r["rank"]
+        for r in pagerank(
+            spark, spark.read.parquet(edges_dir), tol=1e-6
+        ).state.collect()
+    }
+    got = {r["vid"]: r["rank"] for r in spark.read.parquet(out_dir).collect()}
+    assert set(got) == set(want)
+    assert all(abs(got[v] - want[v]) < 1e-9 for v in want)
+
+    # checkpoint manifest exists with a converged last line
+    manifest = os.path.join(ckpt, "manifest.jsonl")
+    assert os.path.exists(manifest)
+    last = json.loads(open(manifest).read().strip().splitlines()[-1])
+    assert last.get("converged") is True
