@@ -236,3 +236,53 @@ def weighted_distances(
         },
         halt_decide=halt_decide,
     )
+
+
+def diameter_double_sweep(
+    spark: SparkSession,
+    edges: DataFrame,
+    sweeps: int = 2,
+    max_depth: int = 64,
+) -> dict:
+    """Exact-diameter LOWER bound by iterated double sweep (the iFUB
+    building block: Crescenzi et al., "On computing the diameter of
+    real-world undirected graphs").
+
+    Sweep 0 starts from the minimum vertex id (deterministic); each
+    subsequent sweep starts from the farthest vertex found so far
+    (ties → min vid), whose eccentricity is the classic lower bound —
+    on real (web-shaped) graphs two sweeps are usually exact. Returns
+    ``{"lower_bound", "start", "periphery", "sweeps"}``.
+
+    Each sweep is one multi-source BFS with a single source
+    (:func:`bfs_distances` — frontier joins against the symmetric edge
+    table, O(diameter) rounds); the per-sweep argmax is a 1-row
+    aggregate. Driver traffic is one scalar pair per sweep — no
+    collected distances.
+    """
+    start = (
+        edges.select(F.least("src", "dst").alias("vid"))
+        .agg(F.min("vid"))
+        .collect()[0][0]
+    )
+    best = -1
+    periphery = start
+    cur = start
+    for s in range(sweeps):
+        src = spark.createDataFrame([(int(cur),)], "vid long")
+        d = bfs_distances(spark, edges, src, max_depth=max_depth).state
+        far = (
+            d.orderBy(F.desc("dist"), F.asc("vid")).limit(1).collect()[0]
+        )
+        ecc, nxt = int(far["dist"]), int(far["vid"])
+        if ecc > best:
+            best, periphery = ecc, nxt
+        if nxt == cur or ecc == 0:
+            break
+        cur = nxt
+    return {
+        "lower_bound": best,
+        "start": int(start),
+        "periphery": int(periphery),
+        "sweeps": sweeps,
+    }

@@ -1,0 +1,101 @@
+"""Double-sweep diameter lower bound vs brute-force eccentricities."""
+
+from __future__ import annotations
+
+import random
+from collections import deque
+
+from arabesque_spark.graph.bfs import diameter_double_sweep
+
+
+def _brute_diameter(edges):
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+
+    def ecc(v):
+        dist = {v: 0}
+        q = deque([v])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        return max(dist.values())
+
+    return max(ecc(v) for v in adj)
+
+
+def test_path_graph_exact(spark):
+    # path 0-1-2-...-9: diameter 9, double sweep finds it exactly
+    edges = [(i, i + 1) for i in range(9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = diameter_double_sweep(spark, df, max_depth=32)
+    assert out["lower_bound"] == 9
+
+
+def _py_double_sweep(edges, sweeps):
+    """The same deterministic sweep schedule as the engine."""
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+
+    def bfs(v):
+        dist = {v: 0}
+        q = deque([v])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        return dist
+
+    cur = min(adj)
+    best = -1
+    for _ in range(sweeps):
+        dist = bfs(cur)
+        ecc = max(dist.values())
+        nxt = min(v for v, dd in dist.items() if dd == ecc)
+        if ecc > best:
+            best = ecc
+        if nxt == cur or ecc == 0:
+            break
+        cur = nxt
+    return best
+
+
+def test_matches_python_sweep_and_bounds(spark):
+    rng = random.Random(3)
+    for trial in range(4):
+        n = 16
+        edges = sorted(
+            {
+                tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                for _ in range(20)
+            }
+        )
+        edges = [(s, d) for s, d in edges if s != d]
+        # keep it connected: chain backbone
+        edges += [(i, i + 1) for i in range(n - 1)]
+        edges = sorted(set(edges))
+        df = spark.createDataFrame(edges, "src long, dst long")
+        want_lb = _py_double_sweep(edges, 3)
+        got = diameter_double_sweep(spark, df, sweeps=3, max_depth=32)
+        # exact parity with the reference sweep schedule, and a valid
+        # lower bound on the true diameter (double sweep is a heuristic:
+        # not always exact, always a bound)
+        assert got["lower_bound"] == want_lb, f"trial {trial}"
+        assert 1 <= got["lower_bound"] <= _brute_diameter(edges)
+
+
+def test_golden_graph(spark, test_graph):
+    # golden 7-vertex graph: diameter is known by brute force
+    from tests.conftest import TEST_GRAPH_EDGES
+
+    want = _brute_diameter(TEST_GRAPH_EDGES)
+    got = diameter_double_sweep(spark, test_graph, sweeps=3)
+    assert got["lower_bound"] == want
