@@ -59,7 +59,7 @@ def main(argv: list[str] | None = None) -> int:
                  "kcore", "ktruss", "truss", "bfs", "census", "louvain", "mis",
                  "coloring", "mst", "katz", "eigenvector", "wl", "maxclique",
                  "topo", "partition", "simrank", "featprop", "salsa", "densest",
-                 "bowtie", "richclub"):
+                 "bowtie", "richclub", "diameter"):
         p = sub.add_parser(name)
         p.add_argument("--edges", required=True, help="parquet dir with (src,dst)")
         p.add_argument("--out", default=None, help="result parquet dir")
@@ -152,6 +152,9 @@ def main(argv: list[str] | None = None) -> int:
         if name == "richclub":
             p.add_argument("--ks", default="2,4,8,16,32",
                            help="comma-separated degree thresholds")
+        if name == "diameter":
+            p.add_argument("--sweeps", type=int, default=2)
+            p.add_argument("--max-depth", type=int, default=64)
         if name == "wl":
             p.add_argument("--rounds", type=int, default=3)
             p.add_argument("--labels", default=None,
@@ -168,7 +171,8 @@ def main(argv: list[str] | None = None) -> int:
     # flag: a user "resuming" a long run would otherwise restart from
     # scratch with no warning.
     no_ckpt = {"triangles", "motifs", "walks", "census", "mst", "maxclique",
-               "simrank", "featprop", "densest", "bowtie", "richclub"}
+               "simrank", "featprop", "densest", "bowtie", "richclub",
+               "diameter"}
     if args.cmd in no_ckpt and args.checkpoint:
         parser.error(
             f"{args.cmd} does not support --checkpoint: it runs as a "
@@ -607,6 +611,16 @@ def main(argv: list[str] | None = None) -> int:
         labels_df = spark.read.parquet(args.labels) if args.labels else None
         out_df = motif_census_k(spark, edges, args.size, vertex_labels=labels_df)
         info = {"size": args.size}
+    elif args.cmd == "diameter":
+        from arabesque_spark.graph.bfs import diameter_double_sweep
+
+        if args.out:
+            parser.error("diameter emits scalars, not a table: drop --out")
+        info = diameter_double_sweep(
+            spark, edges, sweeps=args.sweeps, max_depth=args.max_depth
+        )
+        print(json.dumps(info))
+        return 0
     elif args.cmd == "bowtie":
         from arabesque_spark.graph.bowtie import bowtie, bowtie_summary
 

@@ -217,3 +217,17 @@ def test_cli_bowtie_richclub_cochange(spark, tmp_path, capsys):
 
     with pytest.raises(SystemExit):
         main(["bowtie", "--edges", edges_dir, "--resume"])
+
+
+def test_cli_diameter(spark, tmp_path, capsys):
+    import json
+
+    from arabesque_spark.cli import main
+
+    edges_dir = str(tmp_path / "d_edges")
+    spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    ).write.parquet(edges_dir)
+    assert main(["diameter", "--edges", edges_dir, "--sweeps", "3"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["lower_bound"] == 6
