@@ -156,6 +156,11 @@ def main(argv: list[str] | None = None) -> int:
         if name == "diameter":
             p.add_argument("--sweeps", type=int, default=2)
             p.add_argument("--max-depth", type=int, default=64)
+            p.add_argument("--exact", action="store_true",
+                           help="iFUB exact diameter instead of the "
+                           "double-sweep lower bound")
+            p.add_argument("--fringe-batch", type=int, default=64)
+            p.add_argument("--max-bfs-sources", type=int, default=4096)
         if name == "wl":
             p.add_argument("--rounds", type=int, default=3)
             p.add_argument("--labels", default=None,
@@ -613,13 +618,20 @@ def main(argv: list[str] | None = None) -> int:
         out_df = motif_census_k(spark, edges, args.size, vertex_labels=labels_df)
         info = {"size": args.size}
     elif args.cmd == "diameter":
-        from arabesque_spark.graph.bfs import diameter_double_sweep
+        from arabesque_spark.graph.bfs import diameter_double_sweep, diameter_ifub
 
         if args.out:
             parser.error("diameter emits scalars, not a table: drop --out")
-        info = diameter_double_sweep(
-            spark, edges, sweeps=args.sweeps, max_depth=args.max_depth
-        )
+        if args.exact:
+            info = diameter_ifub(
+                spark, edges, max_depth=args.max_depth,
+                fringe_batch=args.fringe_batch,
+                max_bfs_sources=args.max_bfs_sources,
+            )
+        else:
+            info = diameter_double_sweep(
+                spark, edges, sweeps=args.sweeps, max_depth=args.max_depth
+            )
         print(json.dumps(info))
         return 0
     elif args.cmd == "bowtie":

@@ -286,3 +286,112 @@ def diameter_double_sweep(
         "periphery": int(periphery),
         "sweeps": sweeps,
     }
+
+
+def diameter_ifub(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_depth: int = 64,
+    fringe_batch: int = 64,
+    max_bfs_sources: int = 4096,
+) -> dict:
+    """EXACT diameter of the (connected, undirected) link graph by iFUB
+    (iterative Fringe Upper Bound — Crescenzi et al., "On computing the
+    diameter of real-world undirected graphs", TCS 2013).
+
+    iFUB refines the double-sweep lower bound into an exact answer:
+    root a BFS at a high-degree vertex u, then walk its levels top-down.
+    After every fringe F_i = {v : d(u, v) = i} has been processed
+    (lb := max(lb, ecc(v)) over F_i), the theorem gives
+    diameter ≤ max(lb, 2·(i-1)) — so the first time lb ≥ 2·i before
+    descending into level i, lb IS the diameter. On real (web-shaped)
+    graphs the loop touches only the top few fringes.
+
+    Spark-native twist: the paper processes fringe vertices one BFS at a
+    time; here each fringe is processed in batches of ``fringe_batch``
+    sources through ONE multi-source :func:`bfs_distances` run — the
+    per-source eccentricities drop out of a single
+    ``groupBy(source).max(dist)`` and per-batch state is bounded by
+    O(fringe_batch · V) rows. Driver traffic per batch is one scalar.
+
+    ``max_bfs_sources`` caps total eccentricity computations (adversarial
+    graphs can force Θ(V)); on cap overrun the result is the certified
+    interval with ``exact=False``. Returns ``{"diameter", "exact",
+    "root", "ecc_root", "lower_bound_seed", "bfs_sources",
+    "levels_processed"}``.
+    """
+    sym = symmetric_edges(edges)
+
+    # Seed the lower bound with a double sweep (usually already exact).
+    seed = diameter_double_sweep(spark, edges, sweeps=2, max_depth=max_depth)
+    lb = seed["lower_bound"]
+
+    # Root at the max-degree vertex (ties -> min vid): the iFUB_hd
+    # variant from the paper; hubs sit near the center, giving a small
+    # ecc(root) and therefore few fringe levels above the stop line.
+    root_row = (
+        sym.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .orderBy(F.desc("deg"), F.asc("src"))
+        .limit(1)
+        .collect()[0]
+    )
+    root = int(root_row["src"])
+
+    levels = bfs_distances(
+        spark, edges, spark.createDataFrame([(root,)], "vid long"),
+        max_depth=max_depth,
+    ).state.select("vid", "dist")
+    levels.persist()
+    try:
+        ecc_root = int(levels.agg(F.max("dist")).collect()[0][0])
+        lb = max(lb, ecc_root)
+        bfs_sources = 1
+        processed = 0
+        exact = True
+        i = ecc_root
+        while lb < 2 * i:
+            # Collect at most budget+1 fringe ids (the +1 detects
+            # overflow) — never the whole fringe, which can be Θ(V).
+            budget = max_bfs_sources - bfs_sources
+            fringe = (
+                levels.filter(F.col("dist") == i)
+                .select("vid")
+                .orderBy("vid")
+                .limit(budget + 1)
+                .collect()
+            )
+            overflow = len(fringe) > budget
+            fringe = fringe[:budget]
+            for lo in range(0, len(fringe), fringe_batch):
+                batch = fringe[lo : lo + fringe_batch]
+                srcs = spark.createDataFrame(
+                    [(int(r["vid"]),) for r in batch], "vid long"
+                )
+                d = bfs_distances(spark, edges, srcs, max_depth=max_depth).state
+                batch_ecc = int(d.agg(F.max("dist")).collect()[0][0])
+                lb = max(lb, batch_ecc)
+                bfs_sources += len(batch)
+                # Mid-level early exit is sound: fringes ABOVE i are fully
+                # processed, so diameter <= max(lb, 2i) already.
+                if lb >= 2 * i:
+                    overflow = False  # stop line reached: prefix sufficed
+                    break
+            if overflow:
+                # Budget exhausted mid-level with the stop line unmet:
+                # return the certified interval, not a claim of exactness.
+                exact = False
+                break
+            processed += 1
+            i -= 1
+        return {
+            "diameter": lb,
+            "exact": exact,
+            "root": root,
+            "ecc_root": ecc_root,
+            "lower_bound_seed": seed["lower_bound"],
+            "bfs_sources": bfs_sources,
+            "levels_processed": processed,
+        }
+    finally:
+        levels.unpersist()

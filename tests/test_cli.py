@@ -231,3 +231,8 @@ def test_cli_diameter(spark, tmp_path, capsys):
     assert main(["diameter", "--edges", edges_dir, "--sweeps", "3"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["lower_bound"] == 6
+
+    assert main(["diameter", "--edges", edges_dir, "--exact"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["diameter"] == 6
+    assert out["exact"] is True

@@ -99,3 +99,68 @@ def test_golden_graph(spark, test_graph):
     want = _brute_diameter(TEST_GRAPH_EDGES)
     got = diameter_double_sweep(spark, test_graph, sweeps=3)
     assert got["lower_bound"] == want
+
+
+# ---------------------------------------------------------------- iFUB
+
+
+def test_ifub_path_graph(spark):
+    from arabesque_spark.graph.bfs import diameter_ifub
+
+    edges = [(i, i + 1) for i in range(9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = diameter_ifub(spark, df, max_depth=32)
+    assert out["diameter"] == 9
+    assert out["exact"] is True
+
+
+def test_ifub_random_graphs_exact(spark):
+    """iFUB must return the TRUE diameter (not just a bound) on every
+    trial — compared against brute-force all-pairs eccentricities."""
+    from arabesque_spark.graph.bfs import diameter_ifub
+
+    rng = random.Random(11)
+    for trial in range(4):
+        n = 14
+        edges = sorted(
+            {
+                tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                for _ in range(16)
+            }
+        )
+        edges = [(s, d) for s, d in edges if s != d]
+        edges += [(i, i + 1) for i in range(n - 1)]  # connected backbone
+        edges = sorted(set(edges))
+        df = spark.createDataFrame(edges, "src long, dst long")
+        want = _brute_diameter(edges)
+        got = diameter_ifub(spark, df, max_depth=32, fringe_batch=4)
+        assert got["exact"] is True, f"trial {trial}"
+        assert got["diameter"] == want, f"trial {trial}"
+        assert got["lower_bound_seed"] <= want
+
+
+def test_ifub_golden_graph(spark, test_graph):
+    from arabesque_spark.graph.bfs import diameter_ifub
+    from tests.conftest import TEST_GRAPH_EDGES
+
+    want = _brute_diameter(TEST_GRAPH_EDGES)
+    got = diameter_ifub(spark, test_graph)
+    assert got["diameter"] == want
+    assert got["exact"] is True
+
+
+def test_ifub_budget_overrun_is_honest(spark):
+    """With a 2-source budget on a cycle (every fringe is large, stop
+    line never met early), iFUB must report exact=False, never a wrong
+    'exact' diameter."""
+    from arabesque_spark.graph.bfs import diameter_ifub
+
+    n = 12  # cycle: diameter 6, fringes of size 2 at every level
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    want = _brute_diameter(edges)
+    got = diameter_ifub(spark, df, max_depth=32, max_bfs_sources=2)
+    # the returned value is always a valid lower bound
+    assert got["diameter"] <= want
+    if got["exact"]:
+        assert got["diameter"] == want
