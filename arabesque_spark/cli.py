@@ -60,7 +60,7 @@ def main(argv: list[str] | None = None) -> int:
                  "kcore", "ktruss", "truss", "bfs", "census", "louvain", "mis",
                  "coloring", "mst", "katz", "eigenvector", "wl", "maxclique",
                  "topo", "partition", "simrank", "featprop", "salsa", "densest",
-                 "bowtie", "richclub", "diameter"):
+                 "bowtie", "richclub", "diameter", "bridges"):
         p = sub.add_parser(name)
         p.add_argument("--edges", required=True, help="parquet dir with (src,dst)")
         p.add_argument("--out", default=None, help="result parquet dir")
@@ -161,6 +161,10 @@ def main(argv: list[str] | None = None) -> int:
                            "double-sweep lower bound")
             p.add_argument("--fringe-batch", type=int, default=64)
             p.add_argument("--max-bfs-sources", type=int, default=4096)
+        if name == "bridges":
+            p.add_argument("--two-ecc", action="store_true",
+                           help="emit 2-edge-connected component labels "
+                           "(vid, component) instead of the bridge edges")
         if name == "wl":
             p.add_argument("--rounds", type=int, default=3)
             p.add_argument("--labels", default=None,
@@ -178,7 +182,7 @@ def main(argv: list[str] | None = None) -> int:
     # scratch with no warning.
     no_ckpt = {"triangles", "motifs", "walks", "census", "mst", "maxclique",
                "simrank", "featprop", "densest", "bowtie", "richclub",
-               "diameter"}
+               "diameter", "bridges"}
     if args.cmd in no_ckpt and args.checkpoint:
         parser.error(
             f"{args.cmd} does not support --checkpoint: it runs as a "
@@ -650,6 +654,17 @@ def main(argv: list[str] | None = None) -> int:
         ks = [int(k) for k in args.ks.split(",") if k.strip()]
         out_df = rich_club(canonical_edges(edges), ks)
         info = {"ks": ks}
+    elif args.cmd == "bridges":
+        from arabesque_spark.graph.bridges import bridges, two_edge_components
+
+        if args.two_ecc:
+            out_df = two_edge_components(spark, edges)
+            info = {
+                "components": out_df.select("component").distinct().count()
+            }
+        else:
+            out_df = bridges(spark, edges)
+            info = {"bridges": out_df.count()}
     else:  # triangles
         from arabesque_spark.graph.triangles import triangle_counts_per_vertex
 

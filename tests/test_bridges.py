@@ -1,0 +1,114 @@
+"""Bridges + 2-edge-connected components vs brute-force edge removal."""
+
+from __future__ import annotations
+
+import random
+
+from arabesque_spark.graph.bridges import bridges, two_edge_components
+
+
+def _components(adj, skip=None):
+    """Connected components of an adjacency dict, optionally skipping one
+    undirected edge — returns frozenset of frozensets."""
+    seen: set[int] = set()
+    comps = []
+    for start in adj:
+        if start in seen:
+            continue
+        comp = {start}
+        stack = [start]
+        seen.add(start)
+        while stack:
+            u = stack.pop()
+            for w in adj[u]:
+                if skip and {u, w} == set(skip):
+                    continue
+                if w not in seen:
+                    seen.add(w)
+                    comp.add(w)
+                    stack.append(w)
+        comps.append(frozenset(comp))
+    return frozenset(comps)
+
+
+def _brute_bridges(edges):
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    base = _components(adj)
+    out = set()
+    for s, d in edges:
+        if _components(adj, skip=(s, d)) != base:
+            out.add((min(s, d), max(s, d)))
+    return out
+
+
+def _canon(edges):
+    return sorted({(min(s, d), max(s, d)) for s, d in edges if s != d})
+
+
+def _got_bridges(spark, edges):
+    df = spark.createDataFrame(_canon(edges), "src long, dst long")
+    return {
+        (r["src"], r["dst"])
+        for r in bridges(spark, df).collect()
+    }
+
+
+def test_path_graph_all_bridges(spark):
+    edges = [(i, i + 1) for i in range(5)]
+    assert _got_bridges(spark, edges) == _brute_bridges(edges)
+    assert len(_brute_bridges(edges)) == 5  # every path edge is a bridge
+
+
+def test_cycle_graph_no_bridges(spark):
+    edges = [(i, (i + 1) % 6) for i in range(6)]
+    assert _got_bridges(spark, edges) == set()
+
+
+def test_barbell(spark):
+    # two triangles joined by one edge: exactly that edge is the bridge
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    assert _got_bridges(spark, edges) == {(2, 3)}
+
+
+def test_disconnected_and_random(spark):
+    rng = random.Random(17)
+    for trial in range(3):
+        n = 14
+        edges = sorted(
+            {
+                tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                for _ in range(14)
+            }
+        )
+        edges = [(s, d) for s, d in edges if s != d]
+        # two backbones -> possibly disconnected halves with pendant paths
+        edges += [(i, i + 1) for i in range(0, n // 2 - 1)]
+        edges += [(i, i + 1) for i in range(n // 2, n - 1)]
+        edges = sorted(set(edges))
+        want = _brute_bridges(edges)
+        got = _got_bridges(spark, edges)
+        assert got == want, f"trial {trial}: {sorted(got)} != {sorted(want)}"
+
+
+def test_two_edge_components(spark):
+    # barbell: triangles collapse to their min vid, the bridge splits them
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["vid"], r["component"])
+        for r in two_edge_components(spark, df).collect()
+    }
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 3)}
+
+
+def test_two_edge_components_path_all_singletons(spark):
+    edges = [(0, 1), (1, 2), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["vid"], r["component"])
+        for r in two_edge_components(spark, df).collect()
+    }
+    assert got == {(0, 0), (1, 1), (2, 2), (3, 3)}

@@ -236,3 +236,24 @@ def test_cli_diameter(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["diameter"] == 6
     assert out["exact"] is True
+
+
+def test_cli_bridges(spark, tmp_path, capsys):
+    import json
+
+    from arabesque_spark.cli import main
+
+    edges_dir = str(tmp_path / "br_edges")
+    # barbell: two triangles joined by the bridge (2,3)
+    spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)],
+        "src long, dst long",
+    ).write.parquet(edges_dir)
+    assert main(["bridges", "--edges", edges_dir]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["bridges"] == 1
+    assert out["rows"] == 1
+
+    assert main(["bridges", "--edges", edges_dir, "--two-ecc"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["components"] == 2
