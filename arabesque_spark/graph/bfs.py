@@ -288,11 +288,76 @@ def diameter_double_sweep(
     }
 
 
+def _batch_max_ecc(
+    spark: SparkSession,
+    sym: DataFrame,
+    sources: list[int],
+    max_depth: int,
+) -> int:
+    """Max eccentricity over ``sources`` via bitset multi-source BFS.
+
+    Each source owns one bit across ⌈S/64⌉ long words; state is one row
+    per reached vertex (vid, w0..w{k-1}); a round ORs every vertex's
+    words into its neighbors (edge join + per-word ``bit_or`` gather —
+    JVM-side, map-side combinable). The total set-bit count is strictly
+    monotone, so the last round that grew it IS the max eccentricity —
+    one scalar aggregate per round, no per-source bookkeeping.
+    """
+    n_words = (len(sources) + 63) // 64
+    wcols = [f"w{i}" for i in range(n_words)]
+    rows = []
+    for j, v in enumerate(sources):
+        words = [0] * n_words
+        bit = 1 << (j % 64)
+        if j % 64 == 63:
+            bit -= 1 << 64  # two's-complement: bit 63 of a signed long
+        words[j // 64] = bit
+        rows.append((int(v), *words))
+    schema = "vid long, " + ", ".join(f"{c} long" for c in wcols)
+    state = spark.createDataFrame(rows, schema).localCheckpoint(eager=True)
+
+    def popcount(df: DataFrame) -> int:
+        total = None
+        for c in wcols:
+            t = F.sum(F.bit_count(c)).cast("long")
+            total = t if total is None else total + t
+        return int(df.agg(total.alias("p")).collect()[0][0] or 0)
+
+    prev = popcount(state)
+    ecc = 0
+    for r in range(1, max_depth + 1):
+        msgs = (
+            state.join(sym, state["vid"] == sym["src"])
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(*[F.bit_or(c).alias(c) for c in wcols])
+        )
+        state = (
+            state.select("vid", *[F.col(c).alias(f"o_{c}") for c in wcols])
+            .join(msgs, "vid", "full_outer")
+            .select(
+                "vid",
+                *[
+                    F.coalesce(f"o_{c}", F.lit(0))
+                    .bitwiseOR(F.coalesce(c, F.lit(0)))
+                    .alias(c)
+                    for c in wcols
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur = popcount(state)
+        if cur == prev:
+            break
+        ecc = r
+        prev = cur
+    return ecc
+
+
 def diameter_ifub(
     spark: SparkSession,
     edges: DataFrame,
     max_depth: int = 64,
-    fringe_batch: int = 64,
+    fringe_batch: int = 512,
     max_bfs_sources: int = 4096,
 ) -> dict:
     """EXACT diameter of the (connected, undirected) link graph by iFUB
@@ -309,16 +374,20 @@ def diameter_ifub(
 
     Spark-native twist: the paper processes fringe vertices one BFS at a
     time; here each fringe is processed in batches of ``fringe_batch``
-    sources through ONE multi-source :func:`bfs_distances` run — the
-    per-source eccentricities drop out of a single
-    ``groupBy(source).max(dist)`` and per-batch state is bounded by
-    O(fringe_batch · V) rows. Driver traffic per batch is one scalar.
+    sources through ONE bitset multi-source BFS (the MS-BFS design,
+    Then et al. VLDB'14): the batch packs into ⌈batch/64⌉ long words per
+    vertex, one round is a single edge join + per-word ``bit_or``
+    gather, and the batch's max eccentricity is the last round whose
+    global popcount grew. State is V rows (not batch·V pairs), messages
+    are E·words longs — the shape that survives dense graphs where the
+    pair representation explodes. Driver traffic per round is one
+    scalar.
 
     ``max_bfs_sources`` caps total eccentricity computations (adversarial
     graphs can force Θ(V)); on cap overrun the result is the certified
-    interval with ``exact=False``. Returns ``{"diameter", "exact",
-    "root", "ecc_root", "lower_bound_seed", "bfs_sources",
-    "levels_processed"}``.
+    interval [diameter, upper_bound] with ``exact=False``. Returns
+    ``{"diameter", "exact", "upper_bound", "root", "ecc_root",
+    "lower_bound_seed", "bfs_sources", "levels_processed"}``.
     """
     sym = symmetric_edges(edges)
 
@@ -364,12 +433,8 @@ def diameter_ifub(
             overflow = len(fringe) > budget
             fringe = fringe[:budget]
             for lo in range(0, len(fringe), fringe_batch):
-                batch = fringe[lo : lo + fringe_batch]
-                srcs = spark.createDataFrame(
-                    [(int(r["vid"]),) for r in batch], "vid long"
-                )
-                d = bfs_distances(spark, edges, srcs, max_depth=max_depth).state
-                batch_ecc = int(d.agg(F.max("dist")).collect()[0][0])
+                batch = [int(r["vid"]) for r in fringe[lo : lo + fringe_batch]]
+                batch_ecc = _batch_max_ecc(spark, sym, batch, max_depth)
                 lb = max(lb, batch_ecc)
                 bfs_sources += len(batch)
                 # Mid-level early exit is sound: fringes ABOVE i are fully
@@ -387,6 +452,10 @@ def diameter_ifub(
         return {
             "diameter": lb,
             "exact": exact,
+            # certified interval: diameter ∈ [diameter, upper_bound]
+            # (equal when exact; on budget overrun at level i the bound
+            # is max(lb, 2i) — fringes above i are fully processed)
+            "upper_bound": lb if exact else max(lb, 2 * i),
             "root": root,
             "ecc_root": ecc_root,
             "lower_bound_seed": seed["lower_bound"],

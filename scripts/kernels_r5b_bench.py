@@ -1,0 +1,86 @@
+"""Measure the late-round-5 kernels (iFUB diameter, bridges/2-ECC) at
+sf0.1 → BENCH/kernels_r5b_sf0.1.json.
+
+Same protocol as kernels_r5_bench.py: the lineitem co-occurrence graph
+at $SPARK_GRAFT_SF_DIR (default sf0.1 — 20k V / 1.196M E),
+local[$SPARK_GRAFT_CPUS], one timed run per kernel (operator-level
+sanity walls, not the min-of-2 headline suite).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    from arabesque_spark.graph.build import canonical_edges
+    from arabesque_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="kernels_r5b", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    t0 = time.time()
+    edges = canonical_edges(pairs).localCheckpoint(eager=True)
+    n_e = edges.count()
+    out: dict = {"graph": {"E": n_e, "build_s": round(time.time() - t0, 1)}}
+
+    from arabesque_spark.graph.bfs import diameter_double_sweep, diameter_ifub
+
+    t0 = time.time()
+    ds = diameter_double_sweep(spark, edges)
+    out["diameter_double_sweep"] = {
+        "s": round(time.time() - t0, 1),
+        "lower_bound": ds["lower_bound"],
+    }
+
+    # On this dense diameter-~3 graph iFUB degenerates toward all-vertex
+    # eccentricity (its known worst shape — it shines when diameter >>
+    # ecc(root)); the bitset MS-BFS makes even that affordable: an
+    # uncapped budget lets it certify the exact diameter by touching
+    # every fringe vertex in 2048-source batches.
+    t0 = time.time()
+    ifub = diameter_ifub(spark, edges, fringe_batch=2048, max_bfs_sources=20000)
+    out["diameter_ifub"] = {
+        "s": round(time.time() - t0, 1),
+        "diameter": ifub["diameter"],
+        "upper_bound": ifub["upper_bound"],
+        "exact": ifub["exact"],
+        "bfs_sources": ifub["bfs_sources"],
+    }
+
+    from arabesque_spark.graph.bridges import bridges, two_edge_components
+
+    t0 = time.time()
+    n_br = bridges(spark, edges).count()
+    out["bridges"] = {"s": round(time.time() - t0, 1), "bridges": n_br}
+
+    t0 = time.time()
+    tecc = two_edge_components(spark, edges)
+    n_comp = tecc.select("component").distinct().count()
+    out["two_ecc"] = {"s": round(time.time() - t0, 1), "components": n_comp}
+
+    os.makedirs("/root/repo/BENCH", exist_ok=True)
+    with open("/root/repo/BENCH/kernels_r5b_sf0.1.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

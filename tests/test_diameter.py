@@ -160,7 +160,21 @@ def test_ifub_budget_overrun_is_honest(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     want = _brute_diameter(edges)
     got = diameter_ifub(spark, df, max_depth=32, max_bfs_sources=2)
-    # the returned value is always a valid lower bound
-    assert got["diameter"] <= want
+    # the certified interval always contains the true diameter
+    assert got["diameter"] <= want <= got["upper_bound"]
     if got["exact"]:
-        assert got["diameter"] == want
+        assert got["diameter"] == want == got["upper_bound"]
+
+
+def test_batch_max_ecc_multiword(spark):
+    """>64 sources forces multiple bitset words in one batch."""
+    from arabesque_spark.graph.bfs import _batch_max_ecc
+    from arabesque_spark.graph.build import symmetric_edges
+
+    # star: center 0, leaves 1..70 -> ecc(center)=1, ecc(leaf)=2
+    edges = [(0, i) for i in range(1, 71)]
+    sym = symmetric_edges(spark.createDataFrame(edges, "src long, dst long"))
+    assert _batch_max_ecc(spark, sym, list(range(71)), max_depth=10) == 2
+    assert _batch_max_ecc(spark, sym, [0], max_depth=10) == 1
+    # leaves only (70 sources, 2 words), still ecc 2
+    assert _batch_max_ecc(spark, sym, list(range(1, 71)), max_depth=10) == 2
