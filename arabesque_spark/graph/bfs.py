@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from arabesque_spark.engine.superstep import RunResult, SuperstepRunner
@@ -288,6 +288,44 @@ def diameter_double_sweep(
     }
 
 
+def _bitset_wcols(n_sources: int) -> list[str]:
+    return [f"w{i}" for i in range((n_sources + 63) // 64)]
+
+
+def _bitset_state0(
+    spark: SparkSession, sources: list[int], wcols: list[str]
+) -> DataFrame:
+    """Initial bitset state: source j owns bit j across ⌈S/64⌉ words."""
+    rows = []
+    for j, v in enumerate(sources):
+        words = [0] * len(wcols)
+        bit = 1 << (j % 64)
+        if j % 64 == 63:
+            bit -= 1 << 64  # two's-complement: bit 63 of a signed long
+        words[j // 64] = bit
+        rows.append((int(v), *words))
+    schema = "vid long, " + ", ".join(f"{c} long" for c in wcols)
+    return spark.createDataFrame(rows, schema).localCheckpoint(eager=True)
+
+
+def _bitset_popcount(df: DataFrame, wcols: list[str]) -> int:
+    total = None
+    for c in wcols:
+        t = F.sum(F.bit_count(c)).cast("long")
+        total = t if total is None else total + t
+    return int(df.agg(total.alias("p")).collect()[0][0] or 0)
+
+
+def _bitset_gather(state: DataFrame, sym: DataFrame, wcols: list[str]) -> DataFrame:
+    """One MS-BFS round's messages: per-word ``bit_or`` of every
+    vertex's words into its neighbors (map-side combinable)."""
+    return (
+        state.join(sym, state["vid"] == sym["src"])
+        .groupBy(F.col("dst").alias("vid"))
+        .agg(*[F.bit_or(c).alias(c) for c in wcols])
+    )
+
+
 def _batch_max_ecc(
     spark: SparkSession,
     sym: DataFrame,
@@ -303,34 +341,12 @@ def _batch_max_ecc(
     monotone, so the last round that grew it IS the max eccentricity —
     one scalar aggregate per round, no per-source bookkeeping.
     """
-    n_words = (len(sources) + 63) // 64
-    wcols = [f"w{i}" for i in range(n_words)]
-    rows = []
-    for j, v in enumerate(sources):
-        words = [0] * n_words
-        bit = 1 << (j % 64)
-        if j % 64 == 63:
-            bit -= 1 << 64  # two's-complement: bit 63 of a signed long
-        words[j // 64] = bit
-        rows.append((int(v), *words))
-    schema = "vid long, " + ", ".join(f"{c} long" for c in wcols)
-    state = spark.createDataFrame(rows, schema).localCheckpoint(eager=True)
-
-    def popcount(df: DataFrame) -> int:
-        total = None
-        for c in wcols:
-            t = F.sum(F.bit_count(c)).cast("long")
-            total = t if total is None else total + t
-        return int(df.agg(total.alias("p")).collect()[0][0] or 0)
-
-    prev = popcount(state)
+    wcols = _bitset_wcols(len(sources))
+    state = _bitset_state0(spark, sources, wcols)
+    prev = _bitset_popcount(state, wcols)
     ecc = 0
     for r in range(1, max_depth + 1):
-        msgs = (
-            state.join(sym, state["vid"] == sym["src"])
-            .groupBy(F.col("dst").alias("vid"))
-            .agg(*[F.bit_or(c).alias(c) for c in wcols])
-        )
+        msgs = _bitset_gather(state, sym, wcols)
         state = (
             state.select("vid", *[F.col(c).alias(f"o_{c}") for c in wcols])
             .join(msgs, "vid", "full_outer")
@@ -345,12 +361,106 @@ def _batch_max_ecc(
             )
             .localCheckpoint(eager=True)
         )
-        cur = popcount(state)
+        cur = _bitset_popcount(state, wcols)
         if cur == prev:
             break
         ecc = r
         prev = cur
     return ecc
+
+
+def harmonic_centrality_bitset(
+    spark: SparkSession,
+    edges: DataFrame,
+    landmarks: DataFrame,
+    max_depth: int = 6,
+    batch: int = 512,
+) -> DataFrame:
+    """(vid, harmonic) — same semantics as :func:`harmonic_centrality`
+    (Σ over landmarks s ≠ v of 1/dist(s, v), 6-dp rounded), computed by
+    bitset multi-source BFS instead of (source, vid) pair rows.
+
+    When bit s first reaches v at round d it contributes 1/d to v, so
+    each round's per-vertex contribution is ``(bit_count(new words) −
+    bit_count(old words)) / d`` — all vertices accumulate in the same
+    V-row pass, and state is V rows × ⌈batch/64⌉ longs instead of
+    O(|landmarks| · V) pairs. The scale path for large landmark sets
+    (the pair form wins only for a handful of landmarks); exact, not a
+    sketch — ANF remains the all-vertices approximation.
+    """
+    sym = symmetric_edges(edges)
+    ids = [
+        int(r["vid"])
+        for r in landmarks.select("vid")
+        .dropDuplicates(["vid"])
+        .orderBy("vid")
+        .collect()
+    ]
+    parts: list[DataFrame] = []
+    for lo in range(0, len(ids), batch):
+        parts.append(
+            _harmonic_batch(spark, sym, ids[lo : lo + batch], max_depth)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.groupBy("vid")
+        .agg(F.round(F.sum("h"), 6).alias("harmonic"))
+        .filter(F.col("harmonic") > 0)
+    )
+
+
+def _harmonic_batch(
+    spark: SparkSession,
+    sym: DataFrame,
+    sources: list[int],
+    max_depth: int,
+) -> DataFrame:
+    """One landmark batch → (vid, h double): harmonic contributions of
+    these sources, accumulated alongside the bitset words."""
+    wcols = _bitset_wcols(len(sources))
+    state = _bitset_state0(spark, sources, wcols).withColumn(
+        "h", F.lit(0.0)
+    ).localCheckpoint(eager=True)
+    prev = _bitset_popcount(state, wcols)
+    for r in range(1, max_depth + 1):
+        msgs = _bitset_gather(state, sym, wcols)
+
+        def merged_word(c: str) -> Column:
+            return (
+                F.coalesce(f"o_{c}", F.lit(0))
+                .bitwiseOR(F.coalesce(c, F.lit(0)))
+            )
+
+        new_bits = None
+        for c in wcols:
+            nb = (
+                F.bit_count(merged_word(c))
+                - F.bit_count(F.coalesce(f"o_{c}", F.lit(0)))
+            ).cast("double")
+            new_bits = nb if new_bits is None else new_bits + nb
+        state = (
+            state.select(
+                "vid",
+                F.col("h").alias("o_h"),
+                *[F.col(c).alias(f"o_{c}") for c in wcols],
+            )
+            .join(msgs, "vid", "full_outer")
+            .select(
+                "vid",
+                *[merged_word(c).alias(c) for c in wcols],
+                (
+                    F.coalesce("o_h", F.lit(0.0)) + new_bits / F.lit(float(r))
+                ).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur = _bitset_popcount(state, wcols)
+        if cur == prev:
+            break
+        prev = cur
+    return state.select("vid", "h")
 
 
 def diameter_ifub(

@@ -178,3 +178,55 @@ def test_batch_max_ecc_multiword(spark):
     assert _batch_max_ecc(spark, sym, [0], max_depth=10) == 1
     # leaves only (70 sources, 2 words), still ecc 2
     assert _batch_max_ecc(spark, sym, list(range(1, 71)), max_depth=10) == 2
+
+
+def test_harmonic_bitset_matches_pair_form(spark):
+    """harmonic_centrality_bitset must equal harmonic_centrality (the
+    (source, vid) pair form) exactly after 6-dp rounding — random
+    graphs, all-vertex landmark sets, and a >64-landmark batch."""
+    from arabesque_spark.graph.bfs import (
+        harmonic_centrality,
+        harmonic_centrality_bitset,
+    )
+
+    rng = random.Random(23)
+    for trial in range(2):
+        n = 12
+        edges = sorted(
+            {
+                tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                for _ in range(14)
+            }
+        )
+        edges = [(s, d) for s, d in edges if s != d]
+        edges += [(i, i + 1) for i in range(n - 1)]
+        df = spark.createDataFrame(sorted(set(edges)), "src long, dst long")
+        lm = spark.createDataFrame([(v,) for v in range(n)], "vid long")
+        want = {
+            (r["vid"], r["harmonic"])
+            for r in harmonic_centrality(spark, df, lm, max_depth=16).collect()
+        }
+        got = {
+            (r["vid"], r["harmonic"])
+            for r in harmonic_centrality_bitset(
+                spark, df, lm, max_depth=16
+            ).collect()
+        }
+        assert got == want, f"trial {trial}"
+
+    # >64 landmarks in one batch (2 words) and a sub-batch split (batch=48)
+    star = [(0, i) for i in range(1, 71)]
+    df = spark.createDataFrame(star, "src long, dst long")
+    lm = spark.createDataFrame([(v,) for v in range(71)], "vid long")
+    want = {
+        (r["vid"], r["harmonic"])
+        for r in harmonic_centrality(spark, df, lm, max_depth=8).collect()
+    }
+    for b in (512, 48):
+        got = {
+            (r["vid"], r["harmonic"])
+            for r in harmonic_centrality_bitset(
+                spark, df, lm, max_depth=8, batch=b
+            ).collect()
+        }
+        assert got == want, f"batch={b}"
