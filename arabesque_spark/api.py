@@ -655,12 +655,14 @@ def q_wpagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark-approximated harmonic centrality (Σ 1/dist over the BFS
-    landmark set) — one aggregation over the bfs_distances state."""
-    from arabesque_spark.graph.bfs import harmonic_centrality
+    landmark set) — computed on the bitset MS-BFS engine (V-row state,
+    per-word bit_or gathers); pytest pins it equal to the pair-form
+    ``harmonic_centrality``."""
+    from arabesque_spark.graph.bfs import harmonic_centrality_bitset
 
     edges = lineitem_graph(spark, sf_dir)
     seeds = degrees(edges).select("vid").filter(F.col("vid") % BFS_SEED_MOD == 0)
-    return harmonic_centrality(spark, edges, seeds, max_depth=BFS_MAX_DEPTH)
+    return harmonic_centrality_bitset(spark, edges, seeds, max_depth=BFS_MAX_DEPTH)
 
 
 def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
