@@ -65,6 +65,31 @@ def main() -> None:
         "bfs_sources": ifub["bfs_sources"],
     }
 
+    # harmonic centrality A/B: pair rows vs bitset engine, same landmarks
+    from arabesque_spark.graph.bfs import (
+        harmonic_centrality,
+        harmonic_centrality_bitset,
+    )
+
+    lm = (
+        edges.select(F.explode(F.array("src", "dst")).alias("vid"))
+        .dropDuplicates(["vid"])
+        .filter(F.col("vid") % 32 == 0)
+    )
+    n_lm = lm.count()
+    t0 = time.time()
+    n_pair = harmonic_centrality(spark, edges, lm, max_depth=8).count()
+    t_pair = round(time.time() - t0, 1)
+    t0 = time.time()
+    n_bit = harmonic_centrality_bitset(spark, edges, lm, max_depth=8).count()
+    out["harmonic_ab"] = {
+        "landmarks": n_lm,
+        "pair_s": t_pair,
+        "bitset_s": round(time.time() - t0, 1),
+        "rows_pair": n_pair,
+        "rows_bitset": n_bit,
+    }
+
     from arabesque_spark.graph.bridges import bridges, two_edge_components
 
     t0 = time.time()
