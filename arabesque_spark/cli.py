@@ -60,7 +60,7 @@ def main(argv: list[str] | None = None) -> int:
                  "kcore", "ktruss", "truss", "bfs", "census", "louvain", "mis",
                  "coloring", "mst", "katz", "eigenvector", "wl", "maxclique",
                  "topo", "partition", "simrank", "featprop", "salsa", "densest",
-                 "bowtie", "richclub", "diameter", "bridges"):
+                 "bowtie", "richclub", "diameter", "bridges", "biconnect"):
         p = sub.add_parser(name)
         p.add_argument("--edges", required=True, help="parquet dir with (src,dst)")
         p.add_argument("--out", default=None, help="result parquet dir")
@@ -165,6 +165,10 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--two-ecc", action="store_true",
                            help="emit 2-edge-connected component labels "
                            "(vid, component) instead of the bridge edges")
+        if name == "biconnect":
+            p.add_argument("--aps", action="store_true",
+                           help="emit articulation points (vid) instead "
+                           "of per-edge block labels")
         if name == "wl":
             p.add_argument("--rounds", type=int, default=3)
             p.add_argument("--labels", default=None,
@@ -182,7 +186,7 @@ def main(argv: list[str] | None = None) -> int:
     # scratch with no warning.
     no_ckpt = {"triangles", "motifs", "walks", "census", "mst", "maxclique",
                "simrank", "featprop", "densest", "bowtie", "richclub",
-               "diameter", "bridges"}
+               "diameter", "bridges", "biconnect"}
     if args.cmd in no_ckpt and args.checkpoint:
         parser.error(
             f"{args.cmd} does not support --checkpoint: it runs as a "
@@ -654,6 +658,18 @@ def main(argv: list[str] | None = None) -> int:
         ks = [int(k) for k in args.ks.split(",") if k.strip()]
         out_df = rich_club(canonical_edges(edges), ks)
         info = {"ks": ks}
+    elif args.cmd == "biconnect":
+        from arabesque_spark.graph.biconnect import (
+            articulation_points,
+            biconnected_components,
+        )
+
+        if args.aps:
+            out_df = articulation_points(spark, edges)
+            info = {"articulation_points": out_df.count()}
+        else:
+            out_df = biconnected_components(spark, edges)
+            info = {"blocks": out_df.select("block").distinct().count()}
     elif args.cmd == "bridges":
         from arabesque_spark.graph.bridges import bridges, two_edge_components
 

@@ -1,0 +1,258 @@
+"""Biconnected components and articulation points via Tarjan–Vishkin.
+
+Completes the connectivity family (components → bridges/2-edge →
+blocks/2-vertex): articulation points are the single-VERTEX failure
+points of a link graph, and biconnected components (blocks) are the
+maximal subgraphs that survive any one vertex loss.
+
+Sequential BCC is DFS low-link — no distributed analog. Tarjan–Vishkin
+(1985; JaJa §5.4) instead reduces BCC to CONNECTED components over an
+auxiliary graph whose vertices are the tree edges of any rooted spanning
+forest: two tree edges end up in the same auxiliary component iff they
+lie in the same block. The rules need only per-vertex preorder numbers,
+subtree sizes, and subtree-min/max (low/high) of non-tree-neighbor
+preorders — all computable with the BFS-forest level sweeps this repo
+already uses for bridges:
+
+* Rule A: a non-tree edge {u, w} between T-unrelated vertices (disjoint
+  preorder intervals) links tree edges (p(u), u) — (p(w), w).
+* Rule B: a tree edge (v, w) with v non-root links (p(v), v) — (v, w)
+  iff low(w) < pre(v) or high(w) ≥ pre(v) + size(v) — i.e. some
+  non-tree edge escapes subtree(w) PAST v.
+
+A vertex is an articulation point iff its incident tree edges fall in
+≥ 2 distinct blocks (every block containing v contains a tree edge at
+v, because a spanning tree restricted to a block spans the block). The
+root needs no special case: its children's tree edges carry the test.
+
+Reference parity: the reference has no biconnectivity operator — this
+extends the link-graph surface. Scale notes: three O(depth) level
+sweeps over V-row tables (sizes up, preorder down, low/high up), one
+per-parent window for sibling preorder offsets (a sort, never a
+collected list), then one `connected_components` run over the E_tree-row
+auxiliary graph — every stage a groupBy/join/window on declared keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arabesque_spark.graph.bridges import _bfs_forest
+from arabesque_spark.graph.build import canonical_edges
+from arabesque_spark.graph.components import connected_components
+
+
+def _tree_metrics(
+    spark: SparkSession, canon: DataFrame, max_iterations: int
+) -> tuple[DataFrame, int]:
+    """BFS forest + per-vertex (parent, dist, sz, pre): subtree sizes by
+    a leaf-to-root sum sweep, preorder by a root-to-leaf sweep with a
+    per-parent sibling-prefix window (children ordered by vid)."""
+    forest = _bfs_forest(spark, canon, max_iterations).localCheckpoint(
+        eager=True
+    )
+    max_depth = forest.agg(F.max("dist")).collect()[0][0] or 0
+
+    # subtree sizes: start at 1, push level sums upward
+    tot = forest.withColumn("sz", F.lit(1).cast("long")).localCheckpoint(
+        eager=True
+    )
+    for d in range(max_depth, 0, -1):
+        contrib = (
+            tot.filter(F.col("dist") == d)
+            .groupBy(F.col("parent").alias("vid"))
+            .agg(F.sum("sz").alias("c"))
+        )
+        tot = (
+            tot.join(contrib, "vid", "left")
+            .select(
+                "vid",
+                "parent",
+                "dist",
+                (F.col("sz") + F.coalesce("c", F.lit(0))).alias("sz"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    # preorder: root 0 per component; child pre = parent pre + 1 +
+    # sum of smaller-vid siblings' subtree sizes
+    pre = (
+        tot.filter(F.col("parent") < 0)
+        .select("vid", F.lit(0).cast("long").alias("pre"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("parent").orderBy("vid")
+    for d in range(1, max_depth + 1):
+        level = tot.filter(F.col("dist") == d).withColumn(
+            "off", F.sum("sz").over(w) - F.col("sz")
+        )
+        rows = (
+            level.join(
+                pre.select(F.col("vid").alias("parent"), F.col("pre").alias("ppre")),
+                "parent",
+            )
+            .select("vid", (F.col("ppre") + 1 + F.col("off")).alias("pre"))
+        )
+        pre = pre.unionByName(rows).localCheckpoint(eager=True)
+
+    return tot.join(pre, "vid"), max_depth
+
+
+def _bcc(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iterations: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(all-edge block labels, tree-edge block labels) — shared core."""
+    canon = canonical_edges(edges).localCheckpoint(eager=True)
+    info, max_depth = _tree_metrics(spark, canon, max_iterations)
+    info = info.localCheckpoint(eager=True)  # (vid, parent, dist, sz, pre)
+
+    tree_canon = info.filter(F.col("parent") >= 0).select(
+        F.least("vid", "parent").alias("src"),
+        F.greatest("vid", "parent").alias("dst"),
+    )
+    nt = (
+        canon.join(tree_canon, ["src", "dst"], "left_anti")
+        .join(
+            info.select(F.col("vid").alias("src"), F.col("pre").alias("pre_u"),
+                        F.col("sz").alias("sz_u")),
+            "src",
+        )
+        .join(
+            info.select(F.col("vid").alias("dst"), F.col("pre").alias("pre_w"),
+                        F.col("sz").alias("sz_w")),
+            "dst",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # low/high: own pre and incident non-tree neighbor pres, min/max
+    # swept up the tree
+    inc = nt.select(
+        F.col("src").alias("vid"), F.col("pre_w").alias("p")
+    ).unionByName(nt.select(F.col("dst").alias("vid"), F.col("pre_u").alias("p")))
+    ntagg = inc.groupBy("vid").agg(
+        F.min("p").alias("ntmin"), F.max("p").alias("ntmax")
+    )
+    lh = (
+        info.join(ntagg, "vid", "left")
+        .select(
+            "vid",
+            "parent",
+            "dist",
+            "sz",
+            "pre",
+            F.least("pre", F.coalesce("ntmin", F.col("pre"))).alias("low"),
+            F.greatest("pre", F.coalesce("ntmax", F.col("pre"))).alias("high"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for d in range(max_depth, 0, -1):
+        contrib = (
+            lh.filter(F.col("dist") == d)
+            .groupBy(F.col("parent").alias("vid"))
+            .agg(F.min("low").alias("cl"), F.max("high").alias("ch"))
+        )
+        lh = (
+            lh.join(contrib, "vid", "left")
+            .select(
+                "vid",
+                "parent",
+                "dist",
+                "sz",
+                "pre",
+                F.least("low", F.coalesce("cl", F.col("low"))).alias("low"),
+                F.greatest("high", F.coalesce("ch", F.col("high"))).alias("high"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    # auxiliary graph on tree-edge ids (= child vid)
+    unrelated = (F.col("pre_u") + F.col("sz_u") <= F.col("pre_w")) | (
+        F.col("pre_w") + F.col("sz_w") <= F.col("pre_u")
+    )
+    aux_a = nt.filter(unrelated).select(
+        F.col("src").alias("src_id"), F.col("dst").alias("dst_id")
+    )
+    child = lh.filter(F.col("parent") >= 0)
+    aux_b = (
+        child.alias("w")
+        .join(
+            lh.select(
+                F.col("vid").alias("parent"),
+                F.col("parent").alias("gp"),
+                F.col("pre").alias("pre_v"),
+                F.col("sz").alias("sz_v"),
+            ),
+            "parent",
+        )
+        .filter(F.col("gp") >= 0)  # v itself must be a tree-edge id
+        .filter(
+            (F.col("low") < F.col("pre_v"))
+            | (F.col("high") >= F.col("pre_v") + F.col("sz_v"))
+        )
+        .select(F.col("parent").alias("src_id"), F.col("w.vid").alias("dst_id"))
+    )
+    aux = aux_a.unionByName(aux_b).select(
+        F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+    )
+    ids = child.select("vid")
+    comp = connected_components(spark, aux, vertices=ids).select(
+        F.col("vid").alias("id"), F.col("component").alias("block")
+    ).localCheckpoint(eager=True)
+
+    # every canonical edge -> block: tree edge (p(w), w) -> block(w);
+    # non-tree edge -> block of the larger-pre (descendant-side) endpoint
+    tree_lab = (
+        child.select(
+            F.least("vid", "parent").alias("src"),
+            F.greatest("vid", "parent").alias("dst"),
+            F.col("vid").alias("id"),
+        )
+        .join(comp, "id")
+        .select("src", "dst", "block")
+    )
+    nt_lab = (
+        nt.select(
+            "src",
+            "dst",
+            F.when(F.col("pre_u") > F.col("pre_w"), F.col("src"))
+            .otherwise(F.col("dst"))
+            .alias("id"),
+        )
+        .join(comp, "id")
+        .select("src", "dst", "block")
+    )
+    return tree_lab.unionByName(nt_lab), tree_lab
+
+
+def biconnected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iterations: int = 128,
+) -> DataFrame:
+    """Block labels → (src, dst, block) for every canonical edge; block
+    = min child-vid among the block's tree edges (deterministic)."""
+    return _bcc(spark, edges, max_iterations)[0]
+
+
+def articulation_points(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iterations: int = 128,
+) -> DataFrame:
+    """Articulation points → (vid): vertices whose incident tree edges
+    span ≥ 2 distinct blocks (equivalently: vertices shared by ≥ 2
+    biconnected components)."""
+    _, tree_lab = _bcc(spark, edges, max_iterations)
+    touch = tree_lab.select(
+        F.col("src").alias("vid"), "block"
+    ).unionByName(tree_lab.select(F.col("dst").alias("vid"), "block"))
+    return (
+        touch.groupBy("vid")
+        .agg(F.count_distinct("block").alias("nb"))
+        .filter(F.col("nb") >= 2)
+        .select("vid")
+    )

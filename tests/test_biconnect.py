@@ -1,0 +1,137 @@
+"""Tarjan–Vishkin biconnected components vs brute-force Hopcroft–Tarjan."""
+
+from __future__ import annotations
+
+import random
+
+from arabesque_spark.graph.biconnect import (
+    articulation_points,
+    biconnected_components,
+)
+
+
+def _brute_bcc(edges):
+    """Textbook recursive Hopcroft–Tarjan (tiny graphs): returns (set of
+    blocks as frozensets of canonical edges, set of articulation
+    points)."""
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+        adj.setdefault(d, []).append(s)
+
+    disc: dict[int, int] = {}
+    low: dict[int, int] = {}
+    blocks: list[frozenset] = []
+    aps: set[int] = set()
+    t = [0]
+    stack: list[tuple[int, int]] = []
+
+    def dfs(v, parent):
+        disc[v] = low[v] = t[0]
+        t[0] += 1
+        children = 0
+        for w in sorted(adj[v]):
+            if w == parent:
+                continue  # simple graphs only (canonical edges)
+            if w not in disc:
+                stack.append((min(v, w), max(v, w)))
+                children += 1
+                dfs(w, v)
+                low[v] = min(low[v], low[w])
+                if low[w] >= disc[v]:
+                    block = set()
+                    while True:
+                        e = stack.pop()
+                        block.add(e)
+                        if e == (min(v, w), max(v, w)):
+                            break
+                    blocks.append(frozenset(block))
+                    if parent is not None:
+                        aps.add(v)
+            elif disc[w] < disc[v]:
+                stack.append((min(v, w), max(v, w)))
+                low[v] = min(low[v], disc[w])
+        if parent is None and children >= 2:
+            aps.add(v)
+
+    for s in sorted(adj):
+        if s not in disc:
+            dfs(s, None)
+    return set(blocks), aps
+
+
+def _canon(edges):
+    return sorted({(min(s, d), max(s, d)) for s, d in edges if s != d})
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(_canon(edges), "src long, dst long")
+    rows = biconnected_components(spark, df).collect()
+    by_block: dict[int, set] = {}
+    for r in rows:
+        by_block.setdefault(r["block"], set()).add((r["src"], r["dst"]))
+    got_blocks = {frozenset(v) for v in by_block.values()}
+    got_aps = {r["vid"] for r in articulation_points(spark, df).collect()}
+    return got_blocks, got_aps, len(rows)
+
+
+def test_triangle_plus_pendant(spark):
+    # triangle 0-1-2 with pendant 2-3: two blocks, AP at 2
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    blocks, aps, n = _run(spark, edges)
+    assert blocks == {
+        frozenset({(0, 1), (1, 2), (0, 2)}),
+        frozenset({(2, 3)}),
+    }
+    assert aps == {2}
+    assert n == 4  # every edge labeled exactly once
+
+
+def test_two_triangles_sharing_a_vertex(spark):
+    # 0-1-2 and 2-3-4 share vertex 2: AP with zero bridges
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4)]
+    blocks, aps, _ = _run(spark, edges)
+    want_blocks, want_aps = _brute_bcc(_canon(edges))
+    assert blocks == want_blocks
+    assert aps == want_aps == {2}
+
+
+def test_path_and_cycle(spark):
+    path = [(i, i + 1) for i in range(4)]
+    blocks, aps, _ = _run(spark, path)
+    assert blocks == {frozenset({e}) for e in _canon(path)}
+    assert aps == {1, 2, 3}
+
+    cycle = [(i, (i + 1) % 6) for i in range(6)]
+    blocks, aps, _ = _run(spark, cycle)
+    assert blocks == {frozenset(_canon(cycle))}
+    assert aps == set()
+
+
+def test_random_graphs_match_brute_force(spark):
+    rng = random.Random(29)
+    for trial in range(4):
+        n = 12
+        edges = sorted(
+            {
+                tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                for _ in range(12)
+            }
+        )
+        edges = [(s, d) for s, d in edges if s != d]
+        edges += [(i, i + 1) for i in range(n - 1)]  # connected backbone
+        edges = _canon(edges)
+        want_blocks, want_aps = _brute_bcc(edges)
+        got_blocks, got_aps, n_rows = _run(spark, edges)
+        assert got_blocks == want_blocks, f"trial {trial}"
+        assert got_aps == want_aps, f"trial {trial}"
+        assert n_rows == len(edges), f"trial {trial}"
+
+
+def test_disconnected(spark):
+    # two separate components: a triangle and a path
+    edges = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12)]
+    blocks, aps, _ = _run(spark, edges)
+    want_blocks, want_aps = _brute_bcc(_canon(edges))
+    assert blocks == want_blocks
+    assert aps == want_aps == {11}

@@ -257,3 +257,22 @@ def test_cli_bridges(spark, tmp_path, capsys):
     assert main(["bridges", "--edges", edges_dir, "--two-ecc"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["components"] == 2
+
+
+def test_cli_biconnect(spark, tmp_path, capsys):
+    import json
+
+    from arabesque_spark.cli import main
+
+    edges_dir = str(tmp_path / "bc_edges")
+    # triangle with a pendant edge: blocks {triangle, pendant}, AP at 2
+    spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3)], "src long, dst long"
+    ).write.parquet(edges_dir)
+    assert main(["biconnect", "--edges", edges_dir]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["blocks"] == 2 and out["rows"] == 4
+
+    assert main(["biconnect", "--edges", edges_dir, "--aps"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["articulation_points"] == 1
