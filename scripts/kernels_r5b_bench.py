@@ -101,6 +101,23 @@ def main() -> None:
     n_comp = tecc.select("component").distinct().count()
     out["two_ecc"] = {"s": round(time.time() - t0, 1), "components": n_comp}
 
+    from arabesque_spark.graph.biconnect import (
+        articulation_points,
+        biconnected_components,
+    )
+
+    t0 = time.time()
+    blocks = biconnected_components(spark, edges)
+    n_blocks = blocks.select("block").distinct().count()
+    out["biconnected"] = {
+        "s": round(time.time() - t0, 1),
+        "blocks": n_blocks,
+        "edges_labeled": blocks.count(),
+    }
+    t0 = time.time()
+    n_aps = articulation_points(spark, edges).count()
+    out["articulation_points"] = {"s": round(time.time() - t0, 1), "aps": n_aps}
+
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     with open("/root/repo/BENCH/kernels_r5b_sf0.1.json", "w") as f:
         json.dump(out, f, indent=2)
