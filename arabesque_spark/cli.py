@@ -9,7 +9,8 @@ Cluster usage (the production invocation shape from the target contract):
     spark-submit … -m arabesque_spark.cli pagerank  --edges s3://…/graph/edges \
         --checkpoint s3://…/ckpt/pr --tol 1e-6 [--resume]
     spark-submit … -m arabesque_spark.cli cc|lpa|triangles|bowtie|
-        richclub|diameter|cochange|… (see --help for all 30+ subcommands)
+        richclub|diameter [--exact]|bridges [--two-ecc]|biconnect [--aps]|
+        cochange|… (see --help for all 30+ subcommands)
 
 Every iterative job takes --checkpoint and --resume: state is written per
 iteration with a manifest (engine/superstep.py), so a preempted run
