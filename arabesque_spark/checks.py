@@ -1372,6 +1372,14 @@ def q_graph_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       ladder (exact club sizes / club edges), x = Σ round(φ(k),9)·(k+1)
       — the oracle recomputes degrees, club membership, and club edges
       from its own tables
+    - ``bridges``     n1 = bridge count, n2 = reported bridges absent
+      from the edge table (0), x = Σ(31·src + dst) — the oracle
+      recomputes the FULL bridge set via per-edge exclusion
+      reachability (membership-exact)
+    - ``biconnect``   n1 = articulation-point count, n2 = APs outside
+      the vertex set (0), x = Σ(vid + 1) — the oracle recomputes the
+      FULL AP set via per-vertex exclusion reachability
+      (membership-exact)
     """
     from arabesque_spark.graph.anf import neighborhood_function
     from arabesque_spark.graph.betweenness import betweenness_centrality
@@ -1911,6 +1919,29 @@ def q_graph_kernels_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.round("phi", 9) * (F.col("k") + 1)), 4).alias("fp"),
     ).collect()[0]
     rows.append(("richclub", int(r["ns"] or 0), int(r["es"] or 0), float(r["fp"] or 0.0)))
+
+    # Bridges (cycle-space XOR sampling): n1 = bridge count, n2 =
+    # reported bridges absent from the edge table (0), x = Σ(31·src +
+    # dst) — the oracle recomputes the FULL bridge set via a per-edge
+    # exclusion reachability CTE (an edge is a bridge iff its endpoints
+    # disconnect without it).
+    from arabesque_spark.graph.bridges import bridges as bridge_edges
+
+    br = bridge_edges(spark, edges).localCheckpoint(eager=True)
+    br_bad = br.join(edges.select("src", "dst"), ["src", "dst"], "left_anti").count()
+    br_x = br.agg(F.sum(F.col("src") * 31 + F.col("dst"))).collect()[0][0]
+    rows.append(("bridges", br.count(), int(br_bad), float(br_x or 0)))
+
+    # Articulation points (Tarjan-Vishkin blocks): n1 = AP count, n2 =
+    # APs outside the vertex set (0), x = Σ(vid + 1) — the oracle
+    # recomputes the FULL AP set via per-vertex exclusion reachability
+    # (v is an AP iff its component does not stay connected without it).
+    from arabesque_spark.graph.biconnect import articulation_points
+
+    aps = articulation_points(spark, edges).localCheckpoint(eager=True)
+    ap_bad = aps.join(verts, "vid", "left_anti").count()
+    ap_x = aps.agg(F.sum(F.col("vid") + 1)).collect()[0][0]
+    rows.append(("biconnect", aps.count(), int(ap_bad), float(ap_x or 0)))
 
     return spark.createDataFrame(rows, CHECK_SCHEMA).orderBy("op")
 
@@ -3276,6 +3307,59 @@ def graph_kernels_oracle() -> str:
          ROUND(SUM(ROUND(phi, 9) * (k + 1)), 4) AS x FROM rctab)"""
     )
 
+    # ---- bridges: full recomputation. An edge is a bridge iff its dst
+    # is unreachable from its src once that one edge is excluded —
+    # a per-edge exclusion BFS as a single recursive CTE over
+    # (edge, reached-vertex) pairs. fe is canonical (src < dst), so the
+    # exclusion test compares the traversed edge's canonical form.
+    ctes.append(
+        """breach(es, ed, vid) AS (
+  SELECT e.src, e.dst, e.src FROM fe e
+  UNION
+  SELECT r.es, r.ed, s.dst FROM breach r JOIN ksym s ON s.src = r.vid
+  WHERE NOT (LEAST(s.src, s.dst) = r.es AND GREATEST(s.src, s.dst) = r.ed))"""
+    )
+    ctes.append(
+        """br_set AS (SELECT e.src, e.dst FROM fe e WHERE NOT EXISTS (
+  SELECT 1 FROM breach r
+  WHERE r.es = e.src AND r.ed = e.dst AND r.vid = e.dst))"""
+    )
+    ctes.append(
+        """br_agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+  CAST(0 AS BIGINT) AS n2,
+  CAST(COALESCE(SUM(src * 31 + dst), 0) AS DOUBLE) AS x FROM br_set)"""
+    )
+
+    # ---- articulation points: full recomputation. v is an AP iff a BFS
+    # from another vertex of its component, never entering v, fails to
+    # reach the rest of the component (count < |C| - 1).
+    ctes.append(
+        """apseed AS (SELECT c1.vid AS ex, c1.c AS comp, MIN(c2.vid) AS s
+  FROM kcomp c1 JOIN kcomp c2 ON c2.c = c1.c AND c2.vid <> c1.vid
+  GROUP BY c1.vid, c1.c)"""
+    )
+    ctes.append(
+        """apreach(ex, vid) AS (
+  SELECT ex, s FROM apseed
+  UNION
+  SELECT r.ex, sy.dst FROM apreach r JOIN ksym sy ON sy.src = r.vid
+  WHERE sy.dst <> r.ex AND sy.src <> r.ex)"""
+    )
+    ctes.append(
+        """apcsize AS (SELECT c AS comp, CAST(COUNT(*) AS BIGINT) AS n
+  FROM kcomp GROUP BY c)"""
+    )
+    ctes.append(
+        """ap_set AS (SELECT a.ex AS vid
+  FROM apseed a JOIN apcsize cs ON cs.comp = a.comp
+  WHERE (SELECT COUNT(*) FROM apreach r WHERE r.ex = a.ex) < cs.n - 1)"""
+    )
+    ctes.append(
+        """ap_agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+  CAST(0 AS BIGINT) AS n2,
+  CAST(COALESCE(SUM(vid + 1), 0) AS DOUBLE) AS x FROM ap_set)"""
+    )
+
     return (
         _KERNEL_PRELUDE
         + ",\n"
@@ -3308,6 +3392,8 @@ UNION ALL SELECT 'mst', (SELECT v FROM kcnt) - (SELECT c FROM kncomp),
 UNION ALL SELECT 'truss', (SELECT e FROM kecnt), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
 UNION ALL SELECT 'wl', n1, n2, x FROM wl_agg
 UNION ALL SELECT 'richclub', n1, n2, x FROM rc_agg
+UNION ALL SELECT 'bridges', n1, n2, x FROM br_agg
+UNION ALL SELECT 'biconnect', n1, n2, x FROM ap_agg
 ORDER BY op"""
     )
 
