@@ -417,12 +417,18 @@ def _harmonic_batch(
     sources: list[int],
     max_depth: int,
 ) -> DataFrame:
-    """One landmark batch → (vid, h double): harmonic contributions of
-    these sources, accumulated alongside the bitset words."""
+    """One landmark batch → (vid, h, sd, nr): harmonic contributions
+    (Σ 1/d), summed distances (Σ d), and reached-landmark counts of
+    these sources, all accumulated alongside the bitset words in the
+    same V-row pass."""
     wcols = _bitset_wcols(len(sources))
-    state = _bitset_state0(spark, sources, wcols).withColumn(
-        "h", F.lit(0.0)
-    ).localCheckpoint(eager=True)
+    state = (
+        _bitset_state0(spark, sources, wcols)
+        .withColumn("h", F.lit(0.0))
+        .withColumn("sd", F.lit(0).cast("long"))
+        .withColumn("nr", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
     prev = _bitset_popcount(state, wcols)
     for r in range(1, max_depth + 1):
         msgs = _bitset_gather(state, sym, wcols)
@@ -438,12 +444,14 @@ def _harmonic_batch(
             nb = (
                 F.bit_count(merged_word(c))
                 - F.bit_count(F.coalesce(f"o_{c}", F.lit(0)))
-            ).cast("double")
+            ).cast("long")
             new_bits = nb if new_bits is None else new_bits + nb
         state = (
             state.select(
                 "vid",
                 F.col("h").alias("o_h"),
+                F.col("sd").alias("o_sd"),
+                F.col("nr").alias("o_nr"),
                 *[F.col(c).alias(f"o_{c}") for c in wcols],
             )
             .join(msgs, "vid", "full_outer")
@@ -451,8 +459,13 @@ def _harmonic_batch(
                 "vid",
                 *[merged_word(c).alias(c) for c in wcols],
                 (
-                    F.coalesce("o_h", F.lit(0.0)) + new_bits / F.lit(float(r))
+                    F.coalesce("o_h", F.lit(0.0))
+                    + new_bits.cast("double") / F.lit(float(r))
                 ).alias("h"),
+                (
+                    F.coalesce("o_sd", F.lit(0)) + new_bits * F.lit(r)
+                ).alias("sd"),
+                (F.coalesce("o_nr", F.lit(0)) + new_bits).alias("nr"),
             )
             .localCheckpoint(eager=True)
         )
@@ -460,7 +473,51 @@ def _harmonic_batch(
         if cur == prev:
             break
         prev = cur
-    return state.select("vid", "h")
+    return state.select("vid", "h", "sd", "nr")
+
+
+def closeness_centrality_bitset(
+    spark: SparkSession,
+    edges: DataFrame,
+    landmarks: DataFrame,
+    max_depth: int = 6,
+    batch: int = 512,
+) -> DataFrame:
+    """(vid, reached, sum_dist, closeness) — landmark closeness
+    centrality on the bitset MS-BFS engine: ``reached`` = landmarks
+    s ≠ v at finite hop distance ≤ max_depth, ``sum_dist`` = Σ dist,
+    ``closeness`` = round(reached / sum_dist, 6) (the reciprocal of the
+    mean landmark distance; exact classic closeness when ``landmarks``
+    is all vertices). Vertices reaching no landmark are absent. Same
+    V-row accumulation as :func:`harmonic_centrality_bitset` — one pass
+    computes both."""
+    sym = symmetric_edges(edges)
+    ids = [
+        int(r["vid"])
+        for r in landmarks.select("vid")
+        .dropDuplicates(["vid"])
+        .orderBy("vid")
+        .collect()
+    ]
+    parts: list[DataFrame] = []
+    for lo in range(0, len(ids), batch):
+        parts.append(
+            _harmonic_batch(spark, sym, ids[lo : lo + batch], max_depth)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.groupBy("vid")
+        .agg(F.sum("nr").alias("reached"), F.sum("sd").alias("sum_dist"))
+        .filter(F.col("reached") > 0)
+        .select(
+            "vid",
+            "reached",
+            "sum_dist",
+            F.round(F.col("reached") / F.col("sum_dist"), 6).alias("closeness"),
+        )
+    )
 
 
 def diameter_ifub(

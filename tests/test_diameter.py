@@ -230,3 +230,54 @@ def test_harmonic_bitset_matches_pair_form(spark):
             ).collect()
         }
         assert got == want, f"batch={b}"
+
+
+def test_closeness_bitset_vs_brute(spark):
+    """closeness_centrality_bitset vs a brute-force all-pairs BFS:
+    reached counts and distance sums exact, closeness 6-dp."""
+    from arabesque_spark.graph.bfs import closeness_centrality_bitset
+
+    rng = random.Random(31)
+    n = 12
+    edges = sorted(
+        {
+            tuple(sorted((rng.randrange(n), rng.randrange(n))))
+            for _ in range(14)
+        }
+    )
+    edges = [(s, d) for s, d in edges if s != d]
+    edges += [(i, i + 1) for i in range(n - 1)]
+    edges = sorted(set(edges))
+
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+
+    def bfs(v):
+        dist = {v: 0}
+        q = deque([v])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        return dist
+
+    want = {}
+    for v in adj:
+        d = bfs(v)
+        sd = sum(x for x in d.values() if x > 0)
+        nr = sum(1 for x in d.values() if x > 0)
+        want[v] = (nr, sd, round(nr / sd, 6))
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    lm = spark.createDataFrame([(v,) for v in range(n)], "vid long")
+    got = {
+        r["vid"]: (r["reached"], r["sum_dist"], r["closeness"])
+        for r in closeness_centrality_bitset(
+            spark, df, lm, max_depth=16, batch=5
+        ).collect()
+    }
+    assert got == want
