@@ -10,7 +10,8 @@ Cluster usage (the production invocation shape from the target contract):
         --checkpoint s3://…/ckpt/pr --tol 1e-6 [--resume]
     spark-submit … -m arabesque_spark.cli cc|lpa|triangles|bowtie|
         richclub|diameter [--exact]|bridges [--two-ecc]|biconnect [--aps]|
-        cochange|… (see --help for all 30+ subcommands)
+        harmonic [--closeness]|cochange|… (see --help for all 30+
+        subcommands)
 
 Every iterative job takes --checkpoint and --resume: state is written per
 iteration with a manifest (engine/superstep.py), so a preempted run
@@ -61,7 +62,8 @@ def main(argv: list[str] | None = None) -> int:
                  "kcore", "ktruss", "truss", "bfs", "census", "louvain", "mis",
                  "coloring", "mst", "katz", "eigenvector", "wl", "maxclique",
                  "topo", "partition", "simrank", "featprop", "salsa", "densest",
-                 "bowtie", "richclub", "diameter", "bridges", "biconnect"):
+                 "bowtie", "richclub", "diameter", "bridges", "biconnect",
+                 "harmonic"):
         p = sub.add_parser(name)
         p.add_argument("--edges", required=True, help="parquet dir with (src,dst)")
         p.add_argument("--out", default=None, help="result parquet dir")
@@ -170,6 +172,14 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--aps", action="store_true",
                            help="emit articulation points (vid) instead "
                            "of per-edge block labels")
+        if name == "harmonic":
+            p.add_argument("--sources", required=True,
+                           help="parquet dir with (vid): the landmark set")
+            p.add_argument("--max-depth", type=int, default=6)
+            p.add_argument("--batch", type=int, default=512)
+            p.add_argument("--closeness", action="store_true",
+                           help="emit closeness (reached, sum_dist, "
+                           "closeness) instead of harmonic")
         if name == "wl":
             p.add_argument("--rounds", type=int, default=3)
             p.add_argument("--labels", default=None,
@@ -187,7 +197,7 @@ def main(argv: list[str] | None = None) -> int:
     # scratch with no warning.
     no_ckpt = {"triangles", "motifs", "walks", "census", "mst", "maxclique",
                "simrank", "featprop", "densest", "bowtie", "richclub",
-               "diameter", "bridges", "biconnect"}
+               "diameter", "bridges", "biconnect", "harmonic"}
     if args.cmd in no_ckpt and args.checkpoint:
         parser.error(
             f"{args.cmd} does not support --checkpoint: it runs as a "
@@ -659,6 +669,22 @@ def main(argv: list[str] | None = None) -> int:
         ks = [int(k) for k in args.ks.split(",") if k.strip()]
         out_df = rich_club(canonical_edges(edges), ks)
         info = {"ks": ks}
+    elif args.cmd == "harmonic":
+        from arabesque_spark.graph.bfs import (
+            closeness_centrality_bitset,
+            harmonic_centrality_bitset,
+        )
+
+        lm = spark.read.parquet(args.sources)
+        if args.closeness:
+            out_df = closeness_centrality_bitset(
+                spark, edges, lm, max_depth=args.max_depth, batch=args.batch
+            )
+        else:
+            out_df = harmonic_centrality_bitset(
+                spark, edges, lm, max_depth=args.max_depth, batch=args.batch
+            )
+        info = {"max_depth": args.max_depth, "landmarks": lm.count()}
     elif args.cmd == "biconnect":
         from arabesque_spark.graph.biconnect import (
             articulation_points,

@@ -276,3 +276,31 @@ def test_cli_biconnect(spark, tmp_path, capsys):
     assert main(["biconnect", "--edges", edges_dir, "--aps"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["articulation_points"] == 1
+
+
+def test_cli_harmonic(spark, tmp_path, capsys):
+    import json
+
+    from arabesque_spark.cli import main
+
+    edges_dir = str(tmp_path / "hc_edges")
+    # path 0-1-2: harmonic(1) = 2.0, closeness(1) = 2/2
+    spark.createDataFrame(
+        [(0, 1), (1, 2)], "src long, dst long"
+    ).write.parquet(edges_dir)
+    seeds_dir = str(tmp_path / "hc_seeds")
+    spark.createDataFrame([(0,), (1,), (2,)], "vid long").write.parquet(seeds_dir)
+
+    out_dir = str(tmp_path / "hc_out")
+    assert main(["harmonic", "--edges", edges_dir, "--sources", seeds_dir,
+                 "--out", out_dir]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["landmarks"] == 3
+    got = {r["vid"]: r["harmonic"]
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got == {0: 1.5, 1: 2.0, 2: 1.5}
+
+    assert main(["harmonic", "--edges", edges_dir, "--sources", seeds_dir,
+                 "--closeness"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 3
