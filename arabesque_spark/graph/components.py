@@ -28,8 +28,21 @@ from arabesque_spark.graph.build import symmetric_edges
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """For each u: connect every strictly larger neighbor to min(N(u) ∪ {u})."""
-    sym = symmetric_edges(edges)
+    """For each u: connect every strictly larger neighbor to min(N(u) ∪ {u}).
+
+    Round-6 plan shape: one explicit hash repartition on the group key,
+    then BOTH the min-aggregation and the neighbor join run exchange-free
+    off that single layout (partitioning-subset rule / co-partitioned
+    join). The previous form let Catalyst exchange ``sym`` twice — raw for
+    the join plus partially-aggregated for the mins — and added a third
+    exchange for an output dropDuplicates whose only consumer re-keys
+    anyway (small_star's final dedup canonicalizes the state, so dropping
+    it changes no per-iteration edge SET and no halt fingerprint).
+    ``repartition("src")`` is deliberately count-free: REPARTITION_BY_COL
+    stays eligible for AQE partition coalescing, so the shrinking late
+    iterations do not keep paying 64-task stages.
+    """
+    sym = symmetric_edges(edges).repartition("src")
     mins = sym.groupBy("src").agg(F.min("dst").alias("mn")).select(
         "src", F.least("mn", "src").alias("m")
     )
@@ -38,17 +51,20 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("hi"), F.col("m").alias("lo"))
         .filter(F.col("hi") != F.col("lo"))
-        .dropDuplicates(["hi", "lo"])
         .select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """For each u: connect all neighbors ≤ u (and u) to the minimum of them."""
+    """For each u: connect all neighbors ≤ u (and u) to the minimum of them.
+
+    Same co-partitioned single-exchange shape as :func:`_large_star`:
+    repartition once on ``hi``, aggregate and join off that layout.
+    """
     # orient every edge (hi → lo); group by hi over its smaller neighbors
     oriented = edges.select(
         F.greatest("src", "dst").alias("hi"), F.least("src", "dst").alias("lo")
-    )
+    ).repartition("hi")
     mins = oriented.groupBy("hi").agg(F.min("lo").alias("m"))
     relinked = (
         oriented.join(mins, "hi")

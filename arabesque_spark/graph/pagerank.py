@@ -90,10 +90,15 @@ def pagerank(
     # otherwise recompute inline, billing edge-scale setup to the first
     # superstep; measured 3× recompute of the degree lineage before the
     # first step at sf0.1)
+    # build_adjacency(num_partitions=n_parts) repartitions by src BEFORE
+    # its groupBy, and the (src, chunk) aggregation reuses that layout
+    # (partitioning-subset rule), so the output is already
+    # hash(src, n_parts): a second repartition here was a full E-bytes
+    # exchange of the array payloads for nothing (round-6 plan audit —
+    # the physical plan showed two REPARTITION_BY_NUM exchanges).
     adj = (
         build_adjacency(edges, chunk_size=chunk_size, num_partitions=n_parts)
         .select("src", "neighbors", "deg")
-        .repartition(n_parts, "src")
         .sortWithinPartitions("src")
         .persist()
     )
@@ -319,10 +324,11 @@ def pagerank_directed(
 
     n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     de = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    # no second repartition: build_directed_adjacency(num_partitions)
+    # already leaves hash(src, n_parts) (see pagerank above)
     adj = (
         build_directed_adjacency(de, chunk_size=chunk_size, num_partitions=n_parts)
         .select("src", "neighbors")
-        .repartition(n_parts, "src")
         .sortWithinPartitions("src")
         .persist()
     )
@@ -435,12 +441,13 @@ def pagerank_weighted(
     from arabesque_spark.graph.build import build_weighted_adjacency
 
     n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # no second repartition: build_weighted_adjacency(num_partitions)
+    # already leaves hash(src, n_parts) (see pagerank above)
     adj = (
         build_weighted_adjacency(
             edges, weight_col=weight_col, chunk_size=chunk_size, num_partitions=n_parts
         )
         .select("src", "nbrs", "strength")
-        .repartition(n_parts, "src")
         .sortWithinPartitions("src")
         .persist()
     )

@@ -69,14 +69,21 @@ def triangle_list(
     triangle_count / per-vertex counts / censuses in the same session.
     """
     o = oriented if oriented is not None else _oriented(edges, degree_oriented)
-    x, y = o.alias("x"), o.alias("y")
-    # wedges at the orientation's low vertex; y.v > x.v in orientation order
-    # is enforced with a plain (deg,id)-free comparison on ids to keep the
-    # pair unordered-unique: (u, v1, v2) with v1 < v2.
-    wedges = x.join(y, F.col("x.u") == F.col("y.u")).filter(
-        F.col("x.v") < F.col("y.v")
-    ).select(
-        F.col("x.u").alias("p"), F.col("x.v").alias("q"), F.col("y.v").alias("r")
+    # wedges at the orientation's low vertex, generated as ordered pairs
+    # (v1 < v2) straight out of each vertex's SORTED forward list — one
+    # groupBy + a pair-expansion projection replaces the former o ⋈ o
+    # self-join (same wedge set, same O(E^1.5) row volume, one less
+    # E-scale exchange + merge; round-6 measurement). Task-skew is
+    # unchanged: the self-join co-located all of u's pairs in one task
+    # too, and degree orientation bounds |N⁺(u)| by ~sqrt(2E).
+    fadj = o.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+    pair_expr = F.expr(
+        "flatten(transform(nbrs, (x, i) -> "
+        "transform(slice(nbrs, i + 2, size(nbrs)), y -> struct(x AS q, y AS r))))"
+    )
+    wedges = (
+        fadj.select(F.col("u").alias("p"), F.explode(pair_expr).alias("w"))
+        .select("p", F.col("w.q").alias("q"), F.col("w.r").alias("r"))
     )
     # close the wedge: edge q-r must exist (either orientation)
     closing = o.select(
@@ -130,10 +137,13 @@ def triangle_count(
         ).count()
     o = _oriented(edges, degree_oriented)
     fadj = o.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+    # each oriented edge (u, v) and N⁺(u) come straight off fadj via
+    # explode — the former o ⋈ fadj join (an E-scale exchange + merge,
+    # plus a duplicate computation of the o subtree) is gone; only the
+    # N⁺(v) attach remains a join (round-6 restructure, same sum).
     row = (
-        o.join(fadj.withColumnRenamed("u", "_s").withColumnRenamed("nbrs", "ns"),
-               F.col("u") == F.col("_s"))
-        .join(fadj.withColumnRenamed("u", "_t").withColumnRenamed("nbrs", "nt"),
+        fadj.select(F.explode("nbrs").alias("v"), F.col("nbrs").alias("ns"))
+        .join(fadj.select(F.col("u").alias("_t"), F.col("nbrs").alias("nt")),
               F.col("v") == F.col("_t"))
         .select(F.size(F.array_intersect("ns", "nt")).alias("c"))
         # decimal sum: exact beyond 2^53 triangles, ANSI-overflow-safe

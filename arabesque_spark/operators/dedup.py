@@ -87,7 +87,12 @@ def ngram_jaccard_pairs(
     # join per gram) otherwise runs on one core, and the inverted index is
     # scanned twice by the self-join
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    sh = docs.repartition(n_parts).select(
+    # keyed (hash) repartition, not round-robin: a keyless repartition(n)
+    # pays a local sort of the full rows — including the text payload —
+    # before the exchange (sortBeforeRepartition, guide §2.5), and its
+    # exchange never matches for reuse; hashing the unique doc id spreads
+    # identically without either cost (round-6).
+    sh = docs.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col).alias("doc"), F.explode(shingles_col(n, text)).alias("s")
     )
     if max_shingle_freq is not None:
@@ -136,7 +141,12 @@ def ngram_containment_pairs(
     ``max_shingle_freq=None`` for the exact oracle mode.
     """
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    sh = docs.repartition(n_parts).select(
+    # keyed (hash) repartition, not round-robin: a keyless repartition(n)
+    # pays a local sort of the full rows — including the text payload —
+    # before the exchange (sortBeforeRepartition, guide §2.5), and its
+    # exchange never matches for reuse; hashing the unique doc id spreads
+    # identically without either cost (round-6).
+    sh = docs.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col).alias("doc"), F.explode(shingles_col(n, text)).alias("s")
     )
     if max_shingle_freq is not None:
@@ -200,7 +210,9 @@ def minhash_signatures(
     # the whole signature pass through one Python worker; spread it first
     # (cheap: rows are (id, text))
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    hashed = docs.repartition(n_parts).select(
+    # keyed repartition for the same reason as ngram_jaccard_pairs: no
+    # pre-exchange sort of the text payload, reusable exchange (round-6)
+    hashed = docs.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col),
         F.transform(
             shingles_col(n, text),

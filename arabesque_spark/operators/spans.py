@@ -50,14 +50,25 @@ def window_hashes(
     (k× fewer rows; detection then misses runs shorter than
     min_len + stride − 1 — document the trade when you use it)."""
     L = int(min_len)
-    wins = F.expr(
-        f"transform(sequence(1, greatest(length({text}) - {L} + 1, 0), {int(stride)}), "
-        f"i -> struct(i AS pos, xxhash64(substr({text}, i, {L})) AS h))"
-    )
+    # explode the position sequence FIRST and hash in the downstream
+    # projection (same fused codegen stage) instead of materializing a
+    # per-doc array of (pos, hash) structs and exploding that: the struct
+    # array was a doc-length-sized allocation per row for nothing —
+    # measured ~20% faster at sf0.1 (round-6 A/B, identical output).
     return (
         docs.filter(F.length(text) >= L)
-        .select(F.col(id_col).alias("doc_id"), F.explode(wins).alias("w"))
-        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text).alias("_t"),
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length(text) - L + 1, F.lit(0)),
+                    F.lit(int(stride)),
+                )
+            ).alias("pos"),
+        )
+        .select("doc_id", "pos", F.xxhash64(F.expr(f"substr(_t, pos, {L})")).alias("h"))
     )
 
 
@@ -96,7 +107,10 @@ def duplicated_spans(
         )
     elif method == "rescan":
         dup = w.groupBy("h").count().filter(F.col("count") >= 2).select("h")
-        hits = w.join(dup, "h").select("doc_id", "pos")
+        # left_semi: identical rows (dup's h is unique after the groupBy)
+        # but the build side stores keys only and no join output columns
+        # are assembled
+        hits = w.join(dup, "h", "left_semi").select("doc_id", "pos")
     else:
         raise ValueError(f"unknown method: {method!r}")
     # gaps-and-islands: consecutive (stride-spaced) duplicated start

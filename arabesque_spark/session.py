@@ -45,11 +45,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if not local_dir and os.access("/dev/shm", os.W_OK):
+        # Default shuffle/spill scratch to tmpfs when no explicit scratch
+        # dir is configured. Rationale (guide §2.1: local disk bandwidth for
+        # shuffle files can be the tighter limit): on this single-node
+        # sandbox all executor threads share ONE virtio disk, so every
+        # Exchange serializes behind it — measured 2.7× on a plain
+        # shuffle join (5.2 s → 1.9 s) just by moving spark.local.dir to
+        # /dev/shm. On a real cluster SPARK_GRAFT_LOCAL_DIR should point at
+        # the node-local SSD array (the standard spark.local.dir practice);
+        # the env var always wins over this default.
+        local_dir = "/dev/shm/spark_local"
     if local_dir:
-        # e.g. /dev/shm/spark_local: in this sandbox all executor threads
-        # share ONE virtio disk, so shuffle I/O — a resource a real cluster
-        # scales with node count — becomes the bottleneck at high core
-        # counts; tmpfs shuffle isolates engine scaling from that artifact
         builder = builder.config("spark.local.dir", local_dir)
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

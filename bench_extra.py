@@ -1,0 +1,254 @@
+"""Round-6 optimization harness: per-query noop-sink isolation + plan capture.
+
+NOT the driver bench (bench.py is frozen). This file exists so the
+optimization round can (a) time individual sub-stages with the noop sink
+(guide §1.4), (b) dump .explain("formatted") for every headline query into
+plans/r06/, and (c) A/B candidate changes without touching bench.py.
+
+Usage:
+  python bench_extra.py explain <tag>    # dump plans/r06/<query>_<tag>.txt
+  python bench_extra.py time [query...]  # noop-isolated timings
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+import time
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from arabesque_spark import api
+from arabesque_spark.session import get_spark
+
+PLANS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r06")
+
+
+def noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def dump_plan(df, name: str, tag: str) -> None:
+    os.makedirs(PLANS, exist_ok=True)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    with open(os.path.join(PLANS, f"{name}_{tag}.txt"), "w") as fh:
+        fh.write(buf.getvalue())
+
+
+def timed(spark, name: str, fn, n: int = 2) -> float:
+    walls = []
+    for _ in range(n):
+        spark.sparkContext.setJobDescription(name)
+        t0 = time.time()
+        fn()
+        walls.append(round(time.time() - t0, 3))
+        spark.sparkContext.setJobDescription(None)
+    best = min(walls)
+    print(f"{name:40s} {best:8.3f}  (runs: {walls})")
+    return best
+
+
+def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "time"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        app_name="arabesque_bench_extra",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(2 * cpus, 16),
+    )
+    import pandas as _pd  # noqa: F401
+
+    warm = spark.range(0, cpus * 4, 1, cpus)
+    warm.select(F.sum(F.xxhash64("id").cast("decimal(38,0)"))).collect()
+    warm.mapInPandas(lambda it: it, schema="id long").count()
+
+    edges = api.lineitem_graph(spark, sf_dir).persist()
+    edges.count()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    from arabesque_spark.graph.build import build_adjacency, degrees
+    from arabesque_spark.graph.components import _large_star, _small_star
+    from arabesque_spark.graph.triangles import _oriented
+    from arabesque_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from arabesque_spark.operators.spans import duplicated_spans, window_hashes
+
+    if mode == "explain":
+        tag = sys.argv[2] if len(sys.argv) > 2 else "before"
+        # triangle_count (intersect method): the aggregated scalar plan
+        o = _oriented(edges, True)
+        fadj = o.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+        tri = (
+            o.join(fadj.withColumnRenamed("u", "_s").withColumnRenamed("nbrs", "ns"),
+                   F.col("u") == F.col("_s"))
+            .join(fadj.withColumnRenamed("u", "_t").withColumnRenamed("nbrs", "nt"),
+                  F.col("v") == F.col("_t"))
+            .select(F.size(F.array_intersect("ns", "nt")).alias("c"))
+            .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("t"))
+        )
+        dump_plan(tri, "triangle_count", tag)
+        # CC: one large+small star step over the raw edge state
+        state0 = edges.select("src", "dst")
+        dump_plan(_small_star(_large_star(state0)), "cc_step", tag)
+        # LPA one step (state joined against cached sym) — approximate the
+        # in-loop shape with a materialized state0
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        from arabesque_spark.graph.build import symmetric_edges
+
+        sym = symmetric_edges(edges).repartition(n_parts, "dst")
+        state = (
+            sym.select(F.col("src").alias("vid")).dropDuplicates(["vid"])
+            .select("vid", F.col("vid").alias("label"))
+        )
+        nbr = sym.join(state.select(F.col("vid").alias("dst"), "label"), "dst").select(
+            F.col("src").alias("vid"), "label"
+        )
+        counts = nbr.groupBy("vid", "label").agg(F.count("*").alias("cnt"))
+        best = (
+            counts.groupBy("vid")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("top"))
+            .select("vid", (-F.col("top.neg")).alias("new_label"))
+        )
+        dump_plan(best, "lpa_step", tag)
+        # pagerank adjacency build
+        adj = (
+            build_adjacency(edges, num_partitions=n_parts)
+            .select("src", "neighbors", "deg")
+            .repartition(n_parts, "src")
+            .sortWithinPartitions("src")
+        )
+        dump_plan(adj, "pagerank_adj", tag)
+        # dup_spans
+        dump_plan(duplicated_spans(docs, min_len=30), "dup_spans", tag)
+        # ngram_jaccard
+        dump_plan(
+            ngram_jaccard_pairs(docs, n=api.JACCARD_N, threshold=api.JACCARD_THRESHOLD),
+            "ngram_jaccard",
+            tag,
+        )
+        # minhash
+        dump_plan(minhash_lsh_pairs(docs, k=64, bands=16, threshold=0.3), "minhash_lsh", tag)
+        # relational
+        dump_plan(api.q_pricing_summary(spark, sf_dir), "pricing_summary", tag)
+        dump_plan(api.q_cosine_topk(spark, sf_dir), "cosine_topk", tag)
+        print("plans dumped with tag", tag)
+        return
+
+    only = set(sys.argv[2:])
+
+    def want(name: str) -> bool:
+        return not only or name in only
+
+    if want("graph_pieces"):
+        deg = degrees(edges)
+        timed(spark, "degrees(noop)", lambda: noop(deg))
+        o = _oriented(edges, True)
+        timed(spark, "oriented(noop)", lambda: noop(o))
+        fadj = o.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+        timed(spark, "fadj(noop)", lambda: noop(fadj))
+
+    if want("triangle_count"):
+        from arabesque_spark.graph.triangles import triangle_count
+
+        timed(spark, "triangle_count", lambda: triangle_count(spark, edges))
+
+    if want("cc"):
+        from arabesque_spark.graph.components import connected_components
+
+        timed(spark, "connected_components", lambda: connected_components(spark, edges).count())
+
+    if want("cc_step"):
+        state0 = edges.select("src", "dst").localCheckpoint()
+        s1 = _small_star(_large_star(state0))
+        timed(spark, "cc_one_step(noop)", lambda: noop(s1))
+
+    if want("lpa"):
+        from arabesque_spark.graph.lpa import label_propagation
+
+        timed(spark, "lpa_5iter", lambda: label_propagation(spark, edges, max_iterations=5).state.count())
+
+    if want("wl"):
+        from arabesque_spark.graph.wl import wl_refinement
+
+        timed(
+            spark,
+            "wl_3rounds",
+            lambda: wl_refinement(spark, edges, rounds=3).state.select("color").distinct().count(),
+        )
+
+    if want("pagerank"):
+        from arabesque_spark.graph.pagerank import pagerank
+
+        timed(spark, "pagerank_converge", lambda: pagerank(spark, edges, tol=1e-6, max_iterations=60))
+
+    if want("pagerank_setup"):
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+        def setup():
+            adj = (
+                build_adjacency(edges, num_partitions=n_parts)
+                .select("src", "neighbors", "deg")
+                .repartition(n_parts, "src")
+                .sortWithinPartitions("src")
+                .persist()
+            )
+            adj.count()
+            adj.unpersist()
+
+        timed(spark, "pagerank_adj_setup", setup)
+
+    if want("dup_spans"):
+        timed(spark, "dup_spans", lambda: duplicated_spans(docs, min_len=30).count())
+
+    if want("dup_spans_pieces"):
+        w = window_hashes(docs, 30)
+        timed(spark, "window_hashes(noop)", lambda: noop(w))
+        dup = w.groupBy("h").count().filter(F.col("count") >= 2).select("h")
+        timed(spark, "dup_hashes(noop)", lambda: noop(dup))
+
+    if want("minhash_lsh"):
+        timed(spark, "minhash_lsh", lambda: minhash_lsh_pairs(docs, k=64, bands=16, threshold=0.3).count())
+
+    if want("ngram_jaccard"):
+        timed(
+            spark,
+            "ngram_jaccard",
+            lambda: ngram_jaccard_pairs(docs, n=api.JACCARD_N, threshold=api.JACCARD_THRESHOLD).count(),
+        )
+
+    if want("code_graph"):
+        from arabesque_spark.graph.components import connected_components
+        from arabesque_spark.sources.code_graph import build_code_graph
+        from arabesque_spark.sources.corpus import synth_corpus, verify_sha256
+
+        def corpus_pipeline():
+            corpus = synth_corpus(spark, num_repos=1000).persist()
+            assert verify_sha256(corpus) == 0
+            g = build_code_graph(corpus)
+            n = connected_components(spark, g.edges).select("component").distinct().count()
+            corpus.unpersist()
+            return n
+
+        timed(spark, "code_graph_pipeline", corpus_pipeline)
+
+    if want("code_graph_pieces"):
+        from arabesque_spark.sources.code_graph import build_code_graph
+        from arabesque_spark.sources.corpus import synth_corpus, verify_sha256
+
+        corpus = synth_corpus(spark, num_repos=1000).persist()
+        timed(spark, "synth_corpus+sha", lambda: verify_sha256(corpus))
+
+        def build_only():
+            g = build_code_graph(corpus)
+            g.edges.count()
+
+        timed(spark, "build_code_graph", build_only)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()
