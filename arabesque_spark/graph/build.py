@@ -240,10 +240,18 @@ def dense_vertex_ids(
     """
     keys = [F.col(c) for c in key_cols]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # dedup AFTER the range exchange: RangePartitioning(keys) satisfies the
+    # dedup aggregation's ClusteredDistribution(keys), so the duplicate
+    # drop runs exchange-free off the range layout instead of paying its
+    # own hash exchange first (round-6; ids are unchanged — they are the
+    # rank in the total key order, independent of boundary placement; the
+    # boundary SAMPLE now sees pre-dedup multiplicities, which only skews
+    # partition sizes by the duplicate factor). The sort must come after
+    # the hash-aggregate dedup, which does not preserve order.
     parts = (
         df.select(*key_cols)
-        .dropDuplicates(list(key_cols))
         .repartitionByRange(n, *keys)
+        .dropDuplicates(list(key_cols))
         .sortWithinPartitions(*keys)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)

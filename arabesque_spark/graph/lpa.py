@@ -58,6 +58,17 @@ def label_propagation(
         # against the cached sym needs NO state exchange
         .repartition(n_parts, "vid")
     )
+    # materialize state0 in the DECLARED layout before the loop (exactly
+    # as pagerank does). Without this, iteration 0's final join has no
+    # fixed-64 side, AQE coalesces its output (measured: 16 → 5
+    # partitions at sf0.1), the runner's partition-count guard then
+    # disables the declared-partitioning contract for the WHOLE run, and
+    # every superstep silently pays the V-scale state exchange the
+    # declaration was built to remove (round-6 diagnosis).
+    if not resume:
+        from arabesque_spark.engine.superstep import stats_reset_checkpoint
+
+        state0 = stats_reset_checkpoint(state0, ["vid"], n_parts)
 
     def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
         # neighbor labels: edge (src→dst) delivers label(dst) to src

@@ -82,6 +82,14 @@ def wl_refinement(
     else:
         state0 = verts.select("vid", F.xxhash64(F.lit(0)).alias("color"))
     state0 = state0.repartition(n_parts, "vid")
+    # materialize state0 in the declared layout before the loop — same
+    # round-6 fix as lpa.py: without a fixed-64 join side in round 1, AQE
+    # coalesces the state and the declared-partitioning contract never
+    # engages, re-exchanging the state every round.
+    if not resume:
+        from arabesque_spark.engine.superstep import stats_reset_checkpoint
+
+        state0 = stats_reset_checkpoint(state0, ["vid"], n_parts)
 
     def step(state: DataFrame, i: int) -> tuple[DataFrame, dict]:
         # neighbor-color digest delivered at src: edge (src→dst) gathers

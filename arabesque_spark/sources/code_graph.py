@@ -159,27 +159,27 @@ def build_code_graph(
         F.col("key").alias("fkey"), F.col("vid").alias("fvid")
     )
 
-    # shared-commit co-occurrence: distinct (repo∥commit, file)
-    commit_members = (
-        files.select(
-            F.concat_ws("\x1f", "repo", "commit").alias("grp"), "fkey"
-        )
-        .dropDuplicates(["grp", "fkey"])
+    # BOTH co-occurrence sources (shared-commit and content-hash) run as
+    # ONE member table through ONE _group_edges pass (round-6): the group
+    # keys cannot collide (commit groups contain the \x1f separator, sha
+    # groups are bare hex), so the per-group edges are identical to two
+    # separate passes while the exchange+window+self-join machinery runs
+    # once instead of twice. The explicit repartition("grp") establishes
+    # the layout that the dedup (subset rule), the window, and the clique
+    # self-join then all reuse exchange-free; the fmap attach sits BEFORE
+    # it so the planner's join exchanges (broadcast here — fmap's
+    # checkpoint carries real size stats; sort-merge at 10^12 files)
+    # cannot displace the grp layout. REPARTITION_BY_COL stays
+    # AQE-coalescible.
+    members = (
+        files.select(F.concat_ws("\x1f", "repo", "commit").alias("grp"), "fkey")
+        .union(files.select(F.col("sha").alias("grp"), "fkey"))
         .join(fmap, "fkey")
         .select("grp", F.col("fvid").alias("member"))
+        .repartition("grp")
+        .dropDuplicates(["grp", "member"])
     )
-    commit_edges = _group_edges(commit_members, "grp", "member", pairwise_limit)
-
-    # content-hash co-occurrence: distinct (sha, file)
-    sha_members = (
-        files.select(F.col("sha").alias("grp"), "fkey")
-        .dropDuplicates(["grp", "fkey"])
-        .join(fmap, "fkey")
-        .select("grp", F.col("fvid").alias("member"))
-    )
-    sha_edges = _group_edges(sha_members, "grp", "member", pairwise_limit)
-
-    all_edges = commit_edges.union(sha_edges)
+    all_edges = _group_edges(members, "grp", "member", pairwise_limit)
 
     if include_import_edges:
         iedges = (
@@ -198,9 +198,12 @@ def build_code_graph(
         rmap = vertices.filter(F.col("kind") == "repo").select(
             F.col("key").alias("repo"), F.col("vid").alias("rvid")
         )
+        # no pre-dedup on fkey: a file touched by k commits yields k copies
+        # of the same containment edge, and canonical_edges' final
+        # dropDuplicates removes them anyway — the E-scale dedup exchange
+        # here was pure overhead (round-6)
         containment = (
-            files.dropDuplicates(["fkey"])
-            .join(fmap, "fkey")
+            files.join(fmap, "fkey")
             .join(rmap, "repo")
             .select(F.col("rvid").alias("src"), F.col("fvid").alias("dst"))
         )
