@@ -104,8 +104,13 @@ def pagerank(
     )
     # materialize the persisted adjacency BEFORE the loop: it is a one-time
     # build cost, and leaving it lazy would silently charge it to the first
-    # superstep (production path: written to storage at ingest)
-    adj.count()
+    # superstep (production path: written to storage at ingest).
+    # The SAME job also counts the distinct sources, so the default-path
+    # vertex count needs no second setup job (round-6; was adj.count()
+    # plus verts.count()).
+    mat = adj.agg(
+        F.count(F.lit(1)).alias("rows"), F.count_distinct("src").alias("nv")
+    ).collect()[0]
     # deg is repeated on every chunk row; first() per src collapses it
     deg = (
         adj.groupBy("src")
@@ -119,12 +124,12 @@ def pagerank(
         # no join needed to assemble the state, and no dangling vertices
         # can exist
         verts = deg.select("vid")
+        n_vertices = int(mat["nv"])
     else:
         verts = vertices.select("vid").dropDuplicates(["vid"]).repartition(
             n_parts, "vid"
         )
-
-    n_vertices = verts.count()
+        n_vertices = verts.count()
     if n_vertices == 0:
         raise ValueError("pagerank: empty vertex set")
 

@@ -40,6 +40,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 32m static broadcast threshold (default 10m): V-scale degree /
+        # id-map tables sit at 20-30 MB *estimated* next to E-scale fact
+        # tables, so the default planned them as sort-merge joins whose
+        # exchanges AQE then demoted at runtime — after the probe side had
+        # already paid its shuffle write. 32 MB is a mainstream production
+        # setting; at 100-TB inputs the estimates are far above it and the
+        # planner falls back to sort-merge exactly as before (round-6).
+        .config("spark.sql.autoBroadcastJoinThreshold", "32m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

@@ -114,11 +114,10 @@ def main() -> None:
             .select("vid", (-F.col("top.neg")).alias("new_label"))
         )
         dump_plan(best, "lpa_step", tag)
-        # pagerank adjacency build
+        # pagerank adjacency build (mirrors graph/pagerank.py's recipe)
         adj = (
             build_adjacency(edges, num_partitions=n_parts)
             .select("src", "neighbors", "deg")
-            .repartition(n_parts, "src")
             .sortWithinPartitions("src")
         )
         dump_plan(adj, "pagerank_adj", tag)
