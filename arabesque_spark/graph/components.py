@@ -136,8 +136,10 @@ def connected_components(
             .join(labels, "vid", "left")
             .select("vid", F.coalesce("component", F.col("vid")).alias("component"))
         )
-    else:
-        # make sure isolated-by-contraction originals are present
+    elif edges.filter(F.col("src") == F.col("dst")).limit(1).count() > 0:
+        # self-loops present: a vertex whose ONLY edges are self-loops is
+        # dropped by state0's filter and absent from the star forest, so
+        # re-attach the full endpoint set
         all_vids = (
             symmetric_edges(edges).select(F.col("src").alias("vid")).dropDuplicates(["vid"])
         )
@@ -145,4 +147,10 @@ def connected_components(
             all_vids.join(labels, "vid", "left")
             .select("vid", F.coalesce("component", F.col("vid")).alias("component"))
         )
+    # else: no self-loops → every edge endpoint provably survives both
+    # star transforms to the fixpoint forest (each vertex reappears as a
+    # hi, as a min, or via small_star's union(mins) row), so the
+    # stars-derived labels already cover the whole vertex set and the
+    # E-scale all-vids dedup + left join is skipped (round-6; the probe
+    # is one early-exit scan of the usually-cached edge table).
     return labels

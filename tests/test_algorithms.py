@@ -46,6 +46,26 @@ def test_cc_with_isolated_vertices(spark, test_graph):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 6: 0, 7: 7, 8: 8, 9: 9}
 
 
+def test_cc_self_loop_only_vertex_keeps_own_label(spark):
+    # round-6 label finalization: the E-scale all-vids re-attach is taken
+    # ONLY when self-loops exist in the input. A vertex whose only edges
+    # are self-loops (9) must still get its own label, and the self-loop
+    # on a connected vertex (2) must not disturb its component.
+    rows = [(0, 1), (1, 2), (2, 2), (9, 9), (5, 6)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    got = {r["vid"]: r["component"] for r in connected_components(spark, df).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5, 9: 9}
+
+
+def test_cc_no_self_loops_covers_every_endpoint(spark):
+    # the skipped-all-vids fast path must still label EVERY edge endpoint
+    edges = powerlaw_graph(300, m=2, seed=7)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    labels = connected_components(spark, df).collect()
+    endpoints = {v for e in edges for v in e}
+    assert {r["vid"] for r in labels} == endpoints
+
+
 # ---- triangles --------------------------------------------------------------
 def test_triangles_test_graph(spark, test_graph):
     assert triangle_count(spark, test_graph) == 1
