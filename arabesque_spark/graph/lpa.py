@@ -46,7 +46,10 @@ def label_propagation(
         .sortWithinPartitions("dst")
         .persist()
     )
-    sym.count()
+    # no sym.count() materialization job: state0 below derives from sym,
+    # so its pre-loop checkpoint populates the cache as a side effect —
+    # one setup job instead of two, same before-the-loop attribution
+    # (round-6). On resume the first superstep warms the cache instead.
 
     state0 = (
         sym.select(F.col("src").alias("vid"))

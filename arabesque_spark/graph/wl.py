@@ -71,7 +71,8 @@ def wl_refinement(
         .sortWithinPartitions("dst")
         .persist()
     )
-    sym.count()
+    # no sym.count(): state0's pre-loop checkpoint scans sym and populates
+    # the cache as a side effect (same round-6 trim as lpa.py)
 
     verts = sym.select(F.col("src").alias("vid")).dropDuplicates(["vid"])
     if vertex_labels is not None:
