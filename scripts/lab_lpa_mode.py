@@ -1,0 +1,105 @@
+"""Interleaved A/B: LPA argmax via two-level struct-max vs mode(deterministic).
+
+Asserts EXACT label equality between the two forms on the sf graph before
+timing anything. Usage: python scripts/lab_lpa_mode.py [sf_dir] [iters]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from arabesque_spark import api
+from arabesque_spark.graph.build import symmetric_edges
+from arabesque_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        app_name="lab_lpa_mode",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(2 * cpus, 16),
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = api.lineitem_graph(spark, sf_dir)
+    sym = (
+        symmetric_edges(edges)
+        .repartition(n_parts, "dst")
+        .sortWithinPartitions("dst")
+        .persist()
+    )
+    sym.count()
+
+    state = (
+        sym.select(F.col("src").alias("vid"))
+        .dropDuplicates(["vid"])
+        .select("vid", F.col("vid").alias("label"))
+        .repartition(n_parts, "vid")
+        .localCheckpoint(eager=True)
+    )
+
+    def nbr_labels(st):
+        return sym.join(
+            st.select(F.col("vid").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("vid"), "label")
+
+    def best_structmax(st):
+        counts = nbr_labels(st).groupBy("vid", "label").agg(F.count("*").alias("cnt"))
+        return (
+            counts.groupBy("vid")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("top"))
+            .select("vid", (-F.col("top.neg")).alias("new_label"))
+        )
+
+    def best_mode(st):
+        return (
+            nbr_labels(st)
+            .groupBy("vid")
+            .agg(F.mode("label", True).alias("new_label"))
+        )
+
+    # ---- exact equality check over 3 chained iterations ----
+    st = state
+    for i in range(3):
+        a = best_structmax(st)
+        b = best_mode(st)
+        diff = (
+            a.alias("a")
+            .join(b.alias("b"), "vid", "full")
+            .filter(
+                F.col("a.new_label").isNull()
+                | F.col("b.new_label").isNull()
+                | (F.col("a.new_label") != F.col("b.new_label"))
+            )
+            .count()
+        )
+        print(f"iter {i}: mismatches = {diff}")
+        assert diff == 0, f"mode() semantics differ at iter {i}"
+        st = (
+            st.join(a, "vid", "left")
+            .select("vid", F.coalesce("new_label", "label").alias("label"))
+            .repartition(n_parts, "vid")
+            .localCheckpoint(eager=True)
+        )
+
+    # ---- interleaved timing (noop-style count sink) ----
+    for rnd in range(3):
+        for name, fn in (("structmax", best_structmax), ("mode", best_mode)):
+            spark.sparkContext.setJobDescription(f"{name}_{rnd}")
+            t0 = time.time()
+            fn(state).write.format("noop").mode("overwrite").save()
+            print(f"round {rnd} {name:10s} {time.time() - t0:6.3f} s")
+
+    print("explain mode form:")
+    best_mode(state).explain("formatted")
+
+
+if __name__ == "__main__":
+    main()
