@@ -52,8 +52,13 @@ def label_propagation(
     # one setup job instead of two, same before-the-loop attribution
     # (round-6). On resume the first superstep warms the cache instead.
 
+    # vertex set off the DST side: sym is symmetric (distinct src ==
+    # distinct dst), and the cached table is hash-partitioned on dst, so
+    # the dedup's clustering requirement is already satisfied — the
+    # E-scale dedup exchange the src-side form paid disappears; only the
+    # V-scale repartition below moves rows (round-6).
     state0 = (
-        sym.select(F.col("src").alias("vid"))
+        sym.select(F.col("dst").alias("vid"))
         .dropDuplicates(["vid"])
         .select("vid", F.col("vid").alias("label"), F.lit(True).alias("changed"))
         # pin the declared layout (see stats_reset_checkpoint): every

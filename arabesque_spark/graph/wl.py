@@ -74,7 +74,10 @@ def wl_refinement(
     # no sym.count(): state0's pre-loop checkpoint scans sym and populates
     # the cache as a side effect (same round-6 trim as lpa.py)
 
-    verts = sym.select(F.col("src").alias("vid")).dropDuplicates(["vid"])
+    # dst-side dedup: sym is symmetric and cached hash-partitioned on dst,
+    # so this dedup runs exchange-free off the cached layout (round-6,
+    # same trim as lpa.py)
+    verts = sym.select(F.col("dst").alias("vid")).dropDuplicates(["vid"])
     if vertex_labels is not None:
         lab = vertex_labels.select("vid", "label")
         state0 = verts.join(lab, "vid", "left").select(

@@ -79,13 +79,15 @@ def main() -> None:
 
     if mode == "explain":
         tag = sys.argv[2] if len(sys.argv) > 2 else "before"
-        # triangle_count (intersect method): the aggregated scalar plan
+        # triangle_count (intersect method): the aggregated scalar plan —
+        # MUST mirror graph/triangles.py triangle_count exactly (each
+        # oriented edge and N+(u) explode straight off fadj; only the
+        # N+(v) attach is a join)
         o = _oriented(edges, True)
         fadj = o.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
         tri = (
-            o.join(fadj.withColumnRenamed("u", "_s").withColumnRenamed("nbrs", "ns"),
-                   F.col("u") == F.col("_s"))
-            .join(fadj.withColumnRenamed("u", "_t").withColumnRenamed("nbrs", "nt"),
+            fadj.select(F.explode("nbrs").alias("v"), F.col("nbrs").alias("ns"))
+            .join(fadj.select(F.col("u").alias("_t"), F.col("nbrs").alias("nt")),
                   F.col("v") == F.col("_t"))
             .select(F.size(F.array_intersect("ns", "nt")).alias("c"))
             .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("t"))
