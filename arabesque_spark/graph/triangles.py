@@ -141,9 +141,15 @@ def triangle_count(
     # explode — the former o ⋈ fadj join (an E-scale exchange + merge,
     # plus a duplicate computation of the o subtree) is gone; only the
     # N⁺(v) attach remains a join (round-6 restructure, same sum).
+    # The attach is PINNED to sort-merge: Generate's naive row estimate
+    # made the static planner broadcast the EXPLODED side — wedge-volume
+    # bytes (Σ|N⁺(u)|² ≈ E·d̄ longs) into one driver-built hash relation —
+    # and neither side is legitimately broadcastable at scale (fadj is
+    # the full E-byte adjacency). Interleaved A/B at sf0.1: mis-planned
+    # broadcast 6.3-7.0 s, merge 4.5-4.9 s, same count (round-6).
     row = (
         fadj.select(F.explode("nbrs").alias("v"), F.col("nbrs").alias("ns"))
-        .join(fadj.select(F.col("u").alias("_t"), F.col("nbrs").alias("nt")),
+        .join(fadj.select(F.col("u").alias("_t"), F.col("nbrs").alias("nt")).hint("merge"),
               F.col("v") == F.col("_t"))
         .select(F.size(F.array_intersect("ns", "nt")).alias("c"))
         # decimal sum: exact beyond 2^53 triangles, ANSI-overflow-safe

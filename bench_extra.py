@@ -87,7 +87,7 @@ def main() -> None:
         fadj = o.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
         tri = (
             fadj.select(F.explode("nbrs").alias("v"), F.col("nbrs").alias("ns"))
-            .join(fadj.select(F.col("u").alias("_t"), F.col("nbrs").alias("nt")),
+            .join(fadj.select(F.col("u").alias("_t"), F.col("nbrs").alias("nt")).hint("merge"),
                   F.col("v") == F.col("_t"))
             .select(F.size(F.array_intersect("ns", "nt")).alias("c"))
             .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("t"))
